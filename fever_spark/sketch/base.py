@@ -1,0 +1,86 @@
+"""Sketch ABC + binary envelope.
+
+Envelope layout (all little-endian):
+
+    offset  size  field
+    0       4     magic  b"FVSK"
+    4       1     format version (1)
+    5       1     sketch kind (see KIND constants)
+    6       2     reserved (0)
+    8       ...   kind-specific params + payload
+
+The fixed magic/version/kind header follows the style of the reference's
+binary flow records (/root/reference/types/flow_event.go:93-99), which lead
+with a format byte so readers can reject unknown versions.
+"""
+
+from __future__ import annotations
+
+import struct
+from abc import ABC, abstractmethod
+
+MAGIC = b"FVSK"
+VERSION = 1
+
+KIND_BLOOM = 1
+KIND_HLL = 2
+KIND_CMS = 3
+KIND_KLL = 4
+KIND_TDIGEST = 5
+
+SKETCH_REGISTRY: dict[int, type] = {}
+NAME_REGISTRY: dict[str, type] = {}
+
+
+def register(kind: int, name: str):
+    def deco(cls):
+        cls.KIND = kind
+        cls.NAME = name
+        SKETCH_REGISTRY[kind] = cls
+        NAME_REGISTRY[name] = cls
+        return cls
+
+    return deco
+
+
+class Sketch(ABC):
+    KIND: int = 0
+    NAME: str = ""
+
+    @abstractmethod
+    def update(self, values) -> None:
+        """Bulk update from a 1-D numpy array (vectorized; no per-row Python)."""
+
+    @abstractmethod
+    def merge(self, other: "Sketch") -> "Sketch":
+        """In-place associative+commutative merge; returns self."""
+
+    @abstractmethod
+    def _payload_bytes(self) -> bytes: ...
+
+    @classmethod
+    @abstractmethod
+    def _from_payload(cls, buf: memoryview) -> "Sketch": ...
+
+    def to_bytes(self) -> bytes:
+        return struct.pack("<4sBBH", MAGIC, VERSION, self.KIND, 0) + self._payload_bytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "Sketch":
+        sk = sketch_from_bytes(data)
+        if not isinstance(sk, cls):
+            raise TypeError(f"expected {cls.__name__}, payload is {type(sk).__name__}")
+        return sk
+
+
+def sketch_from_bytes(data: bytes) -> Sketch:
+    magic, version, kind, _ = struct.unpack_from("<4sBBH", data, 0)
+    if magic != MAGIC:
+        raise ValueError(f"bad sketch magic {magic!r}")
+    if version != VERSION:
+        raise ValueError(f"unsupported sketch version {version}")
+    try:
+        klass = SKETCH_REGISTRY[kind]
+    except KeyError:
+        raise ValueError(f"unknown sketch kind {kind}") from None
+    return klass._from_payload(memoryview(data)[8:])

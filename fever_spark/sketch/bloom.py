@@ -1,0 +1,146 @@
+"""Bloom filter (Bloom 1970) with fever-compatible membership semantics.
+
+Behavioral reference: /root/reference/processing/bloom_handler.go:97-291 and
+the DCSO/bloom usage it wraps — sized from (capacity n, false-positive
+probability p), zero false negatives by construction, gzip-able file
+persistence (bloom_handler.go:97-129), and a management API that reports
+(n, p, k, m, N) like mgmt/mgmtserver.go:102-109. The byte format is our own
+(north_rule requires matching *semantics and bounds*, not the reference's
+file format — SURVEY.md §7.4.6).
+
+Standard sizing: m = ceil(-n ln p / ln(2)^2), k = max(1, round(m/n ln 2)).
+"""
+
+from __future__ import annotations
+
+import gzip
+import math
+import struct
+
+import numpy as np
+
+from fever_spark.hashing import double_hash64
+from fever_spark.sketch.base import KIND_BLOOM, Sketch, register
+
+_HEADER = struct.Struct("<QQIIQ")  # capacity n, m bits, k, seed, N inserted
+
+
+@register(KIND_BLOOM, "bloom")
+class BloomFilter(Sketch):
+    """Fixed-size bit array with k double-hashed probes.
+
+    Guarantees: an added element is ALWAYS reported present (zero false
+    negatives — the acceptance invariant of
+    /root/reference/processing/bloom_handler_test.go:409-427); a non-member
+    is reported present with probability ≈ (1 - e^{-kn/m})^k ≤ p at the
+    configured capacity.
+    """
+
+    def __init__(self, capacity: int = 100, fpp: float = 1e-8, seed: int = 0,
+                 _bits: np.ndarray | None = None, _m: int | None = None,
+                 _k: int | None = None, _n_inserted: int = 0):
+        # Defaults mirror the reference's fallback filter (capacity 100,
+        # p=1e-8) used when a filter file is empty/corrupt
+        # (/root/reference/processing/bloom_handler.go:108-112).
+        if not (0.0 < fpp < 1.0):
+            raise ValueError("fpp must be in (0, 1)")
+        capacity = max(1, int(capacity))
+        self.capacity = capacity
+        self.fpp = float(fpp)
+        self.seed = int(seed)
+        if _bits is not None:
+            self.m = int(_m)
+            self.k = int(_k)
+            self.bits = _bits
+        else:
+            self.m = max(8, int(math.ceil(-capacity * math.log(fpp) / (math.log(2) ** 2))))
+            self.k = max(1, round(self.m / capacity * math.log(2)))
+            self.bits = np.zeros((self.m + 7) // 8, dtype=np.uint8)
+        self.n_inserted = int(_n_inserted)
+
+    # -- core ---------------------------------------------------------------
+
+    def _positions(self, values) -> np.ndarray:
+        """(k, len(values)) matrix of bit positions."""
+        h1, h2 = double_hash64(values, seed=self.seed)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.m)).astype(np.int64)
+
+    def update(self, values) -> None:
+        values = np.asarray(values)
+        if len(values) == 0:
+            return
+        pos = self._positions(values).ravel()
+        np.bitwise_or.at(self.bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        self.n_inserted += len(values)
+
+    # fever calls this "Add" over the mgmt API (mgmt/mgmtserver.go:120-139)
+    add = update
+
+    def contains(self, values) -> np.ndarray:
+        """Vectorized membership test → bool array."""
+        values = np.asarray(values)
+        if len(values) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(values)
+        set_ = (self.bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return set_.all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        if (self.m, self.k, self.seed) != (other.m, other.k, other.seed):
+            raise ValueError("cannot merge Bloom filters with different (m, k, seed)")
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        self.n_inserted += other.n_inserted
+        return self
+
+    # -- introspection (mgmt `bloom show` parity, mgmt/mgmtserver.go:102-109)
+
+    def info(self) -> dict:
+        return {"capacity": self.capacity, "fpp": self.fpp, "k": self.k,
+                "m": self.m, "n_inserted": self.n_inserted,
+                "fill_ratio": float(np.unpackbits(self.bits)[: self.m].mean())}
+
+    # -- serde ----------------------------------------------------------------
+
+    def _payload_bytes(self) -> bytes:
+        return (_HEADER.pack(self.capacity, self.m, self.k, self.seed, self.n_inserted)
+                + struct.pack("<d", self.fpp) + self.bits.tobytes())
+
+    @classmethod
+    def _from_payload(cls, buf: memoryview) -> "BloomFilter":
+        cap, m, k, seed, n_ins = _HEADER.unpack_from(buf, 0)
+        (fpp,) = struct.unpack_from("<d", buf, _HEADER.size)
+        bits = np.frombuffer(buf[_HEADER.size + 8:], dtype=np.uint8).copy()
+        return cls(capacity=cap, fpp=fpp, seed=seed, _bits=bits, _m=m, _k=k,
+                   _n_inserted=n_ins)
+
+    # -- file persistence (bloom_handler.go:97-129 load/save, gzip optional) --
+
+    def save(self, path: str, compressed: bool | None = None) -> None:
+        data = self.to_bytes()
+        if compressed is None:
+            compressed = path.endswith(".gz")
+        if compressed:
+            data = gzip.compress(data)
+        with open(path, "wb") as f:
+            f.write(data)
+
+    @classmethod
+    def load(cls, path: str, compressed: bool | None = None) -> "BloomFilter":
+        with open(path, "rb") as f:
+            data = f.read()
+        if compressed is None:
+            compressed = data[:2] == b"\x1f\x8b"
+        if compressed:
+            data = gzip.decompress(data)
+        return cls.from_bytes(data)
+
+    @classmethod
+    def load_or_empty(cls, path: str, capacity: int = 100, fpp: float = 1e-8) -> "BloomFilter":
+        """Tolerant load: empty/corrupt file → fresh default filter, matching
+        the reference's recovery path (bloom_handler.go:105-129)."""
+        try:
+            return cls.load(path)
+        except Exception:
+            return cls(capacity=capacity, fpp=fpp)

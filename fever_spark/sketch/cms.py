@@ -1,0 +1,100 @@
+"""Count-min sketch (Cormode & Muthukrishnan 2005) for heavy-hitter counting.
+
+Replaces the reference's exact per-key count maps — UnicornAggregator's flow
+and proxy maps (/root/reference/processing/unicorn_aggregator.go:145-165) —
+with fixed d×w state. Guarantee: estimates never undercount, and overcount by
+at most ε·N with probability ≥ 1-δ, for w = ceil(e/ε), d = ceil(ln(1/δ)),
+N = total added weight. Merge = elementwise matrix sum (exactly associative
+and commutative, like the reference's partial-count merge at
+unicorn_aggregator.go:145-155).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from fever_spark.hashing import double_hash64
+from fever_spark.sketch.base import KIND_CMS, Sketch, register
+
+_HEADER = struct.Struct("<IIIq")  # depth d, width w, seed, total N
+
+
+@register(KIND_CMS, "cms")
+class CountMinSketch(Sketch):
+    def __init__(self, epsilon: float = 1e-4, delta: float = 1e-3, seed: int = 0,
+                 _table: np.ndarray | None = None, _total: int = 0,
+                 depth: int | None = None, width: int | None = None):
+        if depth is None:
+            depth = max(1, int(math.ceil(math.log(1.0 / delta))))
+        if width is None:
+            width = max(8, int(math.ceil(math.e / epsilon)))
+        self.depth = int(depth)
+        self.width = int(width)
+        self.seed = int(seed)
+        self.table = (_table if _table is not None
+                      else np.zeros((self.depth, self.width), dtype=np.int64))
+        self.total = int(_total)
+
+    @property
+    def epsilon(self) -> float:
+        return math.e / self.width
+
+    @property
+    def delta(self) -> float:
+        return math.exp(-self.depth)
+
+    def _cols(self, values) -> np.ndarray:
+        """(depth, n) column indices via K-M double hashing."""
+        h1, h2 = double_hash64(values, seed=self.seed)
+        i = np.arange(self.depth, dtype=np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.width)).astype(np.int64)
+
+    def update(self, values, counts=None) -> None:
+        values = np.asarray(values)
+        if len(values) == 0:
+            return
+        cols = self._cols(values)
+        if counts is None:
+            w = np.ones(len(values), dtype=np.int64)
+        else:
+            w = np.asarray(counts, dtype=np.int64)
+        rows = np.arange(self.depth, dtype=np.int64)[:, None]
+        np.add.at(self.table, (np.broadcast_to(rows, cols.shape).ravel(), cols.ravel()),
+                  np.broadcast_to(w[None, :], cols.shape).ravel())
+        self.total += int(w.sum())
+
+    def estimate(self, values) -> np.ndarray:
+        """Vectorized point-frequency estimates (min over rows) → int64 array."""
+        values = np.asarray(values)
+        if len(values) == 0:
+            return np.zeros(0, dtype=np.int64)
+        cols = self._cols(values)
+        rows = np.arange(self.depth, dtype=np.int64)[:, None]
+        return self.table[rows, cols].min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if (self.depth, self.width, self.seed) != (other.depth, other.width, other.seed):
+            raise ValueError("cannot merge CMS with different (d, w, seed)")
+        self.table += other.table
+        self.total += other.total
+        return self
+
+    def error_bound(self) -> float:
+        """ε·N additive overcount bound at the current total weight."""
+        return self.epsilon * self.total
+
+    # -- serde ---------------------------------------------------------------
+
+    def _payload_bytes(self) -> bytes:
+        return (_HEADER.pack(self.depth, self.width, self.seed, self.total)
+                + self.table.tobytes())
+
+    @classmethod
+    def _from_payload(cls, buf: memoryview) -> "CountMinSketch":
+        d, w, seed, total = _HEADER.unpack_from(buf, 0)
+        table = np.frombuffer(buf[_HEADER.size:], dtype=np.int64).reshape(d, w).copy()
+        return cls(seed=seed, _table=table, _total=total, depth=d, width=w)

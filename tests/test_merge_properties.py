@@ -1,0 +1,137 @@
+"""Merge associativity + commutativity property tests (north_rule requirement,
+BASELINE.json:14 "merge associativity/commutativity property tests").
+
+Bloom / HLL / CMS merges are EXACT lattice operations (bitwise-or, max, sum)
+— we assert byte-identical states under any re-ordering / re-association.
+KLL / t-digest are only statistically stable across orders (SURVEY.md
+§7.4.1), so for those we assert the algebraic invariants that do hold
+exactly (total weight / n conservation) plus rank-error bounds under every
+permutation and association.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from fever_spark.sketch import (
+    BloomFilter, CountMinSketch, HyperLogLog, KLLSketch, TDigest,
+)
+
+
+def value_chunks(draw_lists):
+    return [np.array([f"v{i}" for i in chunk], dtype=object) for chunk in draw_lists]
+
+
+chunk_strategy = st.lists(
+    st.lists(st.integers(0, 500), min_size=0, max_size=200), min_size=3, max_size=3
+)
+
+
+def build(cls_factory, chunks):
+    sketches = []
+    for c in chunks:
+        s = cls_factory()
+        if len(c):
+            s.update(c)
+        sketches.append(s)
+    return sketches
+
+
+def merge_left(sketches):
+    """(a+b)+c"""
+    acc = sketches[0]
+    for s in sketches[1:]:
+        acc.merge(s)
+    return acc
+
+
+EXACT_FACTORIES = [
+    lambda: BloomFilter(capacity=2000, fpp=1e-4, seed=11),
+    lambda: HyperLogLog(p=8, seed=11),
+    lambda: CountMinSketch(epsilon=1e-2, delta=0.1, seed=11),
+]
+
+
+@settings(max_examples=40, deadline=None)
+@given(chunk_strategy)
+def test_exact_sketches_associative(int_chunks):
+    chunks = value_chunks(int_chunks)
+    for factory in EXACT_FACTORIES:
+        a1, b1, c1 = build(factory, chunks)
+        left = a1.merge(b1).merge(c1)  # (a+b)+c
+        a2, b2, c2 = build(factory, chunks)
+        right = a2.merge(b2.merge(c2))  # a+(b+c)
+        assert left.to_bytes() == right.to_bytes(), type(left).__name__
+
+
+@settings(max_examples=40, deadline=None)
+@given(chunk_strategy)
+def test_exact_sketches_commutative(int_chunks):
+    chunks = value_chunks(int_chunks)
+    for factory in EXACT_FACTORIES:
+        a1, b1, _ = build(factory, chunks)
+        ab = a1.merge(b1)
+        b2, a2 = build(factory, chunks[1::-1])  # build b then a
+        ba = b2.merge(a2)
+        assert ab.to_bytes() == ba.to_bytes(), type(ab).__name__
+
+
+float_chunks_strategy = st.lists(
+    st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+             min_size=0, max_size=300),
+    min_size=3, max_size=3,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(float_chunks_strategy)
+def test_kll_merge_order_invariants(chunks):
+    arrs = [np.asarray(c, dtype=np.float64) for c in chunks]
+    all_vals = np.concatenate(arrs) if any(len(a) for a in arrs) else np.empty(0)
+
+    def build_kll(order):
+        parts = []
+        for i in order:
+            s = KLLSketch(k=64, seed=7)
+            if len(arrs[i]):
+                s.update(arrs[i])
+            parts.append(s)
+        return merge_left(parts)
+
+    for order in ([0, 1, 2], [2, 0, 1], [1, 2, 0]):
+        acc = build_kll(order)
+        # exact invariant: weight conservation under ANY merge order
+        assert acc.n == len(all_vals)
+        _, wt = acc._weighted_items()
+        assert wt.sum() == len(all_vals)
+        if len(all_vals) >= 10:
+            sv = np.sort(all_vals)
+            for q in (0.25, 0.5, 0.75):
+                est = acc.quantile(q)
+                true_rank = np.searchsorted(sv, est, side="right") / len(all_vals)
+                # generous: tiny n makes normalized rank quantized
+                assert abs(true_rank - q) <= max(2 * acc.rank_error(), 2.0 / len(all_vals) + 0.12)
+
+
+@settings(max_examples=25, deadline=None)
+@given(float_chunks_strategy)
+def test_tdigest_merge_order_invariants(chunks):
+    arrs = [np.asarray(c, dtype=np.float64) for c in chunks]
+    all_vals = np.concatenate(arrs) if any(len(a) for a in arrs) else np.empty(0)
+
+    def build_td(order):
+        parts = []
+        for i in order:
+            s = TDigest(delta=100)
+            if len(arrs[i]):
+                s.update(arrs[i])
+            parts.append(s)
+        return merge_left(parts)
+
+    for order in ([0, 1, 2], [2, 1, 0]):
+        acc = build_td(order)
+        acc._flush()
+        assert abs(acc.weights.sum() - len(all_vals)) < 1e-6
+        if len(all_vals):
+            # means stay inside the data range (weighted-average invariant)
+            assert acc.means.min() >= all_vals.min() - 1e-9
+            assert acc.means.max() <= all_vals.max() + 1e-9

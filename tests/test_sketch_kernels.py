@@ -1,0 +1,324 @@
+"""Unit tests for the pure-numpy sketch kernels (no Spark).
+
+Patterns follow the reference's test strategy (SURVEY.md §5):
+randomized-with-invariant-checks (flow_aggregator_test.go:40-139 analog),
+zero-false-negative Bloom property (bloom_handler_test.go:409-427 analog),
+and serde round-trips (flow_extractor_test.go:94-220 analog).
+"""
+
+import numpy as np
+import pytest
+
+from fever_spark.hashing import double_hash64, hash64
+from fever_spark.sketch import (
+    BloomFilter, CountMinSketch, HyperLogLog, KLLSketch, TDigest,
+    sketch_from_bytes,
+)
+
+RNG = np.random.default_rng(42)
+
+
+def rand_strings(n, n_distinct, prefix="v", rng=RNG):
+    ids = rng.integers(0, n_distinct, size=n)
+    return np.array([f"{prefix}{i}" for i in ids], dtype=object), ids
+
+
+# ---------------------------------------------------------------- hashing
+
+class TestHashing:
+    def test_deterministic_across_calls(self):
+        a = np.array(["x", "y", "zz"], dtype=object)
+        assert (hash64(a) == hash64(a)).all()
+        assert (hash64(a, seed=7) != hash64(a, seed=8)).any()
+
+    def test_factorize_path_matches_direct(self):
+        # above/below the factorize threshold must agree
+        vals = np.array([f"k{i % 50}" for i in range(5000)], dtype=object)
+        direct = np.array([hash64(np.array([v], dtype=object))[0] for v in vals[:100]])
+        fast = hash64(vals)[:100]
+        assert (direct == fast).all()
+
+    def test_int_hashing(self):
+        h = hash64(np.arange(100, dtype=np.int64))
+        assert len(np.unique(h)) == 100
+
+    def test_double_hash_h2_odd(self):
+        _, h2 = double_hash64(np.array(["a", "b"], dtype=object))
+        assert (h2 % 2 == 1).all()
+
+
+# ---------------------------------------------------------------- Bloom
+
+class TestBloom:
+    def test_zero_false_negatives(self):
+        # fever invariant: every inserted value MUST test positive
+        # (processing/bloom_handler_test.go:409-427)
+        members = np.array([f"ioc-{i}" for i in range(100_000)], dtype=object)
+        bf = BloomFilter(capacity=100_000, fpp=1e-7)  # test params of bloom_handler_test.go:282
+        bf.update(members)
+        assert bf.contains(members).all()
+
+    def test_fpr_within_bound(self):
+        n = 50_000
+        bf = BloomFilter(capacity=n, fpp=1e-3)
+        members = np.array([f"m{i}" for i in range(n)], dtype=object)
+        bf.update(members)
+        non_members = np.array([f"x{i}" for i in range(200_000)], dtype=object)
+        fpr = bf.contains(non_members).mean()
+        assert fpr <= 3 * 1e-3  # 3x slack on the configured bound
+
+    def test_merge_equals_single_build(self):
+        a_vals = np.array([f"a{i}" for i in range(1000)], dtype=object)
+        b_vals = np.array([f"b{i}" for i in range(1000)], dtype=object)
+        whole = BloomFilter(capacity=5000, fpp=1e-4)
+        whole.update(np.concatenate([a_vals, b_vals]))
+        pa = BloomFilter(capacity=5000, fpp=1e-4)
+        pa.update(a_vals)
+        pb = BloomFilter(capacity=5000, fpp=1e-4)
+        pb.update(b_vals)
+        merged = pa.merge(pb)
+        assert (merged.bits == whole.bits).all()
+        assert merged.n_inserted == whole.n_inserted
+
+    def test_serde_roundtrip(self):
+        bf = BloomFilter(capacity=1000, fpp=1e-5, seed=3)
+        bf.update(np.array(["p", "q"], dtype=object))
+        back = sketch_from_bytes(bf.to_bytes())
+        assert isinstance(back, BloomFilter)
+        assert (back.bits == bf.bits).all()
+        assert back.contains(np.array(["p", "q"], dtype=object)).all()
+        assert (back.m, back.k, back.fpp, back.n_inserted) == (bf.m, bf.k, bf.fpp, bf.n_inserted)
+
+    def test_file_save_load_gzip(self, tmp_path):
+        # load/save incl. gzip mirrors processing/bloom_handler.go:97-129
+        bf = BloomFilter(capacity=100, fpp=1e-8)  # reference default params
+        bf.update(np.array(["evil.example.com"], dtype=object))
+        plain = tmp_path / "f.bloom"
+        gz = tmp_path / "f.bloom.gz"
+        bf.save(str(plain))
+        bf.save(str(gz))
+        for p in (plain, gz):
+            got = BloomFilter.load(str(p))
+            assert got.contains(np.array(["evil.example.com"], dtype=object)).all()
+
+    def test_load_or_empty_on_corrupt(self, tmp_path):
+        # corrupt file → default empty filter (bloom_handler.go:105-129)
+        p = tmp_path / "bad.bloom"
+        p.write_bytes(b"not a sketch")
+        bf = BloomFilter.load_or_empty(str(p))
+        assert bf.n_inserted == 0
+        assert not bf.contains(np.array(["anything"], dtype=object)).any()
+
+    def test_info(self):
+        bf = BloomFilter(capacity=100, fpp=1e-8)
+        info = bf.info()
+        assert info["capacity"] == 100 and info["k"] >= 1 and info["m"] >= 8
+
+
+# ---------------------------------------------------------------- HLL
+
+class TestHLL:
+    @pytest.mark.parametrize("true_n", [100, 10_000, 1_000_000])
+    def test_error_within_published_bound(self, true_n):
+        hll = HyperLogLog(p=14)
+        vals = np.array([f"u{i}" for i in range(true_n)], dtype=object)
+        hll.update(vals)
+        est = hll.estimate()
+        # standard error 1.04/sqrt(m); assert within 4 sigma
+        assert abs(est - true_n) / true_n <= 4 * hll.relative_error
+
+    def test_duplicates_dont_inflate(self):
+        hll = HyperLogLog(p=12)
+        vals = np.array([f"d{i % 500}" for i in range(50_000)], dtype=object)
+        hll.update(vals)
+        assert abs(hll.estimate() - 500) / 500 <= 4 * hll.relative_error
+
+    def test_merge_equals_single_build(self):
+        vals = np.array([f"m{i}" for i in range(20_000)], dtype=object)
+        whole = HyperLogLog(p=12)
+        whole.update(vals)
+        parts = [HyperLogLog(p=12) for _ in range(4)]
+        for i, part in enumerate(parts):
+            part.update(vals[i::4])
+        acc = parts[0]
+        for part in parts[1:]:
+            acc.merge(part)
+        assert (acc.registers == whole.registers).all()
+        assert acc.estimate() == whole.estimate()
+
+    def test_serde_roundtrip(self):
+        hll = HyperLogLog(p=10, seed=5)
+        hll.update(np.arange(1000))
+        back = sketch_from_bytes(hll.to_bytes())
+        assert (back.registers == hll.registers).all()
+        assert back.estimate() == hll.estimate()
+
+    def test_empty(self):
+        assert HyperLogLog().estimate() == 0.0
+
+
+# ---------------------------------------------------------------- CMS
+
+class TestCMS:
+    def test_never_undercounts(self):
+        vals, ids = rand_strings(100_000, 2000)
+        cms = CountMinSketch(epsilon=1e-3, delta=1e-3)
+        cms.update(vals)
+        uniq, true_counts = np.unique(vals, return_counts=True)
+        est = cms.estimate(uniq.astype(object))
+        assert (est >= true_counts).all()
+
+    def test_overcount_within_epsilon_n(self):
+        vals, _ = rand_strings(100_000, 2000)
+        cms = CountMinSketch(epsilon=1e-3, delta=1e-3)
+        cms.update(vals)
+        uniq, true_counts = np.unique(vals, return_counts=True)
+        est = cms.estimate(uniq.astype(object))
+        over = est - true_counts
+        bound = cms.error_bound()
+        # eps-delta: P(over > eps*N) < delta per query; allow tiny violation rate
+        assert (over <= bound).mean() >= 1 - 10 * cms.delta
+
+    def test_weighted_update(self):
+        cms = CountMinSketch(epsilon=1e-4, delta=1e-3)
+        cms.update(np.array(["a", "b"], dtype=object), counts=np.array([5, 7]))
+        est = cms.estimate(np.array(["a", "b"], dtype=object))
+        assert est[0] >= 5 and est[1] >= 7
+        assert cms.total == 12
+
+    def test_merge_equals_single_build(self):
+        vals, _ = rand_strings(40_000, 500)
+        whole = CountMinSketch(epsilon=1e-3, delta=1e-2)
+        whole.update(vals)
+        pa = CountMinSketch(epsilon=1e-3, delta=1e-2)
+        pa.update(vals[:20_000])
+        pb = CountMinSketch(epsilon=1e-3, delta=1e-2)
+        pb.update(vals[20_000:])
+        merged = pa.merge(pb)
+        assert (merged.table == whole.table).all()
+        assert merged.total == whole.total
+
+    def test_serde_roundtrip(self):
+        cms = CountMinSketch(epsilon=1e-3, delta=1e-2, seed=9)
+        cms.update(np.array(["x"] * 10, dtype=object))
+        back = sketch_from_bytes(cms.to_bytes())
+        assert (back.table == cms.table).all() and back.total == cms.total
+
+
+# ---------------------------------------------------------------- KLL
+
+class TestKLL:
+    def test_rank_error_within_bound(self):
+        n = 200_000
+        vals = RNG.lognormal(6, 1.2, size=n)
+        kll = KLLSketch(k=200)
+        kll.update(vals)
+        eps = kll.rank_error()
+        svals = np.sort(vals)
+        for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+            est = kll.quantile(q)
+            true_rank = np.searchsorted(svals, est, side="right") / n
+            assert abs(true_rank - q) <= 1.5 * eps, (q, true_rank, eps)
+
+    def test_weight_conservation(self):
+        kll = KLLSketch(k=128)
+        kll.update(RNG.normal(size=50_000))
+        _, wt = kll._weighted_items()
+        assert wt.sum() == kll.n == 50_000
+
+    def test_merge_bound_holds(self):
+        n = 100_000
+        vals = RNG.exponential(100, size=n)
+        parts = [KLLSketch(k=200) for _ in range(8)]
+        for i, part in enumerate(parts):
+            part.update(vals[i::8])
+        acc = parts[0]
+        for part in parts[1:]:
+            acc.merge(part)
+        assert acc.n == n
+        svals = np.sort(vals)
+        eps = acc.rank_error()
+        for q in (0.1, 0.5, 0.9):
+            est = acc.quantile(q)
+            true_rank = np.searchsorted(svals, est, side="right") / n
+            assert abs(true_rank - q) <= 2 * eps
+
+    def test_fixed_order_byte_identical(self):
+        # resume verification requires determinism for a FIXED order
+        # (SURVEY.md §7.4.1)
+        def build():
+            s = KLLSketch(k=64, seed=1)
+            s.update(np.arange(10_000, dtype=np.float64))
+            return s.to_bytes()
+        assert build() == build()
+
+    def test_serde_roundtrip(self):
+        kll = KLLSketch(k=96)
+        kll.update(RNG.normal(size=5000))
+        back = sketch_from_bytes(kll.to_bytes())
+        assert back.to_bytes() == kll.to_bytes()
+        assert back.quantile(0.5) == kll.quantile(0.5)
+
+    def test_quantile_rank_inverse(self):
+        kll = KLLSketch()
+        kll.update(np.arange(10_000, dtype=np.float64))
+        assert abs(kll.rank(kll.quantile(0.3)) - 0.3) < 0.05
+
+
+# ---------------------------------------------------------------- t-digest
+
+class TestTDigest:
+    def test_rank_error_small(self):
+        n = 200_000
+        vals = RNG.lognormal(6, 1.2, size=n)
+        td = TDigest(delta=200)
+        td.update(vals)
+        svals = np.sort(vals)
+        for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+            est = td.quantile(q)
+            true_rank = np.searchsorted(svals, est, side="right") / n
+            # t-digest error scales with q(1-q)/delta; generous envelope
+            assert abs(true_rank - q) <= max(0.005, 8 * q * (1 - q) / 200), q
+
+    def test_centroid_count_bounded(self):
+        td = TDigest(delta=100)
+        td.update(RNG.normal(size=100_000))
+        td._flush()
+        assert len(td.means) <= 2 * 100  # O(delta) centroids
+
+    def test_weight_conservation(self):
+        td = TDigest(delta=100)
+        td.update(RNG.normal(size=33_333))
+        td._flush()
+        assert td.n == 33_333
+        assert abs(td.weights.sum() - 33_333) < 1e-6
+
+    def test_merge_bound_holds(self):
+        n = 100_000
+        vals = RNG.gamma(2, 50, size=n)
+        parts = [TDigest(delta=200) for _ in range(8)]
+        for i, part in enumerate(parts):
+            part.update(vals[i::8])
+        acc = parts[0]
+        for part in parts[1:]:
+            acc.merge(part)
+        assert acc.n == n
+        svals = np.sort(vals)
+        for q in (0.1, 0.5, 0.9):
+            est = acc.quantile(q)
+            true_rank = np.searchsorted(svals, est, side="right") / n
+            assert abs(true_rank - q) <= max(0.01, 10 * q * (1 - q) / 200)
+
+    def test_serde_roundtrip(self):
+        td = TDigest(delta=150)
+        td.update(RNG.normal(size=10_000))
+        back = sketch_from_bytes(td.to_bytes())
+        assert (back.means == td.means).all() and (back.weights == td.weights).all()
+        assert back.quantile(0.5) == td.quantile(0.5)
+
+    def test_monotone_quantiles(self):
+        td = TDigest()
+        td.update(RNG.uniform(0, 1000, size=50_000))
+        qs = np.linspace(0, 1, 101)
+        est = td.quantile(qs)
+        assert (np.diff(est) >= 0).all()

@@ -1,0 +1,127 @@
+"""Partition-local sketch build: stage 1 of the two-level combine.
+
+Spark analog of fever's Consume loop + periodic flush
+(/root/reference/processing/flow_aggregator.go:111-170): each input
+partition streams Arrow batches through ``mapInPandas``, updating one sketch
+per (group key, spec) in a partition-local dict, and emits the serialized
+states ONCE at end of partition. Like fever's copy-and-swap flush
+(flow_aggregator.go:80-109), this is a partial-aggregate handoff — the
+shuffle that follows (see merge.py) only moves O(groups × sketch_size)
+bytes, never raw rows. That is what makes the plan survive a 100× scale-up:
+map-side state is O(distinct keys per partition), shuffle volume is
+independent of row count.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fever_spark.sketch.base import NAME_REGISTRY
+
+SKETCH_SCHEMA_SUFFIX = [
+    T.StructField("sketch", T.StringType(), False),
+    T.StructField("state", T.BinaryType(), False),
+]
+
+
+@dataclass(frozen=True)
+class SketchSpec:
+    """One sketch to build: ``name`` labels the output row, ``kind`` picks the
+    kernel, ``column`` is the input column, ``params`` go to the constructor,
+    ``weight_column`` (CMS only) adds counts per row."""
+
+    name: str
+    kind: str  # bloom | hll | cms | kll | tdigest
+    column: str
+    params: dict = field(default_factory=dict)
+    weight_column: str | None = None
+
+    def make(self):
+        try:
+            cls = NAME_REGISTRY[self.kind]
+        except KeyError:
+            raise ValueError(f"unknown sketch kind {self.kind!r}") from None
+        return cls(**self.params)
+
+
+def _output_schema(df: DataFrame, keys: list[str]) -> T.StructType:
+    key_fields = [df.schema[k] for k in keys]
+    return T.StructType(key_fields + SKETCH_SCHEMA_SUFFIX)
+
+
+def build_sketches(df: DataFrame, keys: list[str],
+                   specs: list[SketchSpec]) -> DataFrame:
+    """→ DataFrame(keys..., sketch: string, state: binary), one row per
+    (input partition, group key, spec). Feed to ``two_level_merge``.
+
+    Only the key columns + referenced value columns are selected, so Catalyst
+    pushes column pruning into the scan (the Entry-projection analog of
+    /root/reference/util/util.go:28-55).
+    """
+    for s in specs:
+        s.make()  # fail fast on unknown kind / bad params, not inside a task
+    needed = list(dict.fromkeys(
+        keys + [s.column for s in specs]
+        + [s.weight_column for s in specs if s.weight_column]))
+    out_schema = _output_schema(df, keys)
+    key_names = list(keys)
+    spec_list = list(specs)
+
+    def build_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[tuple, dict[str, object]] = {}
+
+        def update_group(key_tuple: tuple, group: pd.DataFrame) -> None:
+            sketches = acc.get(key_tuple)
+            if sketches is None:
+                sketches = acc[key_tuple] = {s.name: s.make() for s in spec_list}
+            for spec in spec_list:
+                vals = group[spec.column].to_numpy()
+                mask = pd.notna(group[spec.column]).to_numpy()
+                if not mask.all():
+                    vals = vals[mask]
+                if len(vals) == 0:
+                    continue
+                if spec.weight_column is not None:
+                    w = group[spec.weight_column].to_numpy()
+                    if not mask.all():
+                        w = w[mask]
+                    sketches[spec.name].update(vals, w)
+                else:
+                    sketches[spec.name].update(vals)
+
+        for pdf in batches:
+            if key_names:
+                for key_tuple, group in pdf.groupby(key_names, dropna=False, sort=False):
+                    if not isinstance(key_tuple, tuple):
+                        key_tuple = (key_tuple,)
+                    update_group(key_tuple, group)
+            else:
+                update_group((), pdf)
+
+        rows = []
+        for key_tuple, sketches in acc.items():
+            for name, sk in sketches.items():
+                rows.append(key_tuple + (name, sk.to_bytes()))
+        if rows:
+            yield pd.DataFrame(rows, columns=key_names + ["sketch", "state"])
+
+    return df.select(*needed).mapInPandas(build_partition, schema=out_schema)
+
+
+def sketches_to_dict(merged: DataFrame, keys: list[str]) -> dict:
+    """Collect a (small, post-merge) sketch DataFrame into
+    {(key..., sketch_name): Sketch}. Driver-side convenience for probing."""
+    from fever_spark.sketch.base import sketch_from_bytes
+
+    out = {}
+    for row in merged.collect():
+        key = tuple(row[k] for k in keys)
+        out[key + (row["sketch"],)] = sketch_from_bytes(bytes(row["state"]))
+    return out

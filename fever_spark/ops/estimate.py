@@ -1,0 +1,89 @@
+"""Estimator column functions over serialized sketch states.
+
+Post-merge sketch frames are tiny (one row per group), but estimators are
+still expressed as vectorized pandas UDFs so estimates compose into ordinary
+DataFrame plans (joins against exact baselines, filters on bounds, etc.).
+A per-executor LRU keyed by state bytes avoids re-deserializing the same
+state across rows/batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fever_spark.sketch.base import sketch_from_bytes
+
+_CACHE: dict[bytes, object] = {}
+_CACHE_MAX = 64
+
+
+def _sketch_of(b: bytes):
+    sk = _CACHE.get(b)
+    if sk is None:
+        if len(_CACHE) >= _CACHE_MAX:
+            _CACHE.clear()
+        sk = _CACHE[b] = sketch_from_bytes(bytes(b))
+    return sk
+
+
+@F.pandas_udf(T.DoubleType())
+def _hll_estimate(state: pd.Series) -> pd.Series:
+    return state.map(lambda b: float(_sketch_of(bytes(b)).estimate()))
+
+
+def hll_estimate_col(state: Column) -> Column:
+    """Distinct-count estimate from an HLL state column."""
+    return _hll_estimate(state)
+
+
+@F.pandas_udf(T.LongType())
+def _cms_estimate(state: pd.Series, item: pd.Series) -> pd.Series:
+    out = np.zeros(len(state), dtype=np.int64)
+    # group rows by identical state so each CMS probes its items in one
+    # vectorized call
+    pdf = pd.DataFrame({"state": state, "item": item})
+    for b, grp in pdf.groupby("state", sort=False):
+        cms = _sketch_of(bytes(b))
+        out[grp.index] = cms.estimate(grp["item"].to_numpy())
+    return pd.Series(out)
+
+
+def cms_estimate_col(state: Column, item: Column) -> Column:
+    """Point-frequency estimate of `item` from a CMS state column."""
+    return _cms_estimate(state, item)
+
+
+def quantile_col(state: Column, qs: list[float]) -> Column:
+    """array<double> of quantile estimates from a KLL or t-digest state."""
+    qarr = np.asarray(qs, dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _quantiles(state: pd.Series) -> pd.Series:
+        return state.map(
+            lambda b: [float(x) for x in np.atleast_1d(_sketch_of(bytes(b)).quantile(qarr))])
+
+    return _quantiles(state)
+
+
+def bloom_contains_col(bloom_bytes_bc, col: Column) -> Column:
+    """Membership test against a BROADCAST Bloom filter (fever's
+    broadcast-side membership semantics, processing/bloom_handler.go:165+).
+
+    ``bloom_bytes_bc`` is a ``sc.broadcast(filter.to_bytes())`` handle so the
+    state ships once per executor, not once per task closure.
+    """
+
+    @F.pandas_udf(T.BooleanType())
+    def _contains(vals: pd.Series) -> pd.Series:
+        bf = _sketch_of(bytes(bloom_bytes_bc.value))
+        mask = vals.notna().to_numpy()
+        out = np.zeros(len(vals), dtype=bool)
+        if mask.any():
+            out[mask] = bf.contains(vals[mask].to_numpy())
+        return pd.Series(out)
+
+    return _contains(col)

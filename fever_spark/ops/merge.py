@@ -1,0 +1,85 @@
+"""Two-level salted sketch merge: stage 2 of the combine.
+
+The explicit "partition-local update, then skew-aware salted shuffle merge"
+the north_rule demands. Fever's single-process analog is the associative
+partial-count merge at /root/reference/processing/unicorn_aggregator.go:145-155;
+at cluster scale a plain ``groupBy(keys)`` merge puts every partial state for
+a hot key (Zipfian hosts) on ONE reducer. We shuffle twice instead:
+
+  level 1: groupBy(keys, sketch, salt)  — salt = map-partition-id % S spreads
+           a hot key's partials over S reducers; each merges ~P/S states.
+  level 2: groupBy(keys, sketch)        — merges the S survivors per key.
+
+Shuffle volume at both levels is O(groups × S × state_size) — independent of
+input row count. For the final single-sketch-per-spec case (keys == []), the
+same tree applies with salt as the only level-1 key.
+
+Because every sketch merge is associative (+ commutative for the lattice
+sketches), the result is invariant to S and to input partitioning — tested
+in tests/test_spark_ops.py against S ∈ {1, 4, 16}.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fever_spark.sketch.base import sketch_from_bytes
+
+_SALT = "__fvs_salt"
+
+
+def _merge_states(states: pd.Series) -> bytes:
+    it = iter(states)
+    acc = sketch_from_bytes(bytes(next(it)))
+    for b in it:
+        acc.merge(sketch_from_bytes(bytes(b)))
+    return acc.to_bytes()
+
+
+def _merge_group_fn(group_cols: list[str]):
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        head = pdf.iloc[:1].copy()
+        head["state"] = [_merge_states(pdf["state"])]
+        return head[group_cols + ["sketch", "state"]]
+
+    return merge_group
+
+
+def two_level_merge(sketch_df: DataFrame, keys: list[str],
+                    salt: int | None = None) -> DataFrame:
+    """Merge per-partition sketch rows down to one row per (keys, sketch)."""
+    if salt is None:
+        salt = max(2, sketch_df.sparkSession.sparkContext.defaultParallelism // 2)
+    keys = list(keys)
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in sketch_df.schema.fields if f.name != _SALT)
+
+    # level 1: spread each key's partial states across `salt` reducers.
+    # spark_partition_id is deterministic per map task and cheap; pmod keeps
+    # the salt domain bounded regardless of partition count.
+    salted = sketch_df.withColumn(_SALT, F.pmod(F.spark_partition_id(), F.lit(salt)))
+    level1 = salted.groupBy(*keys, "sketch", _SALT).applyInPandas(
+        _merge_group_fn(keys + [_SALT]),
+        schema=f"{out_fields}, {_SALT} int" if keys else f"sketch string, state binary, {_SALT} int",
+    )
+    # level 2: at most `salt` rows per (keys, sketch) remain.
+    level2 = level1.drop(_SALT).groupBy(*keys, "sketch").applyInPandas(
+        _merge_group_fn(keys), schema=out_fields)
+    return level2
+
+
+def merge_to_driver(sketch_df: DataFrame):
+    """Merge ALL rows of a keyless sketch_df (single spec) into one Sketch
+    object on the driver. Use only after a two_level_merge or on tiny frames."""
+    rows = sketch_df.select("state").collect()
+    if not rows:
+        return None
+    acc = sketch_from_bytes(bytes(rows[0]["state"]))
+    for r in rows[1:]:
+        acc.merge(sketch_from_bytes(bytes(r["state"])))
+    return acc

@@ -1,0 +1,184 @@
+"""Fever-semantics Bloom IOC matching over DataFrames.
+
+Behavioral reference: /root/reference/processing/bloom_handler.go:165-291
+(probe logic), util/alertifier.go:86-168 + util/alertifier_providers.go:12-73
+(alert row synthesis), with the blacklist veto of bloom_handler.go:171-226.
+
+Spark-first shape: the filter state is a BROADCAST byte array probed by a
+vectorized pandas UDF (one Arrow batch per call — the "broadcast-side
+membership test" of the north_star). Everything else — probe-string
+construction, match-type precedence, blacklist suppression, alert-row
+projection — is native Catalyst expressions, so the only Python in the hot
+path is the k-probe bitset lookup itself.
+
+Match semantics reproduced exactly:
+- http: the host probe fires INDEPENDENTLY ("http-host"); the url probes are
+  an if/else-if chain — full URL, else host+path, else path — emitting at
+  most ONE "http-url" alert per event (bloom_handler.go:201-235).
+- dns: rrname probe, match type "dns-req" for queries / "dns-resp" for
+  answers (bloom_handler.go:239-263).
+- tls: SNI first, else fingerprint (bloom_handler.go:265-288).
+- a match whose ioc string is blacklisted is suppressed (go:171 etc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fever_spark.functions import urls as U
+from fever_spark.ops.estimate import bloom_contains_col
+from fever_spark.sketch import BloomFilter
+
+DEFAULT_PREFIX = "BLF"  # reference default, cmd/fever/cmds/run.go:719
+
+# message formats from util/alertifier_providers.go:12-73
+_MSG = {
+    "http-host": "Possibly bad HTTP host: ",
+    "http-url": "Possibly bad HTTP URL: ",
+    "dns-req": "Possibly bad DNS lookup to ",
+    "dns-resp": "Possibly bad DNS response for ",
+    "tls-sni": "Possibly bad TLS SNI: ",
+    "tls-fingerprint": "Possibly bad TLS Fingerprint: ",
+}
+
+
+def build_ioc_filter(iocs, capacity: int | None = None, fpp: float = 1e-7,
+                     seed: int = 0) -> BloomFilter:
+    """Build the IOC Bloom filter from an iterable/array of strings.
+    Default fpp mirrors the reference's test fixture
+    (processing/bloom_handler_test.go:282)."""
+    import numpy as np
+
+    arr = np.asarray(list(iocs) if not hasattr(iocs, "__len__") else iocs,
+                     dtype=object)
+    bf = BloomFilter(capacity=capacity or max(len(arr), 1), fpp=fpp, seed=seed)
+    if len(arr):
+        bf.update(arr)
+    return bf
+
+
+def _alert_cols(df: DataFrame, prefix: str):
+    """Columns every alert row carries: original timestamp preserved as
+    timestamp_event, alerting time as timestamp (alertifier.go:126-155)."""
+    return [
+        F.lit("alert").alias("event_type"),
+        F.current_timestamp().alias("timestamp"),
+    ]
+
+
+def bloom_match_events(events: DataFrame, bloom_bc, blacklist: list[str] | None = None,
+                       prefix: str = DEFAULT_PREFIX) -> DataFrame:
+    """Fever's BloomHandler over a flat events table (FIXTURES.md §3 schema:
+    event_type, http_host, http_url, dns_rrname, dns_type, tls_sni,
+    tls_fingerprint, ts, ...). Returns alert rows:
+    (ts, event_type='alert', match_type, ioc, signature, timestamp_event).
+    """
+    bl = F.array(*[F.lit(b) for b in (blacklist or [])])
+
+    def not_blacklisted(ioc):
+        return ~F.array_contains(bl, ioc) if blacklist else F.lit(True)
+
+    def hit(col):
+        return col.isNotNull() & (col != "") & bloom_contains_col(bloom_bc, col)
+
+    http = events.filter(F.col("event_type") == "http")
+    probes = U.probe_columns(F.col("http_host"), F.col("http_url"))
+    # host probe fires independently (go:170-180)
+    host_alerts = (
+        http.withColumn("ioc", probes["host"])
+        .filter(hit(F.col("ioc")) & not_blacklisted(F.col("ioc")))
+        .withColumn("match_type", F.lit("http-host")))
+    # url probes: first match in (url, hostpath, path) wins (go:201-235);
+    # evaluate all three vectorized, pick by precedence, veto by blacklist
+    url_staged = (
+        http.withColumn("_url", probes["url"])
+        .withColumn("_hostpath", probes["hostpath"])
+        .withColumn("_path", probes["path"])
+        .withColumn("ioc", F.when(hit(F.col("_url")), F.col("_url"))
+                    .when(hit(F.col("_hostpath")), F.col("_hostpath"))
+                    .when(hit(F.col("_path")), F.col("_path"))))
+    url_alerts = (
+        url_staged.filter(F.col("ioc").isNotNull() & not_blacklisted(F.col("ioc")))
+        .withColumn("match_type", F.lit("http-url")))
+
+    dns = events.filter((F.col("event_type") == "dns")
+                        & F.col("dns_type").isin("query", "answer"))
+    dns_alerts = (
+        dns.withColumn("ioc", F.col("dns_rrname"))
+        .filter(hit(F.col("ioc")) & not_blacklisted(F.col("ioc")))
+        .withColumn("match_type", F.when(F.col("dns_type") == "query",
+                                         F.lit("dns-req")).otherwise(F.lit("dns-resp"))))
+
+    tls = events.filter(F.col("event_type") == "tls")
+    tls_alerts = (
+        tls.withColumn("ioc", F.when(hit(F.col("tls_sni")), F.col("tls_sni"))
+           .when(hit(F.col("tls_fingerprint")), F.col("tls_fingerprint")))
+        .withColumn("match_type",
+                    F.when(F.col("ioc") == F.col("tls_sni"), F.lit("tls-sni"))
+                    .otherwise(F.lit("tls-fingerprint")))
+        .filter(F.col("ioc").isNotNull() & not_blacklisted(F.col("ioc"))))
+
+    parts = []
+    for d in (host_alerts, url_alerts, dns_alerts, tls_alerts):
+        parts.append(d.select(
+            F.col("ts").alias("timestamp_event"),  # original event time kept
+            F.lit("alert").alias("event_type"),
+            "match_type", "ioc",
+            F.concat(F.lit(prefix + " "),
+                     _msg_col(), F.col("ioc")).alias("signature"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _msg_col():
+    c = F.lit(None).cast("string")
+    expr = None
+    for mt, msg in _MSG.items():
+        cond = F.col("match_type") == mt
+        expr = F.when(cond, F.lit(msg)) if expr is None else expr.when(cond, F.lit(msg))
+    return expr.otherwise(F.lit(""))
+
+
+def bloom_match_pages(pages: DataFrame, bloom_bc,
+                      blacklist: list[str] | None = None,
+                      prefix: str = DEFAULT_PREFIX) -> DataFrame:
+    """The same 4-probe matching over the Common-Crawl-style pages table:
+    the url column supplies host / full-url / host+path / path probes.
+    Host matches emit independently; url/hostpath/path follow the else-if
+    precedence, exactly like the http branch of the reference. Returns
+    (url, warc_ts, match_type, ioc, signature)."""
+    bl = F.array(*[F.lit(b) for b in (blacklist or [])])
+
+    def not_blacklisted(ioc):
+        return ~F.array_contains(bl, ioc) if blacklist else F.lit(True)
+
+    def hit(col):
+        return col.isNotNull() & (col != "") & bloom_contains_col(bloom_bc, col)
+
+    probes = U.page_url_probes(F.col("url"))
+    staged = (
+        pages.select("url", "warc_ts")
+        .withColumn("_host", probes["host"])
+        .withColumn("_full", probes["url"])
+        .withColumn("_hostpath", probes["hostpath"])
+        .withColumn("_path", probes["path"]))
+
+    host_alerts = (
+        staged.withColumn("ioc", F.col("_host"))
+        .filter(hit(F.col("ioc")) & not_blacklisted(F.col("ioc")))
+        .withColumn("match_type", F.lit("http-host")))
+    url_alerts = (
+        staged.withColumn("ioc", F.when(hit(F.col("_full")), F.col("_full"))
+                          .when(hit(F.col("_hostpath")), F.col("_hostpath"))
+                          .when(hit(F.col("_path")), F.col("_path")))
+        .filter(F.col("ioc").isNotNull() & not_blacklisted(F.col("ioc")))
+        .withColumn("match_type", F.lit("http-url")))
+
+    out = host_alerts.unionByName(url_alerts)
+    return out.select(
+        "url", "warc_ts", "match_type", "ioc",
+        F.concat(F.lit(prefix + " "), _msg_col(), F.col("ioc")).alias("signature"))

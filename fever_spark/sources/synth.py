@@ -1,0 +1,182 @@
+"""Deterministic synthetic data: the Common-Crawl-style ``pages`` table and
+the ``iocs`` indicator list (FIXTURES.md §1-2, BASELINE.json input_hint).
+
+Schema: pages(url string, warc_ts timestamp, html binary, text string,
+lang string). Same seed + row count ⇒ byte-identical table. Generation is
+pure numpy/pyarrow on the driver for small scales and distributed via
+``spark.range`` + mapInPandas for bench scales, producing IDENTICAL rows for
+a given (seed, n) — the distributed path partitions the same id space.
+
+Design notes for the workload shape:
+- hosts are Zipfian over ~n/50 distinct values → forces merge-key skew
+  (the salted merge level must absorb it, SURVEY.md §7.4.5);
+- text is a Zipfian token sequence → CMS heavy-hitter targets;
+- text length is log-normal → KLL/t-digest quantile targets;
+- html = b"<html>" + text + b"</html>" → byte-identity extraction checks
+  (north_rule "extraction preserves byte-identical text per url").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+LANGS = np.array(["en", "de", "fr", "es", "zh", "ru"], dtype=object)
+LANG_W = np.array([0.45, 0.15, 0.12, 0.12, 0.09, 0.07])
+EPOCH_START = np.datetime64("2026-06-01T00:00:00")
+SPAN_DAYS = 7
+VOCAB_SIZE = 5000
+_TS_SPAN_US = SPAN_DAYS * 86400 * 1_000_000
+
+
+def _zipf_weights(k: int, s: float = 1.2) -> np.ndarray:
+    w = 1.0 / np.power(np.arange(1, k + 1, dtype=np.float64), s)
+    return w / w.sum()
+
+
+def _vocab() -> np.ndarray:
+    rng = np.random.default_rng(777)
+    lengths = rng.integers(2, 10, size=VOCAB_SIZE)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    return np.array(["".join(rng.choice(letters, size=ln)) for ln in lengths],
+                    dtype=object)
+
+
+_VOCAB = None
+
+
+def vocab() -> np.ndarray:
+    global _VOCAB
+    if _VOCAB is None:
+        _VOCAB = _vocab()
+    return _VOCAB
+
+
+_BLOCK = 4096
+
+
+def _gen_block(seed: int, block_id: int, n_total: int) -> pd.DataFrame:
+    """Generate one aligned block of _BLOCK rows, fully vectorized. Rows are
+    a pure function of (seed, block_id, n_total), so any chunking of the id
+    space reproduces identical rows — the distributed path relies on this."""
+    n_hosts = max(20, n_total // 50)
+    host_w = _zipf_weights(n_hosts)
+    tok_w = _zipf_weights(VOCAB_SIZE, s=1.1)
+    voc = vocab()
+    rng = np.random.default_rng((seed << 24) ^ block_id)
+    n = _BLOCK
+    rids = block_id * _BLOCK + np.arange(n, dtype=np.int64)
+
+    host_ids = rng.choice(n_hosts, size=n, p=host_w)
+    langs = LANGS[rng.choice(len(LANGS), size=n, p=LANG_W)]
+    n_tok = np.maximum(3, rng.lognormal(3.6, 0.8, size=n).astype(np.int64))
+    tok_ids = rng.choice(VOCAB_SIZE, size=int(n_tok.sum()), p=tok_w)
+    bounds = np.cumsum(n_tok)[:-1]
+    texts = np.array([" ".join(t) for t in np.split(voc[tok_ids], bounds)],
+                     dtype=object)
+    path_ids = rng.integers(0, 200, size=n)
+    ts_us = rng.integers(0, _TS_SPAN_US, size=n)
+
+    urls = np.array([f"https://host{h}.example.org/p/{p}/{r}"
+                     for h, p, r in zip(host_ids, path_ids, rids)], dtype=object)
+    htmls = np.array([b"<html>" + t.encode("utf-8") + b"</html>" for t in texts],
+                     dtype=object)
+    return pd.DataFrame({
+        "rid": rids,
+        "url": urls,
+        "warc_ts": pd.to_datetime(EPOCH_START) + pd.to_timedelta(ts_us, unit="us"),
+        "html": htmls,
+        "text": texts,
+        "lang": langs,
+    })
+
+
+def pages_chunk(ids: np.ndarray, seed: int = 42, n_total: int | None = None) -> pd.DataFrame:
+    """Generate the pages rows for the given global row ids (deterministic
+    per id, independent of chunking)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    if len(ids) == 0:
+        return pd.DataFrame({"url": pd.Series(dtype=object),
+                             "warc_ts": pd.Series(dtype="datetime64[us]"),
+                             "html": pd.Series(dtype=object),
+                             "text": pd.Series(dtype=object),
+                             "lang": pd.Series(dtype=object)})
+    n_total = n_total if n_total is not None else int(ids.max()) + 1
+    parts = []
+    for block_id in np.unique(ids // _BLOCK):
+        block = _gen_block(seed, int(block_id), n_total)
+        wanted = ids[(ids // _BLOCK) == block_id]
+        parts.append(block[block["rid"].isin(wanted)])
+    out = pd.concat(parts, ignore_index=True).drop(columns=["rid"])
+    return out
+
+
+def synth_pages(n: int, seed: int = 42) -> pd.DataFrame:
+    """Driver-side generation (tests, small scales)."""
+    return pages_chunk(np.arange(n, dtype=np.int64), seed=seed, n_total=n)
+
+
+def synth_pages_df(spark, n: int, seed: int = 42, partitions: int | None = None):
+    """Distributed generation: spark.range drives the id space, each task
+    generates its slice — rows identical to synth_pages(n, seed)."""
+    from pyspark.sql import types as T
+
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            out = pages_chunk(pdf["id"].to_numpy(), seed=seed, n_total=n)
+            out["html"] = out["html"].map(bytes)
+            yield out
+
+    return spark.range(0, n, numPartitions=partitions).mapInPandas(gen, schema=schema)
+
+
+def synth_iocs(pages: pd.DataFrame, n_extra: int = 200, seed: int = 43) -> pd.DataFrame:
+    """Indicator list mixing the four probe shapes of the reference's Bloom
+    matcher (host, full URL, host+path, bare path —
+    /root/reference/processing/bloom_handler.go:169-235), drawn partly from
+    `pages` (guaranteed true positives) and partly disjoint (FP probes),
+    plus blacklist veto entries like "/" (cmd/fever/cmds/run.go:721)."""
+    rng = np.random.default_rng(seed)
+    urls = pages["url"].to_numpy()
+    picks = rng.choice(len(urls), size=min(len(urls), 50), replace=False)
+    rows = []
+    for i in picks:
+        url = urls[i]
+        rest = url.split("://", 1)[1]
+        host, _, path = rest.partition("/")
+        path = "/" + path
+        shape = rng.integers(0, 4)
+        if shape == 0:
+            rows.append((host, "host", False))
+        elif shape == 1:
+            rows.append((url, "url", False))
+        elif shape == 2:
+            rows.append((host + path, "hostpath", False))
+        else:
+            rows.append((path, "path", False))
+    for j in range(n_extra):
+        rows.append((f"absent{j}.invalid", "host", False))
+    rows.append(("/", "path", True))
+    rows.append(("/index.html", "path", True))
+    out = pd.DataFrame(rows, columns=["ioc", "kind", "blacklisted"])
+    return out.drop_duplicates(subset=["ioc"]).reset_index(drop=True)
+
+
+def write_pages(spark, path: str, n: int, seed: int = 42, partitions: int | None = None):
+    """Materialize a pages table, partitioned by day like the reference's
+    time-rotated event tables (db/slurper_postgres.go:38-40)."""
+    from fever_spark.sources.io import write_table
+
+    df = synth_pages_df(spark, n, seed=seed, partitions=partitions)
+    write_table(df, path, partition_by_day_of="warc_ts")
+    return path

@@ -129,7 +129,10 @@ def test_sketches_to_dict(spark, events):
 
 def test_build_prunes_columns(spark, sf_med):
     # The stage-1 plan must read only key+value columns (SURVEY.md §4
-    # projection-pushdown row). Use an uncached scan so ReadSchema is visible.
+    # projection-pushdown row). Clear the cache first: a cached full-table
+    # read of the same path would otherwise substitute its InMemoryRelation
+    # (all columns) into this plan.
+    spark.catalog.clearCache()
     fresh = spark.read.parquet(f"{sf_med}/documents.parquet")
     specs = [SketchSpec("d", "hll", "doc_id", {"p": 8})]
     built = build_sketches(fresh, ["lang"], specs)

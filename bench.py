@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Headline benchmark. Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "pages_per_sec": ...}
+
+Queries:
+  sketch_pipeline   synth pages (default 1M rows, cached) → HLL+CMS+KLL per
+                    lang → two-level salted merge → estimates  [the
+                    BASELINE.json headline: pages/sec through build+merge]
+  bloom_match       fever 4-probe IOC matching over the same pages
+  hll_events        per-event_type HLL over sf events vs exact
+  cms_topk          global CMS heavy-hitters over sf events
+  dedup_minhash     MinHash-LSH near-dup pairs over sf documents
+  grouped_sums      exact grouped aggregation over sf lineitem (A1 analog)
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), FEVER_BENCH_PAGES (default 1_000_000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from fever_spark.ops import (  # noqa: E402
+    SketchSpec, build_sketches, hll_estimate_col, quantile_col, two_level_merge,
+)
+from fever_spark.ops.bloom_match import bloom_match_pages, build_ioc_filter  # noqa: E402
+from fever_spark.operators import dedup  # noqa: E402
+from fever_spark.session import get_spark  # noqa: E402
+from fever_spark.sources.synth import synth_iocs, synth_pages, synth_pages_df  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("FEVER_BENCH_PAGES", "1000000"))
+PAGES_CACHE = os.path.join(REPO, ".bench_cache", f"pages_{N_PAGES}")
+
+PAGE_SPECS = [
+    SketchSpec("distinct_urls", "hll", "url", {"p": 14}),
+    SketchSpec("host_freq", "cms", "url", {"epsilon": 1e-4, "delta": 1e-3}),
+    SketchSpec("len_q", "kll", "text_len", {"k": 200}),
+]
+
+
+def _materialize(df) -> int:
+    """Force full execution; returns row count (cheap side metric)."""
+    return df.count()
+
+
+def ensure_pages(spark):
+    if not os.path.exists(os.path.join(PAGES_CACHE, "_SUCCESS")):
+        synth_pages_df(spark, N_PAGES, partitions=CPUS * 2) \
+            .write.mode("overwrite").parquet(PAGES_CACHE)
+    return spark.read.parquet(PAGES_CACHE)
+
+
+def bench_sketch_pipeline(spark):
+    pages = ensure_pages(spark).withColumn("text_len",
+                                           F.length("text").cast("double"))
+    merged = two_level_merge(build_sketches(pages, ["lang"], PAGE_SPECS),
+                             ["lang"])
+    est = (merged.filter(F.col("sketch") == "distinct_urls")
+           .withColumn("est", hll_estimate_col(F.col("state"))))
+    return _materialize(est)
+
+
+def bench_bloom_match(spark):
+    pages = ensure_pages(spark)
+    iocs = synth_iocs(synth_pages(20_000), n_extra=2000)
+    bf = build_ioc_filter(iocs[~iocs.blacklisted]["ioc"].to_numpy(), fpp=1e-6)
+    bc = spark.sparkContext.broadcast(bf.to_bytes())
+    alerts = bloom_match_pages(pages, bc,
+                               blacklist=list(iocs[iocs.blacklisted]["ioc"]))
+    return _materialize(alerts.groupBy("match_type").count())
+
+
+def bench_hll_events(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    merged = two_level_merge(
+        build_sketches(ev, ["event_type"],
+                       [SketchSpec("u", "hll", "user_id", {"p": 14})]),
+        ["event_type"])
+    return _materialize(merged.withColumn("est", hll_estimate_col(F.col("state"))))
+
+
+def bench_cms_topk(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    merged = two_level_merge(
+        build_sketches(ev, [], [SketchSpec("f", "cms", "user_id",
+                                           {"epsilon": 1e-4, "delta": 1e-3})]), [])
+    return _materialize(merged)
+
+
+def bench_dedup_minhash(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.7)
+    return _materialize(pairs)
+
+
+def bench_grouped_sums(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    agg = (li.groupBy("l_returnflag", "l_linestatus")
+           .agg(F.sum("l_quantity").alias("sum_qty"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("revenue")))
+    return _materialize(agg)
+
+
+BENCHES = {
+    "sketch_pipeline": bench_sketch_pipeline,
+    "bloom_match": bench_bloom_match,
+    "hll_events": bench_hll_events,
+    "cms_topk": bench_cms_topk,
+    "dedup_minhash": bench_dedup_minhash,
+    "grouped_sums": bench_grouped_sums,
+}
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--master", default=f"local[{CPUS}]")
+    ap.add_argument("--queries", default=",".join(BENCHES))
+    ap.add_argument("--skip-warmup", action="store_true")
+    args = ap.parse_args(argv)
+
+    spark = get_spark(master=args.master, app_name="fever_spark_bench")
+    ensure_pages(spark)  # generation excluded from timings
+    if not args.skip_warmup:
+        spark.read.parquet(f"{SF_DIR}/events.parquet").count()  # JVM warmup
+
+    timings = {}
+    for name in args.queries.split(","):
+        t0 = time.time()
+        BENCHES[name](spark)
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "sketch-build+merge wall time over headline queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if "sketch_pipeline" in timings:
+        result["pages_per_sec"] = round(N_PAGES / timings["sketch_pipeline"], 1)
+        result["n_pages"] = N_PAGES
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -150,14 +150,17 @@ def bloom_match_pages(pages: DataFrame, bloom_bc,
     the url column supplies host / full-url / host+path / path probes.
     Host matches emit independently; url/hostpath/path follow the else-if
     precedence, exactly like the http branch of the reference. Returns
-    (url, warc_ts, match_type, ioc, signature)."""
+    (url, warc_ts, match_type, ioc, signature).
+
+    ONE table scan, ONE vectorized membership UDF call for all four probes
+    (array<bool> out), then an explode over the at-most-two alert rows —
+    the Arrow round-trip count doesn't grow with probe count."""
+    from fever_spark.ops.estimate import bloom_contains_multi
+
     bl = F.array(*[F.lit(b) for b in (blacklist or [])])
 
     def not_blacklisted(ioc):
         return ~F.array_contains(bl, ioc) if blacklist else F.lit(True)
-
-    def hit(col):
-        return col.isNotNull() & (col != "") & bloom_contains_col(bloom_bc, col)
 
     probes = U.page_url_probes(F.col("url"))
     staged = (
@@ -165,20 +168,31 @@ def bloom_match_pages(pages: DataFrame, bloom_bc,
         .withColumn("_host", probes["host"])
         .withColumn("_full", probes["url"])
         .withColumn("_hostpath", probes["hostpath"])
-        .withColumn("_path", probes["path"]))
+        .withColumn("_path", probes["path"])
+        .withColumn("_hits", bloom_contains_multi(
+            bloom_bc, F.col("_host"), F.col("_full"),
+            F.col("_hostpath"), F.col("_path"))))
 
-    host_alerts = (
-        staged.withColumn("ioc", F.col("_host"))
-        .filter(hit(F.col("ioc")) & not_blacklisted(F.col("ioc")))
-        .withColumn("match_type", F.lit("http-host")))
-    url_alerts = (
-        staged.withColumn("ioc", F.when(hit(F.col("_full")), F.col("_full"))
-                          .when(hit(F.col("_hostpath")), F.col("_hostpath"))
-                          .when(hit(F.col("_path")), F.col("_path")))
-        .filter(F.col("ioc").isNotNull() & not_blacklisted(F.col("ioc")))
-        .withColumn("match_type", F.lit("http-url")))
+    def bit(i):
+        return F.col("_hits").bitwiseAND(F.lit(1 << i)) != 0
 
-    out = host_alerts.unionByName(url_alerts)
-    return out.select(
+    host_ioc = F.when(bit(0), F.col("_host"))
+    url_ioc = (F.when(bit(1), F.col("_full"))
+               .when(bit(2), F.col("_hostpath"))
+               .when(bit(3), F.col("_path")))
+    alerts = (
+        staged
+        .filter(F.col("_hits") != 0)  # early-out: most pages match nothing
+        .withColumn("_alerts", F.array(
+            F.struct(F.lit("http-host").alias("match_type"),
+                     host_ioc.alias("ioc")),
+            F.struct(F.lit("http-url").alias("match_type"),
+                     url_ioc.alias("ioc"))))
+        .select("url", "warc_ts", F.explode("_alerts").alias("a"))
+        .select("url", "warc_ts", F.col("a.match_type").alias("match_type"),
+                F.col("a.ioc").alias("ioc"))
+        .filter(F.col("ioc").isNotNull() & not_blacklisted(F.col("ioc"))))
+
+    return alerts.select(
         "url", "warc_ts", "match_type", "ioc",
         F.concat(F.lit(prefix + " "), _msg_col(), F.col("ioc")).alias("signature"))

@@ -69,6 +69,33 @@ def quantile_col(state: Column, qs: list[float]) -> Column:
     return _quantiles(state)
 
 
+def bloom_contains_multi(bloom_bytes_bc, *cols: Column) -> Column:
+    """Membership tests for N columns in ONE vectorized UDF call → a LONG
+    bitmask (bit i set ⇔ probe column i matched). One Arrow round-trip, one
+    primitive int64 column out — no per-row Python objects. Null/empty probe
+    strings test False, matching the reference's skip-on-empty guards.
+    Test bit i with ``(col >> i) & 1 == 1`` / ``bitwiseAND``."""
+
+    @F.pandas_udf(T.LongType())
+    def _contains_n(*series: pd.Series) -> pd.Series:
+        bf = _sketch_of(bytes(bloom_bytes_bc.value))
+        out = np.zeros(len(series[0]), dtype=np.int64)
+        for i, s in enumerate(series):
+            mask = (s.notna() & (s != "")).to_numpy()
+            if mask.any():
+                hits = np.zeros(len(s), dtype=bool)
+                hits[mask] = bf.contains(s[mask].to_numpy())
+                out |= hits.astype(np.int64) << i
+        return pd.Series(out)
+
+    # asNondeterministic: stop Catalyst pushing later filters through the
+    # projection that defines this column — pushdown substitutes the alias
+    # and re-evaluates the whole UDF a second time over every row (observed:
+    # 2x ArrowEvalPython in the plan, ~2x wall time). The UDF IS pure; this
+    # flag only disables the (harmful here) rewrite.
+    return _contains_n.asNondeterministic()(*cols)
+
+
 def bloom_contains_col(bloom_bytes_bc, col: Column) -> Column:
     """Membership test against a BROADCAST Bloom filter (fever's
     broadcast-side membership semantics, processing/bloom_handler.go:165+).

@@ -27,17 +27,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fever_spark.sketch.base import sketch_from_bytes
+from fever_spark.sketch.base import merge_many, sketch_from_bytes
 
 _SALT = "__fvs_salt"
 
 
 def _merge_states(states: pd.Series) -> bytes:
-    it = iter(states)
-    acc = sketch_from_bytes(bytes(next(it)))
-    for b in it:
-        acc.merge(sketch_from_bytes(bytes(b)))
-    return acc.to_bytes()
+    return merge_many([bytes(b) for b in states]).to_bytes()
 
 
 def _merge_group_fn(group_cols: list[str]):

@@ -73,6 +73,22 @@ class Sketch(ABC):
         return sk
 
 
+def merge_many(states: list[bytes]) -> Sketch:
+    """Merge serialized states efficiently. Dispatches to the sketch class's
+    ``_merge_many`` fast path when it has one (Bloom/HLL/CMS reduce over
+    zero-copy buffer views — the hot path of the shuffle-merge stage),
+    else falls back to pairwise deserialize+merge."""
+    first = sketch_from_bytes(states[0])
+    if len(states) == 1:
+        return first
+    fast = getattr(type(first), "_merge_many", None)
+    if fast is not None:
+        return fast(states)
+    for b in states[1:]:
+        first.merge(sketch_from_bytes(b))
+    return first
+
+
 def sketch_from_bytes(data: bytes) -> Sketch:
     magic, version, kind, _ = struct.unpack_from("<4sBBH", data, 0)
     if magic != MAGIC:

@@ -103,6 +103,23 @@ class BloomFilter(Sketch):
 
     # -- serde ----------------------------------------------------------------
 
+    @classmethod
+    def _merge_many(cls, states: list[bytes]) -> "BloomFilter":
+        """Vectorized N-way merge: one bitwise-or reduce over bit views."""
+        off0 = 8  # envelope
+        cap, m, k, seed, _ = _HEADER.unpack_from(memoryview(states[0])[off0:], 0)
+        (fpp,) = struct.unpack_from("<d", states[0], off0 + _HEADER.size)
+        off = off0 + _HEADER.size + 8
+        n_ins = 0
+        views = []
+        for s in states:
+            _, _, _, _, ni = _HEADER.unpack_from(memoryview(s)[off0:], 0)
+            n_ins += ni
+            views.append(np.frombuffer(s, dtype=np.uint8, offset=off))
+        bits = np.bitwise_or.reduce(views)
+        return cls(capacity=cap, fpp=fpp, seed=seed, _bits=bits.copy(),
+                   _m=m, _k=k, _n_inserted=n_ins)
+
     def _payload_bytes(self) -> bytes:
         return (_HEADER.pack(self.capacity, self.m, self.k, self.seed, self.n_inserted)
                 + struct.pack("<d", self.fpp) + self.bits.tobytes())

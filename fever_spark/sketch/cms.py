@@ -59,13 +59,17 @@ class CountMinSketch(Sketch):
             return
         cols = self._cols(values)
         if counts is None:
-            w = np.ones(len(values), dtype=np.int64)
+            w = None
+            total = len(values)
         else:
             w = np.asarray(counts, dtype=np.int64)
-        rows = np.arange(self.depth, dtype=np.int64)[:, None]
-        np.add.at(self.table, (np.broadcast_to(rows, cols.shape).ravel(), cols.ravel()),
-                  np.broadcast_to(w[None, :], cols.shape).ravel())
-        self.total += int(w.sum())
+            total = int(w.sum())
+        # bincount per row beats np.add.at by ~10x (contiguous accumulate
+        # instead of scattered atomic adds)
+        for i in range(self.depth):
+            self.table[i] += np.bincount(cols[i], weights=w,
+                                         minlength=self.width).astype(np.int64)
+        self.total += total
 
     def estimate(self, values) -> np.ndarray:
         """Vectorized point-frequency estimates (min over rows) → int64 array."""
@@ -88,6 +92,21 @@ class CountMinSketch(Sketch):
         return self.epsilon * self.total
 
     # -- serde ---------------------------------------------------------------
+
+    @classmethod
+    def _merge_many(cls, states: list[bytes]) -> "CountMinSketch":
+        """Vectorized N-way merge: one np.sum over stacked table views."""
+        d, w, seed, _ = _HEADER.unpack_from(memoryview(states[0])[8:], 0)
+        off = 8 + _HEADER.size
+        total = 0
+        views = []
+        for s in states:
+            _, _, _, t = _HEADER.unpack_from(memoryview(s)[8:], 0)
+            total += t
+            views.append(np.frombuffer(s, dtype=np.int64, offset=off,
+                                       count=d * w))
+        table = np.sum(views, axis=0, dtype=np.int64).reshape(d, w)
+        return cls(seed=seed, _table=table, _total=total, depth=d, width=w)
 
     def _payload_bytes(self) -> bytes:
         return (_HEADER.pack(self.depth, self.width, self.seed, self.total)

@@ -90,6 +90,15 @@ class HyperLogLog(Sketch):
 
     # -- serde ---------------------------------------------------------------
 
+    @classmethod
+    def _merge_many(cls, states: list[bytes]) -> "HyperLogLog":
+        """Vectorized N-way merge over zero-copy register views."""
+        p, seed = _HEADER.unpack_from(memoryview(states[0])[8:], 0)
+        off = 8 + _HEADER.size
+        views = [np.frombuffer(s, dtype=np.uint8, offset=off) for s in states]
+        return cls(p=p, seed=seed,
+                   _registers=np.maximum.reduce(views))
+
     def _payload_bytes(self) -> bytes:
         return _HEADER.pack(self.p, self.seed) + self.registers.tobytes()
 

@@ -172,6 +172,52 @@ def synth_iocs(pages: pd.DataFrame, n_extra: int = 200, seed: int = 43) -> pd.Da
     return out.drop_duplicates(subset=["ioc"]).reset_index(drop=True)
 
 
+def synth_events(n: int, seed: int = 44) -> pd.DataFrame:
+    """Fever-shaped flat event table (FIXTURES.md §3 / types/entry.go:16-46):
+    flow/dns/http/tls/alert events with the Entry fields the reference's
+    aggregators consume. Deterministic; vectorized."""
+    rng = np.random.default_rng(seed)
+    types_ = rng.choice(np.array(["flow", "dns", "http", "tls", "alert"], dtype=object),
+                        size=n, p=[0.5, 0.2, 0.15, 0.1, 0.05])
+    src_ip = np.char.add("10.0.0.", rng.integers(1, 60, size=n).astype(str)).astype(object)
+    dest_ip = np.char.add("192.0.2.", rng.integers(1, 40, size=n).astype(str)).astype(object)
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime(EPOCH_START) + pd.to_timedelta(
+            rng.integers(0, 3600 * 1_000_000, size=n), unit="us"),
+        "event_type": types_,
+        "src_ip": src_ip,
+        "dest_ip": dest_ip,
+        "src_port": rng.integers(1024, 65536, size=n).astype(np.int32),
+        "dest_port": rng.choice(np.array([80, 443, 3128, 8080, 8443, 53, 22]),
+                                size=n).astype(np.int32),
+        "proto": rng.choice(np.array(["TCP", "UDP"], dtype=object), size=n, p=[0.8, 0.2]),
+        "app_proto": rng.choice(np.array(["http", "tls", "dns", None], dtype=object), size=n),
+        "bytes_toserver": rng.integers(0, 10_000, size=n),
+        "bytes_toclient": rng.integers(0, 100_000, size=n),
+        "pkts_toserver": rng.integers(0, 100, size=n),
+        "pkts_toclient": rng.integers(0, 200, size=n),
+        "http_host": np.char.add("host", rng.integers(0, 30, size=n).astype(str)).astype(object),
+        "http_url": np.char.add("/path/", rng.integers(0, 50, size=n).astype(str)).astype(object),
+        "dns_rrname": np.char.add("name", rng.integers(0, 80, size=n).astype(str)).astype(object),
+        "dns_rrtype": rng.choice(np.array(["A", "AAAA", "CNAME"], dtype=object), size=n),
+        "dns_rcode": rng.choice(np.array(["NOERROR", "NXDOMAIN"], dtype=object), size=n),
+        "dns_rdata": np.char.add("198.51.100.", rng.integers(1, 30, size=n).astype(str)).astype(object),
+        "dns_type": rng.choice(np.array(["query", "answer"], dtype=object), size=n),
+        "tls_sni": np.char.add("sni", rng.integers(0, 40, size=n).astype(str)).astype(object),
+        "tls_fingerprint": np.char.add("fp:", rng.integers(0, 40, size=n).astype(str)).astype(object),
+        "flow_id": rng.integers(1, max(2, n // 4), size=n).astype(str),
+    })
+    # non-flow events don't carry counters; non-dns don't carry rrnames, etc.
+    flow = pdf["event_type"] == "flow"
+    for c in ("bytes_toserver", "bytes_toclient", "pkts_toserver", "pkts_toclient"):
+        pdf.loc[~flow, c] = 0
+    pdf.loc[pdf["event_type"] != "dns", ["dns_rrname", "dns_rrtype", "dns_rcode",
+                                         "dns_rdata", "dns_type"]] = None
+    pdf.loc[pdf["event_type"] != "http", ["http_host", "http_url"]] = None
+    pdf.loc[pdf["event_type"] != "tls", ["tls_sni", "tls_fingerprint"]] = None
+    return pdf
+
+
 def write_pages(spark, path: str, n: int, seed: int = 42, partitions: int | None = None):
     """Materialize a pages table, partitioned by day like the reference's
     time-rotated event tables (db/slurper_postgres.go:38-40)."""

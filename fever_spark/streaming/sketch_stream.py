@@ -1,0 +1,130 @@
+"""Structured Streaming counterparts of fever's streaming semantics.
+
+Fever is a streaming system (SURVEY.md §2.7); the batch library covers its
+query capabilities, and this module covers the streaming-only ones:
+
+- ``StreamingSketchAccumulator``: foreachBatch sketch building. Each
+  micro-batch runs the SAME build → two-level-merge plan as the batch path,
+  then merges into the accumulated state — valid because sketch merges are
+  associative, exactly why fever can flush partial aggregates on a timer
+  (processing/flow_aggregator.go:80-109). At-least-once micro-batch
+  semantics + idempotent state write per batch_id ≈ fever's at-most-once
+  plus our checkpointing — strictly stronger.
+
+- ``windowed_counts_stream``: the FlowAggregator/DNSAggregator flush loop as
+  an event-time tumbling window with watermark — the upgrade over fever's
+  processing-time flush (flow_aggregator.go:152-170).
+
+- ``session_collector_stream``: the flow-context collector
+  (processing/context_collector.go:79-143) as applyInPandasWithState —
+  per-key event accumulation with TTL timeout, emitting only groups that
+  saw a terminal event and were marked by an alert.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from fever_spark.ops.build import SketchSpec, build_sketches
+from fever_spark.ops.merge import two_level_merge
+from fever_spark.sketch.base import sketch_from_bytes
+
+
+class StreamingSketchAccumulator:
+    """Accumulate mergeable sketch states across micro-batches.
+
+    Use as: ``stream.writeStream.foreachBatch(acc.process_batch).start()``.
+    ``acc.sketches`` holds {(key..., sketch_name): Sketch} merged over all
+    batches so far; ``last_batch_id`` dedupes replayed batches (Spark replays
+    the last uncommitted batch on recovery — merging it twice would double-
+    count, so replays are dropped by id)."""
+
+    def __init__(self, keys: list[str], specs: list[SketchSpec], salt: int = 4):
+        self.keys = list(keys)
+        self.specs = list(specs)
+        self.salt = salt
+        self.sketches: dict[tuple, object] = {}
+        self.last_batch_id = -1
+        self.batches_seen = 0
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= self.last_batch_id:
+            return  # replayed batch — idempotence
+        merged = two_level_merge(
+            build_sketches(batch_df, self.keys, self.specs), self.keys,
+            salt=self.salt)
+        for row in merged.collect():
+            key = tuple(row[k] for k in self.keys) + (row["sketch"],)
+            sk = sketch_from_bytes(bytes(row["state"]))
+            if key in self.sketches:
+                self.sketches[key].merge(sk)
+            else:
+                self.sketches[key] = sk
+        self.last_batch_id = batch_id
+        self.batches_seen += 1
+
+
+def windowed_counts_stream(stream: DataFrame, keys: list[str], ts_col: str,
+                           window: str = "1 minute",
+                           watermark: str = "2 minutes") -> DataFrame:
+    """Event-time tumbling-window counts with late-data watermark — fever's
+    aggregator flush loop semantics (1m default flushtime, run.go:647)."""
+    return (stream.withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window), *keys)
+            .agg(F.count(F.lit(1)).alias("count")))
+
+
+SESSION_OUT_SCHEMA = ("flow_id string, n_events int, marked boolean, "
+                      "complete boolean")
+SESSION_STATE_SCHEMA = "n_events int, marked boolean"
+
+
+def _session_fn(key, pdf_iter, state: GroupState):
+    """Accumulate per-flow events; emit when the terminal 'flow' event
+    arrives (context_collector.go:118-143) or on TTL timeout
+    (go-cache eviction analog, context_collector.go:62-74)."""
+    if state.hasTimedOut:
+        n, marked = state.get if state.exists else (0, False)
+        state.remove()
+        yield pd.DataFrame([{"flow_id": key[0], "n_events": n,
+                             "marked": bool(marked), "complete": False}])
+        return
+    n, marked = state.get if state.exists else (0, False)
+    complete = False
+    for pdf in pdf_iter:
+        n += len(pdf)
+        marked = marked or bool((pdf["event_type"] == "alert").any())
+        complete = complete or bool((pdf["event_type"] == "flow").any())
+    if complete:
+        if state.exists:
+            state.remove()
+        yield pd.DataFrame([{"flow_id": key[0], "n_events": n,
+                             "marked": bool(marked), "complete": True}])
+    else:
+        state.update((n, marked))
+        state.setTimeoutDuration(60 * 60 * 1000)  # 1h, run.go:705 default
+
+
+def session_collector_stream(stream: DataFrame) -> DataFrame:
+    """Flow-context correlation (J4) over a stream keyed by flow_id."""
+    return (stream.groupBy("flow_id")
+            .applyInPandasWithState(_session_fn,
+                                    outputStructType=SESSION_OUT_SCHEMA,
+                                    stateStructType=SESSION_STATE_SCHEMA,
+                                    outputMode="update",
+                                    timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def flow_context_batch(df: DataFrame, id_col: str = "flow_id") -> DataFrame:
+    """Batch form of J4: groups with a terminal flow event AND an alert mark,
+    shipped with all their events (groupBy + collect_list + having)."""
+    return (df.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.max((F.col("event_type") == "alert").cast("int")).alias("_marked"),
+                 F.max((F.col("event_type") == "flow").cast("int")).alias("_complete"),
+                 F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("events"))
+            .filter((F.col("_marked") == 1) & (F.col("_complete") == 1))
+            .drop("_marked", "_complete"))

@@ -1,0 +1,182 @@
+"""Dedup / ANN / text-analysis operator tests over the driver tables +
+planted near-duplicates."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fever_spark.functions import text as TXT
+from fever_spark.operators import ann, dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_med):
+    return spark.read.parquet(f"{sf_med}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Corpus with known exact dups and near-dups."""
+    base = ("the quick brown fox jumps over the lazy dog and keeps running "
+            "through the wide green field chasing a very confused rabbit")
+    rows = [
+        (1, base),
+        (2, base),                                 # exact dup of 1
+        (3, base.upper()),                         # case-normalized dup of 1
+        (4, base.replace("rabbit", "squirrel")),   # near-dup
+        (5, "completely different text about databases and query optimizers "
+            "running distributed joins over partitioned columnar storage"),
+        (6, base.replace("quick", "slow").replace("lazy", "sleepy")),  # near-dup
+        (7, ""),                                   # empty
+        (8, "tiny"),                               # shorter than shingle size
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExactDedup:
+    def test_planted(self, planted):
+        kept = dedup.exact_dedup(planted).select("doc_id").toPandas()["doc_id"]
+        assert 1 in set(kept) and 2 not in set(kept) and 3 not in set(kept)
+        assert {4, 5, 6, 7, 8} <= set(kept)
+
+    def test_groups(self, planted):
+        g = dedup.exact_dup_groups(planted).toPandas()
+        assert len(g) == 1 and g.iloc[0]["n_dups"] == 3 and g.iloc[0]["keep_id"] == 1
+
+    def test_idempotent(self, docs):
+        once = dedup.exact_dedup(docs)
+        assert dedup.exact_dedup(once).count() == once.count()
+
+
+class TestMinHashLSH:
+    def test_planted_near_dups_found(self, planted):
+        pairs = dedup.minhash_near_duplicates(planted, threshold=0.5).toPandas()
+        found = {tuple(sorted(p)) for p in zip(pairs.id_a, pairs.id_b)}
+        # exact dups estimate ~1.0; near-dups above 0.5
+        assert (1, 2) in found and (1, 3) in found
+        assert (1, 4) in found or (1, 6) in found
+        # unrelated doc never pairs with the fox docs
+        assert not any(5 in p for p in found)
+
+    def test_estimate_close_to_exact(self, planted):
+        pairs = dedup.minhash_near_duplicates(planted, threshold=0.3).toPandas()
+        exact = dedup.ngram_jaccard_pairs(planted, threshold=0.0).toPandas()
+        exact_map = {(r.id_a, r.id_b): r.jaccard for r in exact.itertuples()}
+        for r in pairs.itertuples():
+            if (r.id_a, r.id_b) in exact_map:
+                assert abs(r.est_jaccard - exact_map[(r.id_a, r.id_b)]) <= 0.25
+
+
+class TestSimHash:
+    def test_exact_dups_hamming_zero(self, planted):
+        pairs = dedup.simhash_near_duplicates(planted, max_hamming=3).toPandas()
+        d = {(r.id_a, r.id_b): r.hamming for r in pairs.itertuples()}
+        assert d.get((1, 2)) == 0 and d.get((1, 3)) == 0
+        assert not any(5 in p for p in d)
+
+    def test_simhash_column_deterministic(self, planted):
+        a = dedup.simhash_column(planted).toPandas().set_index("doc_id")["simhash"]
+        b = dedup.simhash_column(planted).toPandas().set_index("doc_id")["simhash"]
+        assert (a == b).all()
+
+
+class TestNgramJaccard:
+    def test_exact_values(self, planted):
+        pairs = dedup.ngram_jaccard_pairs(planted, threshold=0.99).toPandas()
+        found = {tuple(sorted(p)) for p in zip(pairs.id_a, pairs.id_b)}
+        assert found == {(1, 2), (1, 3), (2, 3)}  # the three exact-content dups
+
+    def test_against_pandas_ground_truth(self, planted):
+        got = dedup.ngram_jaccard_pairs(planted, n=3, threshold=0.0).toPandas()
+        texts = {r["doc_id"]: r["text"] for r in planted.collect()}
+
+        def grams(t):
+            toks = t.lower().strip().split()
+            if not toks:
+                return set()
+            if len(toks) < 3:
+                return {" ".join(toks)} if False else {" ".join(toks[i:i+3]) for i in range(max(len(toks)-2, 1))}
+            return {" ".join(toks[i:i+3]) for i in range(len(toks)-2)}
+
+        for r in got.itertuples():
+            ga, gb = grams(texts[r.id_a]), grams(texts[r.id_b])
+            expect = len(ga & gb) / len(ga | gb)
+            assert abs(r.jaccard - expect) < 1e-6, (r.id_a, r.id_b)
+
+
+class TestEmbeddingDedup:
+    def test_lsh_recall_vs_brute_force(self, spark, sf_med):
+        emb = spark.read.parquet(f"{sf_med}/embeddings.parquet")
+        bf = dedup.embedding_near_duplicates(emb, threshold=0.92,
+                                             brute_force=True).toPandas()
+        lsh = dedup.embedding_near_duplicates(emb, threshold=0.92,
+                                              n_planes=10).toPandas()
+        truth = {tuple(p) for p in zip(bf.id_a, bf.id_b)}
+        got = {tuple(p) for p in zip(lsh.id_a, lsh.id_b)}
+        assert got <= truth  # verification is exact → no false positives
+        if truth:
+            recall = len(got & truth) / len(truth)
+            assert recall >= 0.5, recall
+
+
+class TestANN:
+    def test_brute_force_topk_matches_numpy(self, spark, sf_med):
+        emb = spark.read.parquet(f"{sf_med}/embeddings.parquet")
+        pdf = emb.toPandas()
+        M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        q = M[0]
+        got = ann.brute_force_topk(emb, q, k=5).toPandas()
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = Mn @ (q / np.linalg.norm(q))
+        expect_top = pdf["vec_id"].to_numpy()[np.argsort(-sims)][:5]
+        assert got.iloc[0]["vec_id"] == pdf["vec_id"][0]  # self is nearest
+        assert set(got["vec_id"]) == set(expect_top)
+
+    def test_ivf_recall(self, spark, sf_med):
+        emb = spark.read.parquet(f"{sf_med}/embeddings.parquet").cache()
+        C = ann.train_ivf_centroids(emb, n_cells=8)
+        assigned = ann.ivf_assign(emb, C).cache()
+        pdf = emb.toPandas()
+        M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        hits = 0
+        for qi in range(5):
+            q = M[qi]
+            exact = set(ann.brute_force_topk(emb, q, k=10).toPandas()["vec_id"])
+            approx = set(ann.ivf_topk(assigned, C, q, k=10, n_probe=4)
+                         .toPandas()["vec_id"])
+            hits += len(exact & approx) / 10
+        assert hits / 5 >= 0.6  # recall@10 with half the cells probed
+
+
+class TestTextFunctions:
+    def test_lang_id(self, spark):
+        df = spark.createDataFrame([
+            ("the cat is on the mat and the dog is here", "en"),
+            ("der hund und die katze ist nicht hier", "de"),
+            ("le chat est sur les toits une nuit", "fr"),
+            ("el perro y los gatos una casa para todos", "es"),
+            ("这是一个中文句子用来测试语言识别功能", "zh"),
+            ("это русское предложение для проверки", "ru"),
+            ("zzz qqq xxx", "unknown"),
+        ], "text string, expect string")
+        got = df.withColumn("got", TXT.lang_id(F.col("text"))).collect()
+        for r in got:
+            assert r["got"] == r["expect"], (r["text"], r["got"])
+
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame([("Hello, world! 42 tokens?",)], "text string")
+        r = df.select(TXT.token_count(F.col("text")).alias("bpe"),
+                      TXT.whitespace_token_count(F.col("text")).alias("ws")).first()
+        # hello , world ! 42 tokens ?  → 7 BPE-ish; 4 whitespace
+        assert r["bpe"] == 7 and r["ws"] == 4
+
+    def test_quality_score_ranges(self, spark, docs):
+        scored = docs.select(TXT.quality_score(F.col("text")).alias("q"))
+        mm = scored.agg(F.min("q"), F.max("q")).first()
+        assert 0.0 <= mm[0] and mm[1] <= 1.0
+
+    def test_fingerprint_normalizes(self, spark):
+        df = spark.createDataFrame([("A  B\tC",), ("a b c",)], "text string")
+        fps = [r["fp"] for r in df.select(TXT.fingerprint(F.col("text")).alias("fp")).collect()]
+        assert fps[0] == fps[1]

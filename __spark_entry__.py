@@ -154,6 +154,78 @@ def q_flow_context_batch(spark, sf_dir):
             .select("user_id", "n_events"))
 
 
+def q_rollup(spark, sf_dir):
+    # grouping-set aggregation (SURVEY.md §2.6 — free in Spark, absent in
+    # the reference)
+    li = _read(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+
+
+def q_semi_join(spark, sf_dir):
+    # J1-style semi-join, exact form (bloom is its approximation)
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    return (orders.join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
+            .select("o_orderkey"))
+
+
+def q_anti_join(spark, sf_dir):
+    # J2 blacklist anti-join, exact form
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .select("c_custkey"))
+
+
+def q_pivot(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .pivot("event_type", ["click", "view", "purchase"])
+            .agg(F.round(F.sum("value"), 2)))
+
+
+def q_session_window(spark, sf_dir):
+    # session windows (fever's flow-context TTL grouping, SURVEY.md §2.6);
+    # gap = 10 min
+    ev = _read(spark, sf_dir, "events")
+    return (ev.groupBy(F.session_window("ts", "10 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("user_id", F.col("session_window.start")
+                    .alias("session_start"), "n"))
+
+
+def q_json_extract(spark, sf_dir):
+    # S4 JSON path projection (util/util.go:28-55 analog on driver data)
+    ev = _read(spark, sf_dir, "events")
+    return ev.select("event_id",
+                     F.get_json_object("props", "$.k").cast("long").alias("k"))
+
+
+def q_eve_pipeline(spark, sf_dir):
+    # full EVE path: synth events → to JSON lines → parse_eve (26-path
+    # projection) → trigram search strings. NOT oracle-expressible (synth
+    # input) — rows-only.
+    from fever_spark.sources.eve import parse_eve, trigram_search_string
+
+    ev = spark.createDataFrame(synth_events(2000))
+    lines = ev.select(F.to_json(F.struct(
+        ev.ts.cast("string").alias("timestamp"),
+        "event_type", "src_ip", "dest_ip", "src_port", "dest_port", "proto",
+        F.struct(F.col("http_host").alias("hostname"),
+                 F.col("http_url").alias("url")).alias("http"),
+        F.struct(F.col("dns_rrname").alias("rrname"),
+                 F.col("dns_type").alias("type")).alias("dns"),
+        F.struct(F.col("tls_sni").alias("sni")).alias("tls"),
+    )).alias("value"))
+    parsed = parse_eve(lines)
+    return (parsed.withColumn("search", trigram_search_string(parsed))
+            .groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(F.col("search") != "", 1)).alias("n_searchable")))
+
+
 # --------------------------------------------------------------------------
 # sketch bound-check queries (estimate vs exact, flag must be 1)
 
@@ -343,6 +415,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_agg": q_join_agg,
         "q_window_rank": q_window_rank,
         "q_flow_context_batch": q_flow_context_batch,
+        "q_rollup": q_rollup,
+        "q_semi_join": q_semi_join,
+        "q_anti_join": q_anti_join,
+        "q_pivot": q_pivot,
+        "q_session_window": q_session_window,
+        "q_json_extract": q_json_extract,
+        "q_eve_pipeline": q_eve_pipeline,
         "q_hll_bound": q_hll_bound,
         "q_cms_bound": q_cms_bound,
         "q_quantile_bounds": q_quantile_bounds,
@@ -432,6 +511,46 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
             HAVING max(CASE WHEN event_type='error' THEN 1 ELSE 0 END) = 1
                AND max(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) = 1
+        """,
+        "q_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "q_semi_join": """
+            SELECT o_orderkey FROM orders
+            WHERE EXISTS (SELECT 1 FROM customer
+                          WHERE c_custkey = o_custkey
+                            AND c_mktsegment = 'BUILDING')
+        """,
+        "q_anti_join": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "q_pivot": """
+            SELECT user_id,
+                   round(sum(CASE WHEN event_type='click' THEN value END), 2) AS click,
+                   round(sum(CASE WHEN event_type='view' THEN value END), 2) AS view,
+                   round(sum(CASE WHEN event_type='purchase' THEN value END), 2) AS purchase
+            FROM events GROUP BY user_id
+        """,
+        "q_session_window": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (SELECT user_id, ts,
+                         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+            SELECT user_id, min(ts) AS session_start,
+                   count(*) AS n
+            FROM s GROUP BY user_id, sid
+        """,
+        "q_json_extract": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
         """,
         "q_hll_bound": """
             SELECT event_type, 1 AS within_bound FROM events GROUP BY event_type

@@ -57,8 +57,10 @@ def _materialize(df) -> int:
 
 
 def ensure_pages(spark):
+    # FIXED partition count: the cache layout must be identical no matter
+    # which parallelism level generates it first (scaling runs share it)
     if not os.path.exists(os.path.join(PAGES_CACHE, "_SUCCESS")):
-        synth_pages_df(spark, N_PAGES, partitions=CPUS * 2) \
+        synth_pages_df(spark, N_PAGES, partitions=64) \
             .write.mode("overwrite").parquet(PAGES_CACHE)
     return spark.read.parquet(PAGES_CACHE)
 

@@ -57,16 +57,29 @@ def _output_schema(df: DataFrame, keys: list[str]) -> T.StructType:
 
 
 def build_sketches(df: DataFrame, keys: list[str],
-                   specs: list[SketchSpec]) -> DataFrame:
+                   specs: list[SketchSpec],
+                   coalesce_to: int | None = None) -> DataFrame:
     """→ DataFrame(keys..., sketch: string, state: binary), one row per
     (input partition, group key, spec). Feed to ``two_level_merge``.
 
     Only the key columns + referenced value columns are selected, so Catalyst
     pushes column pruning into the scan (the Entry-projection analog of
     /root/reference/util/util.go:28-55).
+
+    Partial-state volume is O(input partitions × groups × state_size), so
+    when the input has many more partitions than cores we coalesce (no
+    shuffle — adjacent files merge into one task) down to 2× parallelism:
+    same scan parallelism, far fewer partials into the merge. Override with
+    ``coalesce_to`` (0 disables).
     """
     for s in specs:
         s.make()  # fail fast on unknown kind / bad params, not inside a task
+    if coalesce_to is None:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() > 4 * par:
+            coalesce_to = 2 * par
+    if coalesce_to:
+        df = df.coalesce(coalesce_to)
     needed = list(dict.fromkeys(
         keys + [s.column for s in specs]
         + [s.weight_column for s in specs if s.weight_column]))

@@ -1,0 +1,199 @@
+"""EVE-JSON source: the Spark translation of fever's JSON parse + projection
+(S4, /root/reference/util/util.go:28-55,67-285).
+
+Fever parses exactly 26 JSON paths per event into a flat Entry struct and
+keeps the raw line. Here the same projection is a ``from_json`` with a
+schema covering ONLY those paths — Catalyst's JsonExpressionOptimization
+prunes the parse to the referenced fields, so the JVM-side parser does the
+same "touch 26 keys, skip the rest" work jsonparser.EachKey does in Go.
+The raw line is retained as ``json_line`` (types/entry.go JSONLine analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Suricata timestamp format (types/eve.go:13): 2006-01-02T15:04:05.999999-0700
+SURICATA_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSZ"
+SURICATA_TS_FMT_NOZONE = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+# the 26 projected paths of util/util.go:28-55
+EVE_SCHEMA = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("src_ip", T.StringType()),
+    T.StructField("src_port", T.LongType()),
+    T.StructField("dest_ip", T.StringType()),
+    T.StructField("dest_port", T.LongType()),
+    T.StructField("timestamp", T.StringType()),
+    T.StructField("proto", T.StringType()),
+    T.StructField("flow_id", T.StringType()),  # int64-as-string, eve.go:292-306
+    T.StructField("in_iface", T.StringType()),
+    T.StructField("app_proto", T.StringType()),
+    T.StructField("flow", T.StructType([
+        T.StructField("bytes_toclient", T.LongType()),
+        T.StructField("bytes_toserver", T.LongType()),
+        T.StructField("pkts_toclient", T.LongType()),
+        T.StructField("pkts_toserver", T.LongType()),
+    ])),
+    T.StructField("http", T.StructType([
+        T.StructField("hostname", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("http_method", T.StringType()),
+    ])),
+    T.StructField("dns", T.StructType([
+        T.StructField("rrname", T.StringType()),
+        T.StructField("rcode", T.StringType()),
+        T.StructField("rdata", T.StringType()),
+        T.StructField("rrtype", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("answers", T.ArrayType(T.StructType([
+            T.StructField("rrname", T.StringType()),
+            T.StructField("rrtype", T.StringType()),
+            T.StructField("rdata", T.StringType()),
+        ]))),
+    ])),
+    T.StructField("tls", T.StructType([
+        T.StructField("sni", T.StringType()),
+        T.StructField("fingerprint", T.StringType()),
+    ])),
+    T.StructField("alert", T.StructType([
+        T.StructField("action", T.StringType()),
+        T.StructField("category", T.StringType()),
+        T.StructField("signature", T.StringType()),
+    ])),
+])
+
+
+def parse_eve(df: DataFrame, json_col: str = "value") -> DataFrame:
+    """JSON lines → flat Entry-shaped columns + retained raw line.
+    Unparseable lines yield null fields (fever logs-and-skips,
+    input/input_socket.go:94-101) — filter on event_type.isNotNull() to
+    drop them."""
+    e = F.from_json(F.col(json_col), EVE_SCHEMA)
+    return df.select(
+        F.col(json_col).alias("json_line"),
+        e.getField("event_type").alias("event_type"),
+        e.getField("src_ip").alias("src_ip"),
+        e.getField("src_port").alias("src_port"),
+        e.getField("dest_ip").alias("dest_ip"),
+        e.getField("dest_port").alias("dest_port"),
+        parse_suricata_ts(e.getField("timestamp")).alias("ts"),
+        e.getField("timestamp").alias("timestamp_raw"),
+        e.getField("proto").alias("proto"),
+        e.getField("flow_id").alias("flow_id"),
+        e.getField("app_proto").alias("app_proto"),
+        e.getField("flow").getField("bytes_toclient").alias("bytes_toclient"),
+        e.getField("flow").getField("bytes_toserver").alias("bytes_toserver"),
+        e.getField("flow").getField("pkts_toclient").alias("pkts_toclient"),
+        e.getField("flow").getField("pkts_toserver").alias("pkts_toserver"),
+        e.getField("http").getField("hostname").alias("http_host"),
+        e.getField("http").getField("url").alias("http_url"),
+        e.getField("http").getField("http_method").alias("http_method"),
+        e.getField("dns").getField("rrname").alias("dns_rrname"),
+        e.getField("dns").getField("rcode").alias("dns_rcode"),
+        e.getField("dns").getField("rdata").alias("dns_rdata"),
+        e.getField("dns").getField("rrtype").alias("dns_rrtype"),
+        e.getField("dns").getField("type").alias("dns_type"),
+        e.getField("dns").getField("answers").alias("dns_answers"),
+        e.getField("tls").getField("sni").alias("tls_sni"),
+        e.getField("tls").getField("fingerprint").alias("tls_fingerprint"),
+    )
+
+
+def parse_suricata_ts(col: Column) -> Column:
+    """F6: Suricata-format parse with zone-less fallback
+    (types/eve.go:27-39, util/alertifier.go:126-137)."""
+    return F.coalesce(F.try_to_timestamp(col, F.lit(SURICATA_TS_FMT)),
+                      F.try_to_timestamp(col, F.lit(SURICATA_TS_FMT_NOZONE)))
+
+
+def format_suricata_ts(col: Column) -> Column:
+    """F6 reverse: timestamp → Suricata string (UTC, +0000 offset)."""
+    return F.concat(F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+                    F.lit("+0000"))
+
+
+def make_alert_json(df: DataFrame, ioc: Column, signature: Column,
+                    added_fields: dict[str, str] | None = None) -> DataFrame:
+    """F4: fever's MakeAlert JSON rewrite (util/alertifier.go:86-168) as
+    column ops: clone the raw line, set event_type='alert', attach the alert
+    subobject + _extra.bloom-ioc, preserve the original event time as
+    timestamp_event, stamp now() as timestamp, append added fields (F10)."""
+    alert_obj = F.to_json(F.struct(
+        F.lit("allowed").alias("action"),
+        F.lit("Potentially Bad Traffic").alias("category"),
+        signature.alias("signature"),
+        ioc.alias("ioc")))
+    extra_obj = F.to_json(F.struct(ioc.alias("bloom-ioc")))
+    # brace-splice like the reference's precompiled added-fields tail
+    # (util/add_fields_preprocess.go:13-36): strip the trailing '}', append
+    # the alert fields. Later duplicate keys win in JSON parsers (incl.
+    # from_json and Python json), matching jsonparser.Set overwrite
+    # semantics without reshaping untouched fields.
+    tail_parts = [
+        F.lit(',"event_type":"alert","alert":'), alert_obj,
+        F.lit(',"_extra":'), extra_obj,
+        # Suricata timestamps contain no JSON-escapable characters; quote
+        # directly (EscapeJSON analog, util/util.go:58-64)
+        F.lit(',"timestamp_event":"'), F.coalesce(F.col("timestamp_raw"),
+                                                  F.lit("")), F.lit('"'),
+        F.lit(',"timestamp":"'), format_suricata_ts(F.current_timestamp()),
+        F.lit('"'),
+    ]
+    for k, v in (added_fields or {}).items():
+        tail_parts += [F.lit(f',"{k}":"{v}"')]
+    tail_parts += [F.lit("}")]
+    body = F.regexp_replace(F.col("json_line"), r"\}\s*$", "")
+    return df.withColumn("alert_json", F.concat(body, *tail_parts))
+
+
+def trigram_search_string(df: DataFrame) -> Column:
+    """F14: the per-event-type searchable-text CASE of the reference's
+    Postgres trigram index (db/sql.go:7-42) — concatenate the type-relevant
+    fields with '|'."""
+    et = F.col("event_type")
+    return (F.when(et == "dns",
+                   F.concat_ws("|", "dns_rrname", "dns_rdata", "dns_rrtype"))
+            .when(et == "http",
+                  F.concat_ws("|", "http_host", "http_url", "http_method"))
+            .when(et == "tls", F.concat_ws("|", "tls_sni", "tls_fingerprint"))
+            .when(et == "alert", F.concat_ws("|", "http_host", "http_url",
+                                             "dns_rrname"))
+            .otherwise(F.lit("")))
+
+
+def heartbeat_events(spark, event_types: list[str] = ("http",)) -> DataFrame:
+    """F15: synthetic heartbeat rows with the date-derived hostname of
+    processing/heartbeat_injector.go:67-119 (test-YYYY-MM-DD.vast)."""
+    rows = spark.createDataFrame([(t,) for t in event_types], "event_type string")
+    host = F.when(F.col("event_type") == "alert", F.lit("testalert.fever")) \
+        .otherwise(F.concat(F.lit("test-"),
+                            F.date_format(F.current_date(), "yyyy-MM-dd"),
+                            F.lit(".vast")))
+    return rows.select(
+        "event_type",
+        F.lit("192.0.2.1").alias("src_ip"),
+        F.lit("192.0.2.2").alias("dest_ip"),
+        F.lit(80).alias("dest_port"),
+        F.lit("TCP").alias("proto"),
+        host.alias("http_host"),
+        F.lit("/just-visiting").alias("http_url"),
+        F.lit("GET").alias("http_method"),
+        format_suricata_ts(F.current_timestamp()).alias("timestamp_raw"),
+    )
+
+
+def multi_forward(df: DataFrame, outputs: dict[str, tuple[list[str], str]]) -> dict[str, int]:
+    """S11 multi-socket forward as batch writes: for each named output,
+    filter to its event types and write to its path (multi_forward.go:
+    201-257 — per-output type filter + independent sink). Returns rows
+    written per output."""
+    written = {}
+    for name, (types_, path) in outputs.items():
+        part = df.filter(F.col("event_type").isin(types_)) if types_ else df
+        part.write.mode("overwrite").json(path)
+        written[name] = part.count()
+    return written

@@ -1,0 +1,123 @@
+"""EVE-JSON parse/projection, Suricata timestamps, alert JSON rewrite,
+trigram search strings, heartbeat rows, multi-forward, alertify CLI."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from fever_spark.jobs.alertify import alertify
+from fever_spark.sources import eve
+
+
+EVE_LINES = [
+    json.dumps({"timestamp": "2026-06-01T12:00:00.123456+0000",
+                "event_type": "http", "src_ip": "10.0.0.1", "src_port": 1234,
+                "dest_ip": "192.0.2.5", "dest_port": 80, "proto": "TCP",
+                "flow_id": "123456789",
+                "http": {"hostname": "evil.example.com", "url": "/mal",
+                         "http_method": "GET"},
+                "unknown_field": {"passes": "through"}}),
+    json.dumps({"timestamp": "2026-06-01T12:00:01.000000+0000",
+                "event_type": "dns", "src_ip": "10.0.0.2",
+                "dns": {"rrname": "bad.dns.example", "type": "query",
+                        "rrtype": "A", "rcode": "NOERROR",
+                        "answers": [{"rrname": "bad.dns.example",
+                                     "rrtype": "A", "rdata": "198.51.100.1"}]}}),
+    json.dumps({"timestamp": "2026-06-01T12:00:02.000000",  # zone-less
+                "event_type": "tls",
+                "tls": {"sni": "ok.sni.example", "fingerprint": "AA:BB"}}),
+    "this is not json at all",
+    json.dumps({"timestamp": "2026-06-01T12:00:03.000000+0000",
+                "event_type": "flow", "proto": "TCP",
+                "flow": {"bytes_toclient": 10, "bytes_toserver": 20,
+                         "pkts_toclient": 1, "pkts_toserver": 2}}),
+]
+
+
+@pytest.fixture(scope="module")
+def lines(spark):
+    return spark.createDataFrame([(l,) for l in EVE_LINES], "value string")
+
+
+class TestParseEve:
+    def test_projection(self, lines):
+        parsed = eve.parse_eve(lines).toPandas().set_index("event_type")
+        assert parsed.loc["http", "http_host"] == "evil.example.com"
+        assert parsed.loc["dns", "dns_rrname"] == "bad.dns.example"
+        assert parsed.loc["dns", "dns_answers"][0]["rdata"] == "198.51.100.1"
+        assert parsed.loc["tls", "tls_sni"] == "ok.sni.example"
+        assert parsed.loc["flow", "bytes_toclient"] == 10
+        assert parsed.loc["http", "flow_id"] == "123456789"
+
+    def test_bad_line_yields_nulls_and_raw_kept(self, lines):
+        parsed = eve.parse_eve(lines).toPandas()
+        bad = parsed[parsed["json_line"] == "this is not json at all"]
+        assert len(bad) == 1 and bad["event_type"].isna().all()
+        # raw line retained for every row (JSONLine analog)
+        assert (parsed["json_line"].str.len() > 0).all()
+
+    def test_timestamp_parse_with_zoneless_fallback(self, lines):
+        parsed = eve.parse_eve(lines).toPandas()
+        ok = parsed[parsed["event_type"].notna()]
+        assert ok["ts"].notna().all()
+
+    def test_timestamp_roundtrip(self, spark):
+        df = spark.createDataFrame([("2026-06-01T12:00:00.123456+0000",)],
+                                   "raw string")
+        out = df.select(eve.format_suricata_ts(
+            eve.parse_suricata_ts(F.col("raw"))).alias("rt")).first()
+        assert out["rt"] == "2026-06-01T12:00:00.123456+0000"
+
+
+class TestTrigramAndHeartbeat:
+    def test_trigram_search_string(self, lines):
+        parsed = eve.parse_eve(lines)
+        got = parsed.withColumn("s", eve.trigram_search_string(parsed)) \
+            .select("event_type", "s").toPandas().set_index("event_type")
+        assert got.loc["http", "s"] == "evil.example.com|/mal|GET"
+        assert got.loc["dns", "s"].startswith("bad.dns.example|")
+        assert got.loc["flow", "s"] == ""
+
+    def test_heartbeat(self, spark):
+        hb = eve.heartbeat_events(spark, ["http", "alert"]).toPandas()
+        assert len(hb) == 2
+        row = hb.set_index("event_type")
+        assert row.loc["http", "http_host"].startswith("test-20")
+        assert row.loc["http", "http_host"].endswith(".vast")
+        assert row.loc["alert", "http_host"] == "testalert.fever"
+
+
+class TestMultiForward:
+    def test_filtered_outputs(self, spark, lines, tmp_path):
+        parsed = eve.parse_eve(lines).filter(F.col("event_type").isNotNull())
+        written = eve.multi_forward(parsed, {
+            "dns_only": (["dns"], str(tmp_path / "dns")),
+            "everything": ([], str(tmp_path / "all")),
+        })
+        assert written["dns_only"] == 1 and written["everything"] == 4
+
+
+class TestAlertify:
+    def test_alert_json_rewrite(self, spark, lines):
+        alerts = alertify(lines, ["evil.example.com", "bad.dns.example"])
+        pdf = alerts.toPandas()
+        assert len(pdf) == 2
+        for raw in pdf["alert_json"]:
+            obj = json.loads(raw)  # duplicate keys: last wins, like jsonparser.Set
+            assert obj["event_type"] == "alert"
+            assert obj["alert"]["signature"].startswith("ALERTIFY Possibly bad")
+            assert obj["_extra"]["bloom-ioc"] == obj["alert"]["ioc"]
+            assert obj["timestamp_event"].startswith("2026-06-01T12:00:0")
+            assert obj["timestamp"] != obj["timestamp_event"]
+            # untouched fields survive the rewrite (CHANGELOG.md:146 behavior)
+            if "unknown_field" in raw:
+                assert obj["unknown_field"] == {"passes": "through"}
+
+    def test_no_match_no_alert(self, spark, lines):
+        assert alertify(lines, ["nothing.matches.example"]).count() == 0
+
+    def test_alert_obj_is_nested_json(self, spark, lines):
+        row = alertify(lines, ["evil.example.com"]).first()
+        obj = json.loads(row["alert_json"])
+        assert isinstance(obj["alert"], dict)  # not a stringified blob

@@ -49,7 +49,12 @@ def two_level_merge(sketch_df: DataFrame, keys: list[str],
                     salt: int | None = None) -> DataFrame:
     """Merge per-partition sketch rows down to one row per (keys, sketch)."""
     if salt is None:
-        salt = max(2, sketch_df.sparkSession.sparkContext.defaultParallelism // 2)
+        # level-1 output volume is O(groups x salt x state_size): salt only
+        # needs to spread the per-key partial count (≈ input partitions)
+        # across reducers, so cap the default — at salt=16 a 1.5MB CMS state
+        # costs 16x groups x 1.5MB of intermediate shuffle for no extra skew
+        # protection over salt=8. Pass salt explicitly for pathological keys.
+        salt = max(2, min(8, sketch_df.sparkSession.sparkContext.defaultParallelism // 2))
     keys = list(keys)
     out_fields = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
@@ -60,9 +65,7 @@ def two_level_merge(sketch_df: DataFrame, keys: list[str],
     # the salt domain bounded regardless of partition count.
     salted = sketch_df.withColumn(_SALT, F.pmod(F.spark_partition_id(), F.lit(salt)))
     level1 = salted.groupBy(*keys, "sketch", _SALT).applyInPandas(
-        _merge_group_fn(keys + [_SALT]),
-        schema=f"{out_fields}, {_SALT} int" if keys else f"sketch string, state binary, {_SALT} int",
-    )
+        _merge_group_fn(keys + [_SALT]), schema=f"{out_fields}, {_SALT} int")
     # level 2: at most `salt` rows per (keys, sketch) remain.
     level2 = level1.drop(_SALT).groupBy(*keys, "sketch").applyInPandas(
         _merge_group_fn(keys), schema=out_fields)

@@ -82,40 +82,53 @@ SESSION_OUT_SCHEMA = ("flow_id string, n_events int, marked boolean, "
 SESSION_STATE_SCHEMA = "n_events int, marked boolean"
 
 
-def _session_fn(key, pdf_iter, state: GroupState):
-    """Accumulate per-flow events; emit when the terminal 'flow' event
-    arrives (context_collector.go:118-143) or on TTL timeout
-    (go-cache eviction analog, context_collector.go:62-74)."""
-    if state.hasTimedOut:
-        n, marked = state.get if state.exists else (0, False)
-        state.remove()
-        yield pd.DataFrame([{"flow_id": key[0], "n_events": n,
-                             "marked": bool(marked), "complete": False}])
-        return
-    n, marked = state.get if state.exists else (0, False)
-    complete = False
-    for pdf in pdf_iter:
-        n += len(pdf)
-        marked = marked or bool((pdf["event_type"] == "alert").any())
-        complete = complete or bool((pdf["event_type"] == "flow").any())
-    if complete:
-        if state.exists:
+def _make_session_fn(ttl_ms: int | None):
+    def _session_fn(key, pdf_iter, state: GroupState):
+        """Accumulate per-flow events; emit when the terminal 'flow' event
+        arrives (context_collector.go:118-143) or on TTL timeout
+        (go-cache eviction analog, context_collector.go:62-74)."""
+        if state.hasTimedOut:
+            n, marked = state.get if state.exists else (0, False)
             state.remove()
-        yield pd.DataFrame([{"flow_id": key[0], "n_events": n,
-                             "marked": bool(marked), "complete": True}])
-    else:
-        state.update((n, marked))
-        state.setTimeoutDuration(60 * 60 * 1000)  # 1h, run.go:705 default
+            yield pd.DataFrame([{"flow_id": key[0], "n_events": n,
+                                 "marked": bool(marked), "complete": False}])
+            return
+        n, marked = state.get if state.exists else (0, False)
+        complete = False
+        for pdf in pdf_iter:
+            n += len(pdf)
+            marked = marked or bool((pdf["event_type"] == "alert").any())
+            complete = complete or bool((pdf["event_type"] == "flow").any())
+        if complete:
+            if state.exists:
+                state.remove()
+            yield pd.DataFrame([{"flow_id": key[0], "n_events": n,
+                                 "marked": bool(marked), "complete": True}])
+        else:
+            state.update((n, marked))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+
+    return _session_fn
 
 
-def session_collector_stream(stream: DataFrame) -> DataFrame:
-    """Flow-context correlation (J4) over a stream keyed by flow_id."""
+def session_collector_stream(stream: DataFrame,
+                             ttl_ms: int | None = 60 * 60 * 1000) -> DataFrame:
+    """Flow-context correlation (J4) over a stream keyed by flow_id.
+
+    ``ttl_ms`` defaults to the reference's 1h context-cache timeout
+    (run.go:705). Pass None to disable eviction — REQUIRED for bounded
+    tests: ProcessingTimeTimeout makes the engine fire continuous
+    timeout-check micro-batches, so ``processAllAvailable`` never settles.
+    """
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None
+               else GroupStateTimeout.NoTimeout)
     return (stream.groupBy("flow_id")
-            .applyInPandasWithState(_session_fn,
+            .applyInPandasWithState(_make_session_fn(ttl_ms),
                                     outputStructType=SESSION_OUT_SCHEMA,
                                     stateStructType=SESSION_STATE_SCHEMA,
                                     outputMode="update",
-                                    timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+                                    timeoutConf=timeout))
 
 
 def flow_context_batch(df: DataFrame, id_col: str = "flow_id") -> DataFrame:

@@ -34,7 +34,9 @@ from pyspark.sql import functions as F  # noqa: E402
 from fever_spark.ops import (  # noqa: E402
     SketchSpec, build_sketches, hll_estimate_col, quantile_col, two_level_merge,
 )
-from fever_spark.ops.bloom_match import bloom_match_pages, build_ioc_filter  # noqa: E402
+from fever_spark.ops.bloom_match import (  # noqa: E402
+    bloom_match_pages, build_ioc_filter, build_ioc_filter_prehashed,
+)
 from fever_spark.operators import dedup  # noqa: E402
 from fever_spark.session import get_spark  # noqa: E402
 from fever_spark.sources.synth import synth_iocs, synth_pages, synth_pages_df  # noqa: E402
@@ -106,9 +108,10 @@ def bench_sketch_pipeline(spark):
 def bench_bloom_match(spark):
     pages = ensure_pages(spark)
     iocs = synth_iocs(synth_pages(20_000), n_extra=2000)
-    bf = build_ioc_filter(iocs[~iocs.blacklisted]["ioc"].to_numpy(), fpp=1e-6)
+    bf = build_ioc_filter_prehashed(
+        spark, iocs[~iocs.blacklisted]["ioc"], fpp=1e-6)
     bc = spark.sparkContext.broadcast(bf.to_bytes())
-    alerts = bloom_match_pages(pages, bc,
+    alerts = bloom_match_pages(pages, bc, prehashed=True,
                                blacklist=list(iocs[iocs.blacklisted]["ioc"]))
     return _materialize(alerts.groupBy("match_type").count())
 

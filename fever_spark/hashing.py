@@ -35,12 +35,31 @@ def _key_for_seed(seed: int) -> str:
 _KEY_CACHE: dict[int, str] = {}
 
 
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64_vec(x: np.ndarray, seed: int) -> np.ndarray:
+    """Vectorized splitmix64 finalizer with seed mixing — the integer hash
+    path. pandas' hash_array IGNORES hash_key for numeric dtypes, which
+    would make h1 == h2 and collapse Kirsch-Mitzenmacher double hashing
+    into correlated probes (observed as ~50x Bloom FPR inflation)."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + (np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+                                   * _GOLDEN + _GOLDEN)
+        z = (z ^ (z >> np.uint64(30))) * _MIX1
+        z = (z ^ (z >> np.uint64(27))) * _MIX2
+        return z ^ (z >> np.uint64(31))
+
+
 def hash64(values, seed: int = 0) -> np.ndarray:
     """Hash a 1-D array-like to uint64, deterministically.
 
-    Strings are hashed over their UTF-8 bytes. Integer arrays go through the
-    same SipHash path (cheap). Object arrays are factorized first so each
-    distinct value is hashed once.
+    Strings are hashed over their UTF-8 bytes via seeded SipHash. Integer
+    and float arrays use a seeded splitmix64 finalizer (vectorized numpy;
+    see _splitmix64_vec for why not hash_array). Object arrays are
+    factorized first so each distinct value is hashed once.
     """
     key = _KEY_CACHE.get(seed)
     if key is None:
@@ -49,6 +68,11 @@ def hash64(values, seed: int = 0) -> np.ndarray:
     arr = np.asarray(values)
     if arr.dtype.kind in ("U", "S"):
         arr = arr.astype(object)
+    if arr.dtype.kind in ("i", "u"):
+        return _splitmix64_vec(arr, seed)  # astype wraps negatives 2's-compl
+    if arr.dtype.kind == "f":
+        return _splitmix64_vec(np.ascontiguousarray(arr, dtype=np.float64)
+                               .view(np.uint64), seed)
     if arr.dtype == object and len(arr) >= FACTORIZE_MIN:
         import pandas as pd
 

@@ -58,6 +58,25 @@ def build_ioc_filter(iocs, capacity: int | None = None, fpp: float = 1e-7,
     return bf
 
 
+def build_ioc_filter_prehashed(spark, iocs, capacity: int | None = None,
+                               fpp: float = 1e-7, seed: int = 0) -> BloomFilter:
+    """IOC filter over JVM xxhash64 of each string — pair with
+    ``bloom_match_pages(..., prehashed=True)``: probe strings then never
+    cross the Arrow boundary (int64 hashes do), the hot-path win for wide
+    URL columns. Zero-FN semantics unchanged (same deterministic hash on
+    both sides)."""
+    import numpy as np
+    from pyspark.sql import functions as F2
+
+    iocs = list(iocs)
+    bf = BloomFilter(capacity=capacity or max(len(iocs), 1), fpp=fpp, seed=seed)
+    if iocs:
+        hashed = (spark.createDataFrame([(s,) for s in iocs], "ioc string")
+                  .select(F2.xxhash64("ioc").alias("h")).collect())
+        bf.update(np.array([r["h"] for r in hashed], dtype=np.int64))
+    return bf
+
+
 def _alert_cols(df: DataFrame, prefix: str):
     """Columns every alert row carries: original timestamp preserved as
     timestamp_event, alerting time as timestamp (alertifier.go:126-155)."""
@@ -145,7 +164,8 @@ def _msg_col():
 
 def bloom_match_pages(pages: DataFrame, bloom_bc,
                       blacklist: list[str] | None = None,
-                      prefix: str = DEFAULT_PREFIX) -> DataFrame:
+                      prefix: str = DEFAULT_PREFIX,
+                      prehashed: bool = False) -> DataFrame:
     """The same 4-probe matching over the Common-Crawl-style pages table:
     the url column supplies host / full-url / host+path / path probes.
     Host matches emit independently; url/hostpath/path follow the else-if
@@ -168,10 +188,17 @@ def bloom_match_pages(pages: DataFrame, bloom_bc,
         .withColumn("_host", probes["host"])
         .withColumn("_full", probes["url"])
         .withColumn("_hostpath", probes["hostpath"])
-        .withColumn("_path", probes["path"])
-        .withColumn("_hits", bloom_contains_multi(
-            bloom_bc, F.col("_host"), F.col("_full"),
-            F.col("_hostpath"), F.col("_path"))))
+        .withColumn("_path", probes["path"]))
+    if prehashed:
+        # filter built by build_ioc_filter_prehashed: probe with JVM
+        # xxhash64 so only int64 hashes cross into Python
+        from fever_spark.ops.build import prehash_col
+
+        probe_cols = [prehash_col(F.col(c))
+                      for c in ("_host", "_full", "_hostpath", "_path")]
+    else:
+        probe_cols = [F.col(c) for c in ("_host", "_full", "_hostpath", "_path")]
+    staged = staged.withColumn("_hits", bloom_contains_multi(bloom_bc, *probe_cols))
 
     def bit(i):
         return F.col("_hits").bitwiseAND(F.lit(1 << i)) != 0

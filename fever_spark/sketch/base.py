@@ -6,21 +6,30 @@ Envelope layout (all little-endian):
     0       4     magic  b"FVSK"
     4       1     format version (1)
     5       1     sketch kind (see KIND constants)
-    6       2     reserved (0)
+    6       2     flags (bit 0: payload is zlib-compressed)
     8       ...   kind-specific params + payload
 
 The fixed magic/version/kind header follows the style of the reference's
 binary flow records (/root/reference/types/flow_event.go:93-99), which lead
 with a format byte so readers can reject unknown versions.
+
+Compression matters at scale: a partition-local CMS partial covering a few
+thousand rows is a ~1.5 MB table of mostly zeros; with P partitions and G
+groups, the merge shuffle moves P×G of them. zlib level 1 shrinks
+near-empty tables ~20-50x for ~ms of CPU, applied only when it wins.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from abc import ABC, abstractmethod
 
 MAGIC = b"FVSK"
 VERSION = 1
+
+FLAG_ZLIB = 1
+_COMPRESS_MIN = 4096  # don't bother below this payload size
 
 KIND_BLOOM = 1
 KIND_HLL = 2
@@ -63,7 +72,13 @@ class Sketch(ABC):
     def _from_payload(cls, buf: memoryview) -> "Sketch": ...
 
     def to_bytes(self) -> bytes:
-        return struct.pack("<4sBBH", MAGIC, VERSION, self.KIND, 0) + self._payload_bytes()
+        payload = self._payload_bytes()
+        flags = 0
+        if len(payload) >= _COMPRESS_MIN:
+            packed = zlib.compress(payload, 1)
+            if len(packed) < len(payload) * 3 // 4:
+                payload, flags = packed, FLAG_ZLIB
+        return struct.pack("<4sBBH", MAGIC, VERSION, self.KIND, flags) + payload
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "Sketch":
@@ -71,6 +86,18 @@ class Sketch(ABC):
         if not isinstance(sk, cls):
             raise TypeError(f"expected {cls.__name__}, payload is {type(sk).__name__}")
         return sk
+
+
+def payload_of(data: bytes) -> bytes:
+    """Raw (decompressed) payload of a serialized state — used by the
+    vectorized _merge_many fast paths."""
+    magic, version, kind, flags = struct.unpack_from("<4sBBH", data, 0)
+    if magic != MAGIC:
+        raise ValueError(f"bad sketch magic {magic!r}")
+    payload = bytes(memoryview(data)[8:])
+    if flags & FLAG_ZLIB:
+        payload = zlib.decompress(payload)
+    return payload
 
 
 def merge_many(states: list[bytes]) -> Sketch:
@@ -90,7 +117,7 @@ def merge_many(states: list[bytes]) -> Sketch:
 
 
 def sketch_from_bytes(data: bytes) -> Sketch:
-    magic, version, kind, _ = struct.unpack_from("<4sBBH", data, 0)
+    magic, version, kind, flags = struct.unpack_from("<4sBBH", data, 0)
     if magic != MAGIC:
         raise ValueError(f"bad sketch magic {magic!r}")
     if version != VERSION:
@@ -99,4 +126,7 @@ def sketch_from_bytes(data: bytes) -> Sketch:
         klass = SKETCH_REGISTRY[kind]
     except KeyError:
         raise ValueError(f"unknown sketch kind {kind}") from None
-    return klass._from_payload(memoryview(data)[8:])
+    payload = memoryview(data)[8:]
+    if flags & FLAG_ZLIB:
+        payload = memoryview(zlib.decompress(payload))
+    return klass._from_payload(payload)

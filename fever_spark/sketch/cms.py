@@ -47,11 +47,18 @@ class CountMinSketch(Sketch):
         return math.exp(-self.depth)
 
     def _cols(self, values) -> np.ndarray:
-        """(depth, n) column indices via K-M double hashing."""
+        """(depth, n) column indices via enhanced double hashing (same
+        rationale as BloomFilter._positions — row independence)."""
         h1, h2 = double_hash64(values, seed=self.seed)
-        i = np.arange(self.depth, dtype=np.uint64)[:, None]
+        out = np.empty((self.depth, len(h1)), dtype=np.int64)
+        a, b = h1.copy(), h2.copy()
+        w = np.uint64(self.width)
         with np.errstate(over="ignore"):
-            return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.width)).astype(np.int64)
+            for i in range(self.depth):
+                out[i] = (a % w).astype(np.int64)
+                a += b
+                b += np.uint64(i + 1)
+        return out
 
     def update(self, values, counts=None) -> None:
         values = np.asarray(values)
@@ -96,14 +103,16 @@ class CountMinSketch(Sketch):
     @classmethod
     def _merge_many(cls, states: list[bytes]) -> "CountMinSketch":
         """Vectorized N-way merge: one np.sum over stacked table views."""
-        d, w, seed, _ = _HEADER.unpack_from(memoryview(states[0])[8:], 0)
-        off = 8 + _HEADER.size
+        from fever_spark.sketch.base import payload_of
+
+        payloads = [payload_of(s) for s in states]
+        d, w, seed, _ = _HEADER.unpack_from(payloads[0], 0)
         total = 0
         views = []
-        for s in states:
-            _, _, _, t = _HEADER.unpack_from(memoryview(s)[8:], 0)
+        for pl in payloads:
+            _, _, _, t = _HEADER.unpack_from(pl, 0)
             total += t
-            views.append(np.frombuffer(s, dtype=np.int64, offset=off,
+            views.append(np.frombuffer(pl, dtype=np.int64, offset=_HEADER.size,
                                        count=d * w))
         table = np.sum(views, axis=0, dtype=np.int64).reshape(d, w)
         return cls(seed=seed, _table=table, _total=total, depth=d, width=w)

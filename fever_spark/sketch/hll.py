@@ -92,10 +92,13 @@ class HyperLogLog(Sketch):
 
     @classmethod
     def _merge_many(cls, states: list[bytes]) -> "HyperLogLog":
-        """Vectorized N-way merge over zero-copy register views."""
-        p, seed = _HEADER.unpack_from(memoryview(states[0])[8:], 0)
-        off = 8 + _HEADER.size
-        views = [np.frombuffer(s, dtype=np.uint8, offset=off) for s in states]
+        """Vectorized N-way merge over register views."""
+        from fever_spark.sketch.base import payload_of
+
+        payloads = [payload_of(s) for s in states]
+        p, seed = _HEADER.unpack_from(payloads[0], 0)
+        views = [np.frombuffer(pl, dtype=np.uint8, offset=_HEADER.size)
+                 for pl in payloads]
         return cls(p=p, seed=seed,
                    _registers=np.maximum.reduce(views))
 

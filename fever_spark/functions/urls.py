@@ -36,9 +36,12 @@ def url_path(full: Column) -> Column:
 
 def host_path(full: Column) -> Column:
     """Go's u.Host + u.Path — host INCLUDING port, then path. Strip
-    "scheme://", then cut at the first of '?' or '#'. """
+    "scheme://" and any userinfo ("user:pass@"), then cut at the first of
+    '?' or '#' (Go's url.Parse drops userinfo from u.Host,
+    bloom_handler.go:199)."""
     after_scheme = F.regexp_replace(full, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
-    return F.regexp_extract(after_scheme, r"^([^?#]*)", 1)
+    no_userinfo = F.regexp_replace(after_scheme, r"^[^/@?#]*@", "")
+    return F.regexp_extract(no_userinfo, r"^([^?#]*)", 1)
 
 
 def probe_columns(host: Column, url: Column) -> dict[str, Column]:

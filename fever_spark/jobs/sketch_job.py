@@ -26,7 +26,7 @@ import os
 import time
 from dataclasses import asdict, dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from fever_spark.ops.build import SketchSpec, build_sketches
@@ -105,14 +105,17 @@ class SketchJob:
                 return None
             t0 = time.time()
             df = spark.read.parquet(*chunk_files)
-            observed = df.observe(f"chunk_{idx}", F.count(F.lit(1)).alias("rows"))
+            # Observation metric rides the build job itself — the row count
+            # comes from the SAME scan that feeds the sketches, not a second
+            # pass (at 100 TB an extra count() per chunk is a full re-read)
+            obs = Observation(f"chunk_{idx}")
+            observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
             built = build_sketches(observed, self.keys, self.specs)
             merged = two_level_merge(built, self.keys, salt=self.salt)
             chunk_dir = os.path.join(self.checkpoint_dir, f"chunk={idx}")
             merged.write.mode("overwrite").parquet(chunk_dir)
             elapsed = time.time() - t0
-            # row count via parquet metadata (no data scan)
-            n_rows = spark.read.parquet(*chunk_files).count()
+            n_rows = int(obs.get["rows"])
             manifest["chunks"][cid] = {
                 "files": chunk_files, "rows": n_rows,
                 "seconds": round(elapsed, 3),

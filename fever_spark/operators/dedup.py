@@ -109,11 +109,21 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         return pd.Series(list(out))
 
     target = df.select(id_col, F.col(text_col))
-    if target.rdd.getNumPartitions() < 4:
+    if _few_input_partitions(df):
         # small parquet inputs arrive as 1 partition — spread signature work
         target = target.repartition(
             df.sparkSession.sparkContext.defaultParallelism)
     return target.select(id_col, sig(F.col(text_col)).alias("minhash"))
+
+
+def _few_input_partitions(df: DataFrame, threshold: int = 4) -> bool:
+    """File-count proxy for "this scan won't parallelize" — avoids the
+    plan→RDD conversion of df.rdd.getNumPartitions()."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return False
+    return 0 < len(files) < threshold
 
 
 def minhash_jaccard(sig_a, sig_b) -> F.Column:
@@ -139,8 +149,12 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
             [], f"id_a long, id_b long, est_jaccard double")
     rows_per_band = max(1, sig_len_row["n"] // bands)
 
+    # the exploded band rows and the candidate join carry IDS ONLY — the
+    # 128-long signature arrays (~1 KB/doc) stay out of the bands×docs
+    # explode and the equi-join shuffle (~50x fewer candidate-shuffle bytes);
+    # signatures are re-attached once per SURVIVING pair below
     banded = signatures.select(
-        id_col, "minhash",
+        id_col,
         F.posexplode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda b: F.xxhash64(F.concat_ws(
@@ -148,25 +162,36 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                     F.slice("minhash", b * rows_per_band + 1, rows_per_band),
                     lambda x: x.cast("string")))))).alias("band", "band_hash"))
 
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"),
-                      "band", "band_hash")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b"),
-                      "band", "band_hash")
-    pairs = (a.join(b, ["band", "band_hash"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "sig_a", "sig_b")
-             .dropDuplicates(["id_a", "id_b"]))
-    return pairs.select(
-        "id_a", "id_b",
-        minhash_jaccard(F.col("sig_a"), F.col("sig_b")).alias("est_jaccard"))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    cand = (a.join(b, ["band", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"]))
+    sig_a = signatures.select(F.col(id_col).alias("id_a"),
+                              F.col("minhash").alias("sig_a"))
+    sig_b = signatures.select(F.col(id_col).alias("id_b"),
+                              F.col("minhash").alias("sig_b"))
+    return (cand.join(sig_a, "id_a").join(sig_b, "id_b")
+            .select("id_a", "id_b",
+                    minhash_jaccard(F.col("sig_a"), F.col("sig_b"))
+                    .alias("est_jaccard")))
 
 
 def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", threshold: float = 0.7,
                             num_hashes: int = 128, bands: int = 32,
                             shingle_size: int = 3) -> DataFrame:
-    """End-to-end MinHash-LSH near-dup pairs at est_jaccard >= threshold."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    """End-to-end MinHash-LSH near-dup pairs at est_jaccard >= threshold.
+
+    Signatures are persisted (memory-and-disk) because the candidate stage
+    references them three times (banding + both re-attach joins); at
+    100-TB scale this persist is the signature checkpoint you'd write to
+    parquet. The caller may unpersist after consuming the pairs."""
+    from pyspark import StorageLevel
+
+    sigs = (minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+            .persist(StorageLevel.MEMORY_AND_DISK))
     pairs = lsh_candidate_pairs(sigs, id_col, bands)
     return pairs.filter(F.col("est_jaccard") >= threshold)
 
@@ -201,7 +226,7 @@ def simhash_column(df: DataFrame, text_col: str = "text",
         return pd.Series(packed.astype(np.int64))
 
     target = df.select(id_col, F.col(text_col))
-    if target.rdd.getNumPartitions() < 4:
+    if _few_input_partitions(df):
         target = target.repartition(
             df.sparkSession.sparkContext.defaultParallelism)
     return target.select(id_col, sim(F.col(text_col)).alias("simhash"))

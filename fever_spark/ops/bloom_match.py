@@ -91,66 +91,83 @@ def bloom_match_events(events: DataFrame, bloom_bc, blacklist: list[str] | None 
     """Fever's BloomHandler over a flat events table (FIXTURES.md §3 schema:
     event_type, http_host, http_url, dns_rrname, dns_type, tls_sni,
     tls_fingerprint, ts, ...). Returns alert rows:
-    (ts, event_type='alert', match_type, ioc, signature, timestamp_event).
+    (timestamp_event, event_type='alert', match_type, ioc, signature).
+
+    ONE table scan, ONE vectorized membership UDF for all SEVEN probe
+    columns (http host/url/hostpath/path, dns rrname, tls sni/fingerprint)
+    → int64 bitmask, same plan shape as ``bloom_match_pages``. Non-relevant
+    event types carry NULL in a probe column (tests False, near-free), so
+    the Arrow round-trip count is 1 regardless of event mix — the per-branch
+    multi-UDF version was re-evaluated by Catalyst filter pushdown (2x
+    ArrowEvalPython, see estimate.bloom_contains_multi's note).
     """
+    from fever_spark.ops.estimate import bloom_contains_multi
+
     bl = F.array(*[F.lit(b) for b in (blacklist or [])])
 
     def not_blacklisted(ioc):
         return ~F.array_contains(bl, ioc) if blacklist else F.lit(True)
 
-    def hit(col):
-        return col.isNotNull() & (col != "") & bloom_contains_col(bloom_bc, col)
+    is_http = F.col("event_type") == "http"
+    # invalid dns_type rows are dropped (bloom_handler.go:257-261)
+    is_dns = (F.col("event_type") == "dns") & F.col("dns_type").isin("query", "answer")
+    is_tls = F.col("event_type") == "tls"
 
-    http = events.filter(F.col("event_type") == "http")
     probes = U.probe_columns(F.col("http_host"), F.col("http_url"))
-    # host probe fires independently (go:170-180)
-    host_alerts = (
-        http.withColumn("ioc", probes["host"])
-        .filter(hit(F.col("ioc")) & not_blacklisted(F.col("ioc")))
-        .withColumn("match_type", F.lit("http-host")))
-    # url probes: first match in (url, hostpath, path) wins (go:201-235);
-    # evaluate all three vectorized, pick by precedence, veto by blacklist
-    url_staged = (
-        http.withColumn("_url", probes["url"])
-        .withColumn("_hostpath", probes["hostpath"])
-        .withColumn("_path", probes["path"])
-        .withColumn("ioc", F.when(hit(F.col("_url")), F.col("_url"))
-                    .when(hit(F.col("_hostpath")), F.col("_hostpath"))
-                    .when(hit(F.col("_path")), F.col("_path"))))
-    url_alerts = (
-        url_staged.filter(F.col("ioc").isNotNull() & not_blacklisted(F.col("ioc")))
-        .withColumn("match_type", F.lit("http-url")))
+    staged = (
+        events
+        .filter(F.col("event_type").isin("http", "dns", "tls"))
+        .select(
+            "ts", "dns_type",
+            F.when(is_http, probes["host"]).alias("_host"),
+            F.when(is_http, probes["url"]).alias("_full"),
+            F.when(is_http, probes["hostpath"]).alias("_hostpath"),
+            F.when(is_http, probes["path"]).alias("_path"),
+            F.when(is_dns, F.col("dns_rrname")).alias("_rrname"),
+            F.when(is_tls, F.col("tls_sni")).alias("_sni"),
+            F.when(is_tls, F.col("tls_fingerprint")).alias("_fp"))
+        .withColumn("_hits", bloom_contains_multi(
+            bloom_bc, F.col("_host"), F.col("_full"), F.col("_hostpath"),
+            F.col("_path"), F.col("_rrname"), F.col("_sni"), F.col("_fp"))))
 
-    dns = events.filter((F.col("event_type") == "dns")
-                        & F.col("dns_type").isin("query", "answer"))
-    dns_alerts = (
-        dns.withColumn("ioc", F.col("dns_rrname"))
-        .filter(hit(F.col("ioc")) & not_blacklisted(F.col("ioc")))
-        .withColumn("match_type", F.when(F.col("dns_type") == "query",
-                                         F.lit("dns-req")).otherwise(F.lit("dns-resp"))))
+    def bit(i):
+        return F.col("_hits").bitwiseAND(F.lit(1 << i)) != 0
 
-    tls = events.filter(F.col("event_type") == "tls")
-    tls_alerts = (
-        tls.withColumn("ioc", F.when(hit(F.col("tls_sni")), F.col("tls_sni"))
-           .when(hit(F.col("tls_fingerprint")), F.col("tls_fingerprint")))
-        .withColumn("match_type",
-                    F.when(F.col("ioc") == F.col("tls_sni"), F.lit("tls-sni"))
-                    .otherwise(F.lit("tls-fingerprint")))
-        .filter(F.col("ioc").isNotNull() & not_blacklisted(F.col("ioc"))))
+    # host probe fires independently (go:170-180); url probes are an
+    # else-if chain — at most ONE http-url alert per event (go:201-235)
+    host_ioc = F.when(bit(0), F.col("_host"))
+    url_ioc = (F.when(bit(1), F.col("_full"))
+               .when(bit(2), F.col("_hostpath"))
+               .when(bit(3), F.col("_path")))
+    dns_mt = F.when(F.col("dns_type") == "query",
+                    F.lit("dns-req")).otherwise(F.lit("dns-resp"))
+    # tls: SNI first, else fingerprint (go:265-288)
+    tls_mt = (F.when(bit(5), F.lit("tls-sni"))
+              .when(bit(6), F.lit("tls-fingerprint")))
+    tls_ioc = F.when(bit(5), F.col("_sni")).when(bit(6), F.col("_fp"))
 
-    parts = []
-    for d in (host_alerts, url_alerts, dns_alerts, tls_alerts):
-        parts.append(d.select(
-            F.col("ts").alias("timestamp_event"),  # original event time kept
-            F.lit("alert").alias("event_type"),
-            "match_type", "ioc",
-            F.concat(F.lit(prefix + " "),
-                     _msg_col(), F.col("ioc")).alias("signature"),
-        ))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return (
+        staged
+        .filter(F.col("_hits") != 0)  # early-out: most events match nothing
+        .withColumn("_alerts", F.array(
+            F.struct(F.lit("http-host").alias("match_type"),
+                     host_ioc.alias("ioc")),
+            F.struct(F.lit("http-url").alias("match_type"),
+                     url_ioc.alias("ioc")),
+            F.struct(dns_mt.alias("match_type"),
+                     F.when(bit(4), F.col("_rrname")).alias("ioc")),
+            F.struct(tls_mt.alias("match_type"), tls_ioc.alias("ioc"))))
+        .select(F.col("ts").alias("timestamp_event"),  # original event time
+                F.explode("_alerts").alias("a"))
+        .filter(F.col("a.ioc").isNotNull() & F.col("a.match_type").isNotNull()
+                & not_blacklisted(F.col("a.ioc")))
+        .select("timestamp_event",
+                F.lit("alert").alias("event_type"),
+                F.col("a.match_type").alias("match_type"),
+                F.col("a.ioc").alias("ioc"))
+        .select("timestamp_event", "event_type", "match_type", "ioc",
+                F.concat(F.lit(prefix + " "), _msg_col(),
+                         F.col("ioc")).alias("signature")))
 
 
 def _msg_col():

@@ -90,8 +90,15 @@ def build_sketches(df: DataFrame, keys: list[str],
     for s in specs:
         s.make()  # fail fast on unknown kind / bad params, not inside a task
     if coalesce_to is None:
+        # file count as the partition proxy (df.rdd.getNumPartitions would
+        # force a plan→RDD conversion per call); non-file inputs (inputFiles
+        # empty) skip auto-coalesce and leave sizing to AQE
         par = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() > 4 * par:
+        try:
+            n_files = len(df.inputFiles())
+        except Exception:
+            n_files = 0
+        if n_files > 4 * par:
             coalesce_to = 2 * par
     if coalesce_to:
         df = df.coalesce(coalesce_to)

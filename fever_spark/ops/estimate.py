@@ -69,6 +69,24 @@ def quantile_col(state: Column, qs: list[float]) -> Column:
     return _quantiles(state)
 
 
+def heavy_hitters_col(state: Column, k: int) -> Column:
+    """array<struct<item:string,est:long>> of the top-k heavy hitters from a
+    CMSTopK state column. Items are rendered as strings (int-item sketches
+    print the int64 prehash). Explode to get one row per hitter."""
+    out_type = T.ArrayType(T.StructType([
+        T.StructField("item", T.StringType()),
+        T.StructField("est", T.LongType()),
+    ]))
+
+    @F.pandas_udf(out_type)
+    def _topk(state: pd.Series) -> pd.Series:
+        return state.map(lambda b: [
+            {"item": str(item), "est": est}
+            for item, est in _sketch_of(bytes(b)).heavy_hitters(k)])
+
+    return _topk(state)
+
+
 def bloom_contains_multi(bloom_bytes_bc, *cols: Column) -> Column:
     """Membership tests for N columns in ONE vectorized UDF call → a LONG
     bitmask (bit i set ⇔ probe column i matched). One Arrow round-trip, one

@@ -19,6 +19,7 @@ from fever_spark.sketch.hll import HyperLogLog
 from fever_spark.sketch.cms import CountMinSketch
 from fever_spark.sketch.kll import KLLSketch
 from fever_spark.sketch.tdigest import TDigest
+from fever_spark.sketch.topk import CMSTopK
 
 __all__ = [
     "Sketch",
@@ -29,4 +30,5 @@ __all__ = [
     "CountMinSketch",
     "KLLSketch",
     "TDigest",
+    "CMSTopK",
 ]

@@ -126,8 +126,12 @@ class BloomFilter(Sketch):
         n_ins = 0
         views = []
         for pl in payloads:
-            _, _, _, _, ni = _HEADER.unpack_from(pl, 0)
-            n_ins += ni
+            m2 = _HEADER.unpack_from(pl, 0)
+            if (m2[1], m2[2], m2[3]) != (m, k, seed):
+                raise ValueError(
+                    "cannot merge Bloom filters with different (m, k, seed): "
+                    f"{(m, k, seed)} vs {(m2[1], m2[2], m2[3])}")
+            n_ins += m2[4]
             views.append(np.frombuffer(pl, dtype=np.uint8, offset=off))
         bits = np.bitwise_or.reduce(views)
         return cls(capacity=cap, fpp=fpp, seed=seed, _bits=bits.copy(),

@@ -110,7 +110,11 @@ class CountMinSketch(Sketch):
         total = 0
         views = []
         for pl in payloads:
-            _, _, _, t = _HEADER.unpack_from(pl, 0)
+            d2, w2, seed2, t = _HEADER.unpack_from(pl, 0)
+            if (d2, w2, seed2) != (d, w, seed):
+                raise ValueError(
+                    "cannot merge CMS with different (depth, width, seed): "
+                    f"{(d, w, seed)} vs {(d2, w2, seed2)}")
             total += t
             views.append(np.frombuffer(pl, dtype=np.int64, offset=_HEADER.size,
                                        count=d * w))

@@ -97,8 +97,13 @@ class HyperLogLog(Sketch):
 
         payloads = [payload_of(s) for s in states]
         p, seed = _HEADER.unpack_from(payloads[0], 0)
-        views = [np.frombuffer(pl, dtype=np.uint8, offset=_HEADER.size)
-                 for pl in payloads]
+        views = []
+        for pl in payloads:
+            p2, seed2 = _HEADER.unpack_from(pl, 0)
+            if (p2, seed2) != (p, seed):
+                raise ValueError("cannot merge HLLs with different (p, seed): "
+                                 f"{(p, seed)} vs {(p2, seed2)}")
+            views.append(np.frombuffer(pl, dtype=np.uint8, offset=_HEADER.size))
         return cls(p=p, seed=seed,
                    _registers=np.maximum.reduce(views))
 

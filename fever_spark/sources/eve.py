@@ -111,9 +111,17 @@ def parse_suricata_ts(col: Column) -> Column:
 
 
 def format_suricata_ts(col: Column) -> Column:
-    """F6 reverse: timestamp → Suricata string (UTC, +0000 offset)."""
-    return F.concat(F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
-                    F.lit("+0000"))
+    """F6 reverse: timestamp → Suricata string (UTC, +0000 offset).
+
+    date_format renders in the SESSION timezone; the to_utc_timestamp shift
+    by current_timezone() cancels that, so the wall time printed is always
+    UTC and the literal +0000 label is truthful even when the session was
+    not created via get_spark (which pins spark.sql.session.timeZone=UTC).
+    """
+    return F.concat(
+        F.date_format(F.to_utc_timestamp(col, F.current_timezone()),
+                      "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+        F.lit("+0000"))
 
 
 def make_alert_json(df: DataFrame, ioc: Column, signature: Column,

@@ -105,11 +105,18 @@ def test_kll_merge_order_invariants(chunks):
         assert wt.sum() == len(all_vals)
         if len(all_vals) >= 10:
             sv = np.sort(all_vals)
+            n = len(all_vals)
             for q in (0.25, 0.5, 0.75):
                 est = acc.quantile(q)
-                true_rank = np.searchsorted(sv, est, side="right") / len(all_vals)
-                # generous: tiny n makes normalized rank quantized
-                assert abs(true_rank - q) <= max(2 * acc.rank_error(), 2.0 / len(all_vals) + 0.12)
+                # duplicate-heavy inputs give the estimate a rank INTERVAL
+                # [left, right] (e.g. all-equal input: any q maps to the
+                # single value whose interval is [0, 1]); require q to fall
+                # within that interval expanded by the error bound, not to
+                # match the right-rank point.
+                lo = np.searchsorted(sv, est, side="left") / n
+                hi = np.searchsorted(sv, est, side="right") / n
+                slack = max(2 * acc.rank_error(), 2.0 / n + 0.12)
+                assert lo - slack <= q <= hi + slack
 
 
 @settings(max_examples=25, deadline=None)

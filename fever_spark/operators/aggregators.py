@@ -75,6 +75,35 @@ def pdns_aggregate(df: DataFrame, window_duration: str | None = None,
     return per_answer
 
 
+def pdns_aggregate_v2(df: DataFrame, window_duration: str | None = None,
+                      ts_col: str = "ts") -> DataFrame:
+    """A3 v2 answers-array path (processing/pdns_collector.go:173-223):
+    EVE DNS v2 answer events carry an ANSWERS ARRAY; every element counts
+    toward its own reply-detail tuple under the event's rrname. The v2
+    AnswerSet key is (src_ip answering host, answer rrtype, answer rdata,
+    event rcode/type) — explode the array, then one grouped count with
+    first/last-seen window stamps.
+
+    Scale shape: explode is pipelined into the scan (no extra shuffle);
+    the single groupBy on the detail tuple is the only exchange, with
+    map-side partial aggregation."""
+    ans = (df.filter((F.col("dns_type") == "answer")
+                     & F.col("dns_rrname").isNotNull()
+                     & (F.col("dns_rrname") != "")
+                     & (F.size("dns_answers") > 0))
+           .select("dns_rrname", F.col("src_ip").alias("answering_host"),
+                   "dns_rcode", ts_col, F.explode("dns_answers").alias("a"))
+           .select("dns_rrname", "answering_host", "dns_rcode", ts_col,
+                   F.col("a.rrtype").alias("rrtype"),
+                   F.col("a.rdata").alias("rdata")))
+    return _grouped(ans, ["dns_rrname", "answering_host", "rrtype", "rdata",
+                          "dns_rcode"], ts_col, window_duration).agg(
+        F.count(F.lit(1)).alias("count"),
+        F.min(ts_col).alias("first_seen"),
+        F.max(ts_col).alias("last_seen"),
+    )
+
+
 def unicorn_flow_report(df: DataFrame, all_flows: bool = False,
                         window_duration: str | None = None,
                         ts_col: str = "ts") -> DataFrame:

@@ -70,6 +70,16 @@ def eve_jsonl(n: int = 2000, seed: int = 44) -> str:
                 d["dns"] = {"rrname": r["dns_rrname"], "rrtype": r["dns_rrtype"],
                             "rcode": r["dns_rcode"], "rdata": r["dns_rdata"],
                             "type": r["dns_type"]}
+                if r["dns_type"] == "answer":
+                    # v2 answers array (pdns_collector.go:173-223 consumes
+                    # these); 1-3 deterministic answer tuples per event
+                    n_ans = int(rng.integers(1, 4))
+                    d["dns"]["version"] = 2
+                    d["dns"]["answers"] = [
+                        {"rrname": r["dns_rrname"],
+                         "rrtype": str(rng.choice(["A", "AAAA", "CNAME"])),
+                         "rdata": f"198.51.100.{int(rng.integers(1, 20))}"}
+                        for _ in range(n_ans)]
             elif et == "tls":
                 d["tls"] = {"sni": r["tls_sni"],
                             "fingerprint": r["tls_fingerprint"]}

@@ -180,3 +180,49 @@ class TestTextFunctions:
         df = spark.createDataFrame([("A  B\tC",), ("a b c",)], "text string")
         fps = [r["fp"] for r in df.select(TXT.fingerprint(F.col("text")).alias("fp")).collect()]
         assert fps[0] == fps[1]
+
+
+class TestIVFPartitionedCells:
+    """The 'written partitioned by cell so probes prune' scale path
+    (operators/ann.py): write the assigned table partitionBy('cell'), read
+    back, and check the probe's scan PRUNES partitions in the plan — plus
+    result parity with the unpartitioned path."""
+
+    def test_cell_partitioned_probe_prunes_and_matches(self, spark, sf_med,
+                                                       tmp_path):
+        emb = (spark.read.parquet(f"{sf_med}/embeddings.parquet")
+               .withColumn("embedding", F.col("embedding").cast("array<double>"))
+               .cache())
+        q = np.asarray(emb.filter(F.col("vec_id") == 0)
+                       .first()["embedding"])
+        C = ann.train_ivf_centroids(emb, n_cells=16)
+        assigned = ann.ivf_assign(emb, C)
+        path = str(tmp_path / "ivf_cells")
+        assigned.write.partitionBy("cell").parquet(path)
+
+        back = spark.read.parquet(path)
+        topk = ann.ivf_topk(back, C, q, k=10, n_probe=8)
+        plan = topk._jdf.queryExecution().executedPlan().toString()
+        # partition pruning evidence: the cell predicate sits in
+        # PartitionFilters (directory pruning), NOT as a data filter
+        pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+        assert "cell" in pf, plan
+        # and the probe over the partitioned table equals the in-memory path
+        mem = [r["vec_id"] for r in
+               ann.ivf_topk(assigned, C, q, k=10, n_probe=8).collect()]
+        disk = [r["vec_id"] for r in topk.collect()]
+        assert mem == disk and len(disk) == 10
+
+    def test_ivf_full_probe_equals_exact(self, spark, sf_med):
+        # probing ALL cells must reproduce brute force exactly (candidate
+        # routing loses nothing when nothing is pruned)
+        emb = (spark.read.parquet(f"{sf_med}/embeddings.parquet")
+               .withColumn("embedding", F.col("embedding").cast("array<double>"))
+               .cache())
+        q = np.asarray(emb.filter(F.col("vec_id") == 1).first()["embedding"])
+        C = ann.train_ivf_centroids(emb, n_cells=16)
+        assigned = ann.ivf_assign(emb, C)
+        exact = [r["vec_id"] for r in ann.brute_force_topk(emb, q, k=10).collect()]
+        full = [r["vec_id"] for r in
+                ann.ivf_topk(assigned, C, q, k=10, n_probe=16).collect()]
+        assert full == exact

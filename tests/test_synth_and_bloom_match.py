@@ -193,3 +193,52 @@ class TestBloomMatchEvents:
         bc = spark.sparkContext.broadcast(bf.to_bytes())
         alerts = bloom_match_events(_events_df(spark), bc).toPandas()
         assert (alerts["timestamp_event"] == pd.Timestamp("2026-06-01 12:00:00")).all()
+
+
+class TestBloomReloadLifecycle:
+    """Spark-level filter reload-swap parity with the reference's
+    TestBloomHandlerFromFile (/root/reference/processing/bloom_handler_test.go:
+    429-510): save → match → overwrite the file with a DIFFERENT filter →
+    reload → re-broadcast. After the swap, old IOCs must STOP matching and
+    the new filter's IOCs must START; mgmt-style Add (mgmt/mgmtserver.go:
+    120-139) extends the live filter; the blacklist veto survives reload."""
+
+    def _match_set(self, spark, bf, blacklist=None):
+        bc = spark.sparkContext.broadcast(bf.to_bytes())
+        alerts = bloom_match_events(_events_df(spark), bc,
+                                    blacklist=blacklist).toPandas()
+        # unpersist so each phase provably uses its own broadcast state
+        bc.unpersist(blocking=True)
+        return set(alerts["ioc"])
+
+    def test_reload_swap_and_add(self, spark, tmp_path):
+        from fever_spark.sketch import BloomFilter
+
+        path = str(tmp_path / "iocs.bloom.gz")
+        b1 = build_ioc_filter(["evil.example.com"], capacity=1000, fpp=1e-4)
+        b1.save(path)
+
+        # phase 1: b1 from file matches its ioc, not b2's
+        loaded = BloomFilter.load(path)
+        assert self._match_set(spark, loaded) == {"evil.example.com"}
+
+        # phase 2: mgmt-style Add extends the LIVE filter, re-broadcast
+        loaded.add(np.array(["bad.dns.example"], dtype=object))
+        loaded.save(path)
+        assert self._match_set(spark, BloomFilter.load(path)) == {
+            "evil.example.com", "bad.dns.example"}
+
+        # phase 3: overwrite file with a DIFFERENT filter (b2), reload:
+        # old ioc stops matching, new one starts (go:484-508)
+        b2 = build_ioc_filter(["bad.sni.example"], capacity=1000, fpp=1e-4)
+        b2.save(path)
+        assert self._match_set(spark, BloomFilter.load(path)) == {
+            "bad.sni.example"}
+
+        # phase 4: blacklist veto still applies after reload
+        b3 = build_ioc_filter(["evil.example.com", "bad.sni.example"],
+                              capacity=1000, fpp=1e-4)
+        b3.save(path)
+        assert self._match_set(spark, BloomFilter.load(path),
+                               blacklist=["evil.example.com"]) == {
+            "bad.sni.example"}

@@ -260,6 +260,30 @@ def q_cms_heavy_hitters(spark, sf_dir):
             .orderBy(F.desc("n"), "user_id").limit(10))
 
 
+def q_token_heavy_hitters(spark, sf_dir):
+    """north_star: 'count-min sketch for heavy-hitter ... text tokens' —
+    explode the token stream (pipelined into the scan, no extra shuffle),
+    cmstopk build+merge, then candidates joined to exact counts: top-20
+    must equal the exact top-20 (candidate-tracking recall gate; point
+    estimates gated by q_cms_bound/test_cms_topk)."""
+    from fever_spark.ops import heavy_hitters_col
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = (docs.select(F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                          r"\s+")).alias("tok"))
+            .filter(F.col("tok") != ""))
+    merged = two_level_merge(
+        build_sketches(toks, [], [SketchSpec(
+            "t", "cmstopk", "tok",
+            {"epsilon": 1e-4, "delta": 1e-3, "track": 1024})]), [])
+    cand = (merged
+            .select(F.explode(heavy_hitters_col(F.col("state"), 1024)).alias("h"))
+            .select(F.col("h.item").alias("tok")))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    return (cand.join(exact, "tok")
+            .orderBy(F.desc("n"), "tok").limit(20))
+
+
 def q_hll_bound(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     merged = two_level_merge(
@@ -271,6 +295,25 @@ def q_hll_bound(spark, sf_dir):
     bound = 4 * HyperLogLog(p=14).relative_error
     return (est.join(exact, "event_type")
             .select("event_type",
+                    (F.abs(F.col("est") - F.col("x")) / F.col("x") <= bound)
+                    .cast("int").alias("within_bound")))
+
+
+def q_hll_windowed(spark, sf_dir):
+    """north_star literal: 'HLL for distinct cardinality per lang AND
+    warc_ts window' — the sketch pipeline keyed by (category, event-time
+    day window); per-cell estimate must sit inside the published bound."""
+    ev = _read(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    merged = two_level_merge(
+        build_sketches(ev, ["event_type", "day"],
+                       [SketchSpec("u", "hll", "user_id", {"p": 14})]),
+        ["event_type", "day"])
+    est = merged.withColumn("est", hll_estimate_col(F.col("state")))
+    exact = ev.groupBy("event_type", "day") \
+        .agg(F.countDistinct("user_id").alias("x"))
+    bound = 4 * HyperLogLog(p=14).relative_error
+    return (est.join(exact, ["event_type", "day"])
+            .select("event_type", F.col("day").cast("string").alias("day"),
                     (F.abs(F.col("est") - F.col("x")) / F.col("x") <= bound)
                     .cast("int").alias("within_bound")))
 
@@ -314,6 +357,26 @@ def q_quantile_bounds(spark, sf_dir):
         eps = 2 * 2.296 / 200 ** 0.9 if sk == "kll" else 0.02
         out.append((sk, float(qs[i]), int(abs(ranks[f"r{j}"] - qs[i]) <= eps)))
     return spark.createDataFrame(out, "sketch string, q double, within_bound int")
+
+
+def q_bloom_sharded(spark, sf_dir):
+    """Partitioned-Bloom gate (north_star "partitioned Bloom filters"):
+    DISTRIBUTED per-shard build over web doc_ids, then the cogroup
+    semi-join path (no broadcast of the filter — each task holds exactly
+    one shard state). Exact source filter removes the rare FPs; a false
+    negative anywhere (build, shard routing, probe) loses a row and fails
+    the oracle hash."""
+    from fever_spark.ops.bloom_shard import (
+        bloom_semi_join_sharded, build_sharded_ioc_states)
+
+    docs = _read(spark, sf_dir, "documents")
+    iocs = docs.filter(F.col("source") == "web") \
+        .select(F.col("doc_id").cast("string").alias("ioc"))
+    states = build_sharded_ioc_states(iocs, n_shards=8, fpp=1e-6)
+    probes = docs.select("doc_id", "source",
+                         F.col("doc_id").cast("string").alias("probe"))
+    kept = bloom_semi_join_sharded(probes, states, "probe", n_shards=8)
+    return kept.filter(F.col("source") == "web").select("doc_id")
 
 
 def q_bloom_zero_fn(spark, sf_dir):
@@ -497,10 +560,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_eve_pipeline": q_eve_pipeline,
         "q_pdns_answers": q_pdns_answers,
         "q_cms_heavy_hitters": q_cms_heavy_hitters,
+        "q_token_heavy_hitters": q_token_heavy_hitters,
         "q_hll_bound": q_hll_bound,
+        "q_hll_windowed": q_hll_windowed,
         "q_cms_bound": q_cms_bound,
         "q_quantile_bounds": q_quantile_bounds,
         "q_bloom_zero_fn": q_bloom_zero_fn,
+        "q_bloom_sharded": q_bloom_sharded,
         "q_bloom_fpr": q_bloom_fpr,
         "q_exact_dedup": q_exact_dedup,
         "q_dedup_group_count": q_dedup_group_count,
@@ -670,8 +736,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n FROM events
             GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
         """,
+        "q_token_heavy_hitters": """
+            SELECT tok, count(*) AS n FROM (
+              SELECT unnest(string_split(regexp_replace(lower(trim(text)),
+                                                        '\\s+', ' ', 'g'),
+                                         ' ')) AS tok
+              FROM documents)
+            WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+        """,
         "q_hll_bound": """
             SELECT event_type, 1 AS within_bound FROM events GROUP BY event_type
+        """,
+        "q_hll_windowed": """
+            SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                   1 AS within_bound
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
         """,
         "q_cms_bound": """
             SELECT event_type, 1 AS within_bound FROM events GROUP BY event_type
@@ -682,6 +761,9 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT unnest([0.1, 0.5, 0.9]) AS q) qs
         """,
         "q_bloom_zero_fn": """
+            SELECT doc_id FROM documents WHERE source = 'web'
+        """,
+        "q_bloom_sharded": """
             SELECT doc_id FROM documents WHERE source = 'web'
         """,
         "q_bloom_fpr": "SELECT 1 AS fpr_ok",

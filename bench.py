@@ -98,7 +98,13 @@ def bench_scan_pages(spark):
 
 def bench_sketch_pipeline(spark):
     pages = _pages_projected(spark)
-    merged = two_level_merge(build_sketches(pages, ["lang"], PAGE_SPECS),
+    # coalesce_to=0: partitioning stays DATA-driven (the cache's 64-file
+    # layout), never core-count-driven — on a real cluster the scan split is
+    # a function of data size, and pinning it makes the N-vs-4N scaling runs
+    # execute the IDENTICAL plan (same partials, same merge fan-in), so
+    # executor-time ratios between levels measure work, not plan drift
+    merged = two_level_merge(build_sketches(pages, ["lang"], PAGE_SPECS,
+                                            coalesce_to=0),
                              ["lang"])
     est = (merged.filter(F.col("sketch") == "distinct_urls")
            .withColumn("est", hll_estimate_col(F.col("state"))))
@@ -188,7 +194,19 @@ def main(argv=None):
     ap.add_argument("--skip-warmup", action="store_true")
     args = ap.parse_args(argv)
 
-    spark = get_spark(master=args.master, app_name="fever_spark_bench")
+    # scaling harness support: with FEVER_EVENTLOG_DIR set, write a plain
+    # (uncompressed, non-rolling) event log so executor run/cpu time per
+    # timed window can be extracted post-run
+    evlog = os.environ.get("FEVER_EVENTLOG_DIR")
+    extra = {}
+    if evlog:
+        os.makedirs(evlog, exist_ok=True)
+        extra = {"spark.eventLog.enabled": "true",
+                 "spark.eventLog.dir": f"file://{evlog}",
+                 "spark.eventLog.compress": "false",
+                 "spark.eventLog.rolling.enabled": "false"}
+    spark = get_spark(master=args.master, app_name="fever_spark_bench",
+                      extra_conf=extra)
     ensure_pages(spark)  # generation excluded from timings
     if "sketch_pipeline" in args.queries:
         _pages_projected(spark)  # cache materialization excluded from timings
@@ -211,12 +229,16 @@ def main(argv=None):
     # reps is the defensible steady-state figure. Reps recorded in output.
     reps = int(os.environ.get("FEVER_BENCH_REPS", "3"))
     timings = {}
+    windows = {}  # best rep's [start_ms, end_ms] epoch window per query
     for name in args.queries.split(","):
         best = float("inf")
         for _ in range(reps):
             t0 = time.time()
             BENCHES[name](spark)
-            best = min(best, time.time() - t0)
+            t1 = time.time()
+            if t1 - t0 < best:
+                best = t1 - t0
+                windows[name] = [int(t0 * 1000), int(t1 * 1000)]
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
@@ -229,6 +251,9 @@ def main(argv=None):
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": reps,
     }
+    if evlog:
+        result["windows"] = windows
+        result["app_id"] = spark.sparkContext.applicationId
     if "sketch_pipeline" in timings:
         result["pages_per_sec"] = round(N_PAGES / timings["sketch_pipeline"], 1)
         result["n_pages"] = N_PAGES

@@ -1,0 +1,144 @@
+"""The north_star query battery as one spark-submit main (SURVEY §7.1.6):
+
+  * HLL distinct url AND host per (lang, day(warc_ts))
+  * CMS top-k heavy-hitter hostnames (global)
+  * KLL page-size quantiles + t-digest text-length quantiles (global)
+  * optional CMS top-k heavy-hitter text tokens (--tokens)
+  * optional Bloom IOC matching against a filter/ioc file (--iocs)
+
+Every sketch group runs through the checkpointed SketchJob (chunk lineage,
+atomic manifest, byte-identical resume — rerunning after a kill skips
+completed chunks), mirroring fever's long-running collector role
+(processing/*_aggregator.go) as restartable batch.
+
+Usage:
+  spark-submit --py-files fever_spark.zip -m fever_spark.jobs.pages_report \
+      --input /data/pages --checkpoint /ckpt/report [--tokens] \
+      [--iocs iocs.txt.gz] [--topk 20]
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from fever_spark.ops import SketchSpec, heavy_hitters_col, hll_estimate_col, quantile_col
+from fever_spark.jobs.sketch_job import SketchJob
+
+QUANTILES = [0.5, 0.95, 0.99]
+
+
+def _prepare_pages(df):
+    """Derived columns for the report — all codegen, pruned to what the
+    sketches consume."""
+    return df.select(
+        "url", "lang",
+        F.to_date("warc_ts").alias("day"),
+        F.try_parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.octet_length("html").cast("double").alias("page_bytes"),
+        F.length("text").cast("double").alias("text_len"))
+
+
+def _prepare_tokens(df):
+    return (df.select(F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                        r"\s+")).alias("tok"))
+            .filter(F.col("tok") != ""))
+
+
+def build_report(spark: SparkSession, input_path: str, checkpoint_dir: str,
+                 with_tokens: bool = False, ioc_file: str | None = None,
+                 topk: int = 20, resume: bool = True) -> dict:
+    report = {"input": input_path}
+
+    per_cell = SketchJob(
+        input_path, f"{checkpoint_dir}/per_lang_day",
+        keys=["lang", "day"],
+        specs=[SketchSpec("distinct_url", "hll", "url", {"p": 14}),
+               SketchSpec("distinct_host", "hll", "host", {"p": 14})],
+        prepare=_prepare_pages, job_id="per_lang_day").run(spark, resume=resume)
+    report["per_lang_day"] = [
+        {"lang": r["lang"], "day": str(r["day"]), "sketch": r["sketch"],
+         "estimate": round(r["est"], 1)}
+        for r in per_cell.withColumn("est", hll_estimate_col("state"))
+        .select("lang", "day", "sketch", "est").collect()]
+
+    glob = SketchJob(
+        input_path, f"{checkpoint_dir}/global", keys=[],
+        specs=[SketchSpec("top_hosts", "cmstopk", "host",
+                          {"epsilon": 1e-4, "delta": 1e-3, "track": 4 * topk}),
+               SketchSpec("page_bytes_q", "kll", "page_bytes", {"k": 200}),
+               SketchSpec("text_len_q", "tdigest", "text_len", {"delta": 200.0})],
+        prepare=_prepare_pages, job_id="global").run(spark, resume=resume)
+    hosts = (glob.filter(F.col("sketch") == "top_hosts")
+             .select(F.explode(heavy_hitters_col(F.col("state"), topk))
+                     .alias("h")).collect())
+    report["top_hosts"] = [{"host": r["h"]["item"], "est": r["h"]["est"]}
+                           for r in hosts]
+    for name in ("page_bytes_q", "text_len_q"):
+        row = (glob.filter(F.col("sketch") == name)
+               .select(quantile_col(F.col("state"), QUANTILES).alias("q"))
+               .first())
+        report[name] = dict(zip(map(str, QUANTILES),
+                                [round(x, 1) for x in row["q"]]))
+
+    if with_tokens:
+        toks = SketchJob(
+            input_path, f"{checkpoint_dir}/tokens", keys=[],
+            specs=[SketchSpec("top_tokens", "cmstopk", "tok",
+                              {"epsilon": 1e-4, "delta": 1e-3,
+                               "track": 4 * topk})],
+            prepare=_prepare_tokens, job_id="tokens").run(spark, resume=resume)
+        report["top_tokens"] = [
+            {"token": r["h"]["item"], "est": r["h"]["est"]}
+            for r in toks.select(
+                F.explode(heavy_hitters_col(F.col("state"), topk))
+                .alias("h")).collect()]
+
+    if ioc_file:
+        from fever_spark.ops.bloom_match import bloom_match_pages
+        from fever_spark.sketch import BloomFilter
+
+        try:
+            bf = BloomFilter.load(ioc_file)
+        except Exception:
+            with open(ioc_file) as f:
+                iocs = [ln.strip() for ln in f if ln.strip()]
+            from fever_spark.ops.bloom_match import build_ioc_filter
+            bf = build_ioc_filter(iocs, fpp=1e-6)
+        bc = spark.sparkContext.broadcast(bf.to_bytes())
+        alerts = bloom_match_pages(spark.read.parquet(input_path), bc)
+        report["ioc_matches"] = {
+            r["match_type"]: r["n"] for r in
+            alerts.groupBy("match_type").agg(F.count(F.lit(1)).alias("n"))
+            .collect()}
+
+    return report
+
+
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+
+    from fever_spark.session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--tokens", action="store_true")
+    ap.add_argument("--iocs", default=None)
+    ap.add_argument("--topk", type=int, default=20)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    spark = get_spark(master=args.master, app_name="fever_spark_pages_report")
+    report = build_report(spark, args.input, args.checkpoint,
+                          with_tokens=args.tokens, ioc_file=args.iocs,
+                          topk=args.topk, resume=not args.no_resume)
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,10 @@ class SketchJob:
     files_per_chunk: int = 8
     salt: int | None = None
     job_id: str = "sketch_job"
+    # optional per-chunk derivation (add window/host columns, explode
+    # tokens, ...) applied between read and build; must be deterministic —
+    # it re-runs identically on resume
+    prepare: callable = None
 
     # -- manifest ------------------------------------------------------------
 
@@ -105,6 +109,8 @@ class SketchJob:
                 return None
             t0 = time.time()
             df = spark.read.parquet(*chunk_files)
+            if self.prepare is not None:
+                df = self.prepare(df)
             # Observation metric rides the build job itself — the row count
             # comes from the SAME scan that feeds the sketches, not a second
             # pass (at 100 TB an extra count() per chunk is a full re-read)

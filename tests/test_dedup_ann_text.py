@@ -106,7 +106,7 @@ class TestNgramJaccard:
 
 
 class TestEmbeddingDedup:
-    def test_lsh_recall_vs_brute_force(self, spark, sf_med):
+    def test_no_false_positives_on_driver_table(self, spark, sf_med):
         emb = spark.read.parquet(f"{sf_med}/embeddings.parquet")
         bf = dedup.embedding_near_duplicates(emb, threshold=0.92,
                                              brute_force=True).toPandas()
@@ -115,9 +115,33 @@ class TestEmbeddingDedup:
         truth = {tuple(p) for p in zip(bf.id_a, bf.id_b)}
         got = {tuple(p) for p in zip(lsh.id_a, lsh.id_b)}
         assert got <= truth  # verification is exact → no false positives
-        if truth:
-            recall = len(got & truth) / len(truth)
-            assert recall >= 0.5, recall
+
+    def test_lsh_recall_on_planted_neardups(self, spark):
+        # the driver embeddings table has NO true near-dup pairs (random
+        # 64-dim vectors), so recall there is vacuous — plant 30 pairs at
+        # cosine ~0.999 (a near-identical re-embedding) plus 200 decoys
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=(30, 64))
+        rows = []
+        for i, v in enumerate(base):
+            w = v + rng.normal(scale=0.02, size=64)  # cos ~0.999
+            rows.append((int(i), [float(x) for x in v]))
+            rows.append((int(1000 + i), [float(x) for x in w]))
+        for j in range(200):
+            rows.append((int(5000 + j),
+                         [float(x) for x in rng.normal(size=64)]))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        truth_pairs = {(i, 1000 + i) for i in range(30)}
+        bf = dedup.embedding_near_duplicates(emb, threshold=0.99,
+                                             brute_force=True).toPandas()
+        assert {tuple(p) for p in zip(bf.id_a, bf.id_b)} == truth_pairs
+        lsh = dedup.embedding_near_duplicates(emb, threshold=0.99).toPandas()
+        got = {tuple(p) for p in zip(lsh.id_a, lsh.id_b)}
+        assert got <= truth_pairs  # exact verify → no FPs
+        recall = len(got & truth_pairs) / len(truth_pairs)
+        # dual-plane-set hyperplane LSH: P(candidate) ~ 1-(1-(1-θ/π)^16)^2
+        # ≈ 0.96 at cos 0.999; deterministic with the fixed seeds
+        assert recall >= 0.8, recall
 
 
 class TestANN:

@@ -1,0 +1,67 @@
+"""pages_report spark-submit main: the north_star battery end-to-end with
+checkpoint/resume (SURVEY §7.1.6)."""
+
+import collections
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fever_spark.jobs.pages_report import build_report
+from fever_spark.sources.synth import synth_pages_df
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pages") / "pages")
+    synth_pages_df(spark, 20_000, partitions=6).write.parquet(d)
+    return d
+
+
+def test_report_battery_and_resume(spark, pages_dir, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    rep = build_report(spark, pages_dir, ckpt, with_tokens=True, topk=10)
+
+    # per (lang, day) HLL within bound of exact
+    pages = spark.read.parquet(pages_dir).withColumn("day", F.to_date("warc_ts"))
+    exact = {(r["lang"], str(r["day"])): r["x"] for r in
+             pages.groupBy("lang", "day")
+             .agg(F.countDistinct("url").alias("x")).collect()}
+    url_cells = [c for c in rep["per_lang_day"] if c["sketch"] == "distinct_url"]
+    assert len(url_cells) == len(exact)
+    for c in url_cells:
+        x = exact[(c["lang"], c["day"])]
+        assert abs(c["estimate"] - x) / x <= 4 * 1.04 / 2 ** 7
+
+    # top hosts = exact top hosts (Zipfian synth)
+    host_counts = collections.Counter(
+        r["h"] for r in pages.select(
+            F.try_parse_url("url", F.lit("HOST")).alias("h")).collect())
+    exact_top = [h for h, _ in sorted(host_counts.items(),
+                                      key=lambda kv: (-kv[1], kv[0]))[:10]]
+    assert [h["host"] for h in rep["top_hosts"]] == exact_top
+
+    # quantiles are ordered and sane
+    q = rep["page_bytes_q"]
+    assert q["0.5"] <= q["0.95"] <= q["0.99"]
+    assert rep["text_len_q"]["0.5"] > 0
+    assert len(rep["top_tokens"]) == 10
+
+    # resume: a second run must skip all chunks (manifest-complete) and
+    # reproduce the identical report
+    rep2 = build_report(spark, pages_dir, ckpt, with_tokens=True, topk=10)
+    assert json.dumps(rep, sort_keys=True) == json.dumps(rep2, sort_keys=True)
+    man = json.load(open(f"{ckpt}/global/manifest.json"))
+    assert man["completed"] and len(man["chunks"]) >= 1
+
+
+def test_report_with_ioc_file(spark, pages_dir, tmp_path):
+    iocs = tmp_path / "iocs.txt"
+    # one host guaranteed present
+    host = spark.read.parquet(pages_dir).select(
+        F.try_parse_url("url", F.lit("HOST")).alias("h")).first()["h"]
+    iocs.write_text(f"{host}\nnot-present.example\n")
+    rep = build_report(spark, pages_dir, str(tmp_path / "ck2"),
+                       ioc_file=str(iocs))
+    assert rep["ioc_matches"].get("http-host", 0) > 0

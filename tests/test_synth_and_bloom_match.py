@@ -242,3 +242,44 @@ class TestBloomReloadLifecycle:
         assert self._match_set(spark, BloomFilter.load(path),
                                blacklist=["evil.example.com"]) == {
             "bad.sni.example"}
+
+
+class TestStreamingBloomMatch:
+    """Fever is a LIVE matcher (socket stream -> bloom probe -> alert
+    forward). The Spark analog: bloom_match_events is stateless column
+    algebra, so the SAME operator runs unchanged on a streaming DataFrame —
+    file stream in, alert rows out via a memory sink."""
+
+    def test_bloom_match_on_file_stream(self, spark, tmp_path):
+        import time as _t
+        from fever_spark.sources.synth import synth_events
+
+        src = tmp_path / "events_in"
+        src.mkdir()
+        pdf = synth_events(2000)
+        # two micro-batch files
+        spark.createDataFrame(pdf.iloc[:1000]).write.mode("overwrite") \
+            .parquet(str(src / "b0"))
+        spark.createDataFrame(pdf.iloc[1000:]).write.mode("append") \
+            .parquet(str(src / "b0"))
+
+        bf = build_ioc_filter(["host3", "name7", "sni5"], fpp=1e-7)
+        bc = spark.sparkContext.broadcast(bf.to_bytes())
+
+        stream = (spark.readStream
+                  .schema(spark.createDataFrame(pdf).schema)
+                  .parquet(str(src / "b0")))
+        alerts = bloom_match_events(stream, bc)
+        assert alerts.isStreaming
+        q = (alerts.writeStream.format("memory")
+             .queryName("stream_alerts").outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+
+        got = spark.sql("SELECT * FROM stream_alerts").toPandas()
+        # batch parity: the streaming result equals the batch operator's
+        batch = bloom_match_events(spark.createDataFrame(pdf), bc).toPandas()
+        key = ["match_type", "ioc"]
+        assert (got.groupby(key).size().sort_index().to_dict()
+                == batch.groupby(key).size().sort_index().to_dict())
+        assert len(got) == len(batch) > 0

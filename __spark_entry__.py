@@ -260,6 +260,20 @@ def q_cms_heavy_hitters(spark, sf_dir):
             .orderBy(F.desc("n"), "user_id").limit(10))
 
 
+def q_text_extraction(spark, sf_dir):
+    """north_rule per-row invariant: "extraction preserves byte-identical
+    text per url". Spark re-extracts text from the html BYTES of the
+    committed pages fixture and emits (url, md5 of the extraction); DuckDB
+    reads the stored text column directly. Any byte drift in any row makes
+    that url's digest differ → hash mismatch."""
+    from fever_spark.sources.fixtures import pages_parquet
+
+    pages = spark.read.parquet(pages_parquet())
+    return pages.select(
+        "url", F.md5(F.encode(TXT.extract_text(F.col("html")), "UTF-8"))
+        .alias("text_md5"))
+
+
 def q_token_heavy_hitters(spark, sf_dir):
     """north_star: 'count-min sketch for heavy-hitter ... text tokens' —
     explode the token stream (pipelined into the scan, no extra shuffle),
@@ -561,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pdns_answers": q_pdns_answers,
         "q_cms_heavy_hitters": q_cms_heavy_hitters,
         "q_token_heavy_hitters": q_token_heavy_hitters,
+        "q_text_extraction": q_text_extraction,
         "q_hll_bound": q_hll_bound,
         "q_hll_windowed": q_hll_windowed,
         "q_cms_bound": q_cms_bound,
@@ -584,7 +599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from fever_spark.sources.fixtures import eve_jsonl, fever_events_parquet
+    from fever_spark.sources.fixtures import (
+        eve_jsonl, fever_events_parquet, pages_parquet)
 
     tok = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
     # exact n-gram-Jaccard pair set: the oracle for the exact dedup operator
@@ -735,6 +751,10 @@ def oracle_sql() -> dict[str, str]:
         "q_cms_heavy_hitters": """
             SELECT user_id, count(*) AS n FROM events
             GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+        """,
+        "q_text_extraction": f"""
+            SELECT url, md5(text) AS text_md5
+            FROM read_parquet('{pages_parquet()}')
         """,
         "q_token_heavy_hitters": """
             SELECT tok, count(*) AS n FROM (

@@ -91,6 +91,19 @@ def quality_score(text: Column) -> Column:
     return F.round(F.least(score, F.lit(1.0)), 4)
 
 
+def extract_text(html: Column) -> Column:
+    """Text extraction from the html BINARY column (north_rule: "extraction
+    preserves byte-identical text per url"). The corpus contract is the
+    deterministic envelope b"<html>" + utf8(text) + b"</html>"
+    (sources/synth.py); extraction = decode + strip the envelope, entirely
+    JVM codegen. A real-world HTML corpus would swap in a parser behind the
+    same column signature (mapInPandas, like multimodal/binary.py's decode
+    seam); byte-identity per url is the gate either way (q_text_extraction).
+    """
+    s = F.decode(html, "UTF-8")
+    return F.regexp_extract(s, r"(?s)^<html>(.*)</html>$", 1)
+
+
 def fingerprint(text: Column) -> Column:
     """64-bit content fingerprint of whitespace/case-normalized text —
     the exact-dedup key. xxhash64 is Spark's built-in (JVM, seed 42)."""

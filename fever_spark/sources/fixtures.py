@@ -36,6 +36,23 @@ def fever_events_parquet(n: int = 5000, seed: int = 44) -> str:
     return path
 
 
+def pages_parquet(n: int = 3000, seed: int = 42) -> str:
+    """Common-Crawl-style pages (url, warc_ts, html BINARY, text, lang) as a
+    single parquet file — DuckDB reads text/url directly, Spark re-derives
+    text from the html bytes (q_text_extraction byte-identity gate)."""
+    from fever_spark.sources.synth import synth_pages
+
+    path = os.path.join(ORACLE_DATA, f"pages_{n}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(ORACLE_DATA, exist_ok=True)
+        pdf = synth_pages(n, seed=seed)
+        pdf["warc_ts"] = pdf["warc_ts"].astype("datetime64[us]")
+        tmp = path + ".tmp"
+        pdf.to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+    return path
+
+
 def eve_jsonl(n: int = 2000, seed: int = 44) -> str:
     """EVE-shaped JSON lines (nested http/dns/tls/flow subobjects, Suricata
     timestamp strings), like the reference's socket input

@@ -250,3 +250,26 @@ class TestIVFPartitionedCells:
         full = [r["vec_id"] for r in
                 ann.ivf_topk(assigned, C, q, k=10, n_probe=16).collect()]
         assert full == exact
+
+
+class TestExtractText:
+    def test_byte_identity_distributed(self, spark):
+        from fever_spark.sources.synth import synth_pages
+
+        pdf = synth_pages(2000)
+        df = spark.createDataFrame(pdf)
+        bad = df.filter(
+            TXT.extract_text(F.col("html")) != F.col("text")).count()
+        assert bad == 0
+
+    def test_unicode_and_empty(self, spark):
+        rows = [("https://a/1", "héllo wörld ★ 中文".encode("utf-8")),
+                ("https://a/2", "".encode("utf-8"))]
+        df = spark.createDataFrame(
+            [(u, b"<html>" + t + b"</html>") for u, t in rows],
+            "url string, html binary")
+        got = {r["url"]: r["t"] for r in
+               df.select("url", TXT.extract_text(F.col("html")).alias("t"))
+               .collect()}
+        assert got["https://a/1"] == "héllo wörld ★ 中文"
+        assert got["https://a/2"] == ""

@@ -142,3 +142,39 @@ def test_tdigest_merge_order_invariants(chunks):
             # means stay inside the data range (weighted-average invariant)
             assert acc.means.min() >= all_vals.min() - 1e-9
             assert acc.means.max() <= all_vals.max() + 1e-9
+
+
+@settings(max_examples=25, deadline=None)
+@given(chunk_strategy)
+def test_cmstopk_merge_order_invariants(chunks):
+    """With track >= distinct keys, candidate pruning never fires and the
+    heavy-hitter report is EXACTLY merge-order invariant (re-estimation on
+    the merged CMS is a pure function of the summed table). Weight is
+    conserved under any order; estimates never undercount."""
+    from fever_spark.sketch import CMSTopK
+
+    arrs = value_chunks(chunks)
+    all_vals = (np.concatenate([a for a in arrs if len(a)])
+                if any(len(a) for a in arrs) else np.empty(0, dtype=object))
+
+    def build_order(order):
+        acc = None
+        for i in order:
+            s = CMSTopK(epsilon=1e-3, delta=1e-2, track=1024)
+            if len(arrs[i]):
+                s.update(arrs[i])
+            acc = s if acc is None else acc.merge(s)
+        return acc
+
+    reports = []
+    for order in ([0, 1, 2], [2, 0, 1], [1, 2, 0]):
+        acc = build_order(order)
+        assert acc.total == len(all_vals)
+        reports.append(acc.heavy_hitters(20))
+    assert reports[0] == reports[1] == reports[2]
+    if len(all_vals):
+        import collections
+        exact = collections.Counter(all_vals.tolist())
+        for item, est in reports[0]:
+            assert est >= exact[item]
+            assert est - exact[item] <= build_order([0, 1, 2]).error_bound()

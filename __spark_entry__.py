@@ -475,6 +475,28 @@ def q_simhash(spark, sf_dir):
     return exact.join(cand, ["id_a", "id_b"])
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Exact-quota stratified take: first 5 docs per (lang, source) by
+    doc_id — deterministic sampling for per-stratum eval slices."""
+    from fever_spark.operators.sampling import stratified_take
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_take(docs, ["lang", "source"], 5, "doc_id") \
+        .select("doc_id", "lang", "source")
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """pairs → connected components (the survivors step of a dedup
+    pipeline): exact Jaccard≥0.8 pairs, then distributed min-label
+    propagation; cluster_id must equal the transitive-closure minimum the
+    oracle computes with a recursive CTE — a missed propagation round or a
+    non-transitive bug yields a different label somewhere."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return (dedup.near_dup_clusters(pairs)
+            .select(F.col("id").alias("doc_id"), "cluster_id"))
+
+
 def q_embedding_neardup(spark, sf_dir):
     # threshold 0.5: the driver embeddings are near-orthogonal random
     # vectors with NO pairs above 0.9 — at 0.9 the gate compared empty
@@ -593,6 +615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash": q_simhash,
+        "q_stratified_sample": q_stratified_sample,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_embedding_neardup": q_embedding_neardup,
         "q_ann_topk": q_ann_topk,
         "q_ann_ivf": q_ann_ivf,
@@ -801,6 +825,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_ngram_jaccard": ngram_exact,
+        "q_stratified_sample": """
+            SELECT doc_id, lang, source FROM (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (PARTITION BY lang, source
+                                        ORDER BY doc_id) AS rn
+              FROM documents) WHERE rn <= 5
+        """,
+        "q_dedup_clusters": f"""
+            WITH pairs AS ({ngram_exact}),
+            edges AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            cc AS (
+              WITH RECURSIVE reach(id, comp) AS (
+                SELECT DISTINCT s, s FROM edges
+                UNION
+                SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id
+              )
+              SELECT id, min(comp) AS cluster_id FROM reach GROUP BY id
+            )
+            SELECT id AS doc_id, cluster_id FROM cc
+        """,
         # recall gates: query output = exact pairs ∩ candidates, so full
         # recall makes it equal the exact pair set the oracle computes
         "q_minhash_lsh": ngram_exact,

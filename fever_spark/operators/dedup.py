@@ -353,3 +353,58 @@ def embedding_near_duplicates(df: DataFrame, vec_col: str = "embedding",
     return (pairs.withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+# ---------------------------------------------------------------- clusters
+
+
+def near_dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Candidate pairs → connected components: (id, cluster_id) for every id
+    in `pairs`, cluster_id = the MINIMUM id reachable through any chain of
+    pairs (transitive closure — a-b plus b-c places a, b, c together even
+    when a-c was never emitted as a pair).
+
+    Distributed min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in O(component
+    diameter) rounds. Near-dup components are overwhelmingly tiny (dup
+    clusters, not social graphs), so a handful of rounds suffices; lineage
+    is cut with localCheckpoint each round so the plan stays flat, and
+    convergence is detected by counting changed labels (an aggregate, not a
+    collect of labels). At extreme diameters swap in star-contraction
+    (Kiveris et al., "Connected Components in MapReduce"), which this
+    label-frame shape supports directly.
+    """
+    spark = pairs.sparkSession
+    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .union(pairs.select(F.col("id_b").alias("src"),
+                                 F.col("id_a").alias("dst")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iterations):
+        neighbor = (edges.join(labels, edges.src == labels.id)
+                    .select(F.col("dst").alias("id"), "label"))
+        new_labels = (labels.select("id", "label").union(neighbor)
+                      .groupBy("id").agg(F.min("label").alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
+                                   "id")
+                   .filter(F.col("label") != F.col("old")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """End-to-end near-dup dedup: keep ONE canonical doc (the min id) per
+    connected component of `pairs`, plus every doc that paired with
+    nothing. This is the "pairs → survivors" step a training-data pipeline
+    runs after any candidate generator (LSH/SimHash/Jaccard/embedding)."""
+    clusters = near_dup_clusters(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")) \
+        .select(F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

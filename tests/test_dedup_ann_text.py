@@ -273,3 +273,73 @@ class TestExtractText:
                .collect()}
         assert got["https://a/1"] == "héllo wörld ★ 中文"
         assert got["https://a/2"] == ""
+
+
+class TestNearDupClusters:
+    def test_transitive_chain_and_canonical(self, spark):
+        # chain 1-2-3-4 (1-4 never paired directly) + island 10-11
+        pairs = spark.createDataFrame(
+            [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+        cl = {(r["id"], r["cluster_id"]) for r in
+              dedup.near_dup_clusters(pairs).collect()}
+        assert cl == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in (1, 2, 3, 4, 10, 11, 99)],
+            "doc_id long, text string")
+        kept = sorted(r["doc_id"] for r in
+                      dedup.dedup_keep_canonical(docs, pairs).collect())
+        # one canonical per cluster + untouched isolate
+        assert kept == [1, 10, 99]
+
+    def test_empty_pairs(self, spark):
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        assert dedup.near_dup_clusters(pairs).count() == 0
+        docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        assert dedup.dedup_keep_canonical(docs, pairs).count() == 1
+
+    def test_end_to_end_with_lsh(self, planted):
+        pairs = dedup.minhash_near_duplicates(planted, threshold=0.5) \
+            .select("id_a", "id_b")
+        kept = {r["doc_id"] for r in
+                dedup.dedup_keep_canonical(planted, pairs).collect()}
+        # docs 1/2/3 (exact dups) collapse to 1; 5, 7, 8 survive untouched
+        assert 1 in kept and 2 not in kept and 3 not in kept
+        assert {5, 7, 8} <= kept
+
+
+class TestSampling:
+    def test_hash_sample_stable_under_repartition(self, spark, sf_med):
+        from fever_spark.operators import sampling
+
+        docs = spark.read.parquet(f"{sf_med}/documents.parquet")
+        s1 = {r["doc_id"] for r in sampling.deterministic_sample(
+            docs, "doc_id", 0.2).select("doc_id").collect()}
+        s2 = {r["doc_id"] for r in sampling.deterministic_sample(
+            docs.repartition(13), "doc_id", 0.2).select("doc_id").collect()}
+        assert s1 == s2 and s1  # same rows regardless of layout
+        n = docs.count()
+        assert abs(len(s1) / n - 0.2) < 0.05  # rate is approximately honored
+
+    def test_nested_and_independent(self, spark, sf_med):
+        from fever_spark.operators import sampling
+
+        docs = spark.read.parquet(f"{sf_med}/documents.parquet")
+        small = {r["doc_id"] for r in sampling.deterministic_sample(
+            docs, "doc_id", 0.1).select("doc_id").collect()}
+        big = {r["doc_id"] for r in sampling.deterministic_sample(
+            docs, "doc_id", 0.3).select("doc_id").collect()}
+        assert small <= big  # nested carve-outs at the same seed
+        other = {r["doc_id"] for r in sampling.deterministic_sample(
+            docs, "doc_id", 0.1, seed=99).select("doc_id").collect()}
+        assert other != small  # different seed, different sample
+
+    def test_stratified_take_quota(self, spark, sf_med):
+        from fever_spark.operators import sampling
+
+        docs = spark.read.parquet(f"{sf_med}/documents.parquet")
+        got = sampling.stratified_take(docs, ["lang"], 3, "doc_id").toPandas()
+        per = got.groupby("lang")["doc_id"].agg(["count", "min"])
+        assert (per["count"] <= 3).all()
+        # the min per stratum is the stratum's global min doc_id
+        mins = docs.groupBy("lang").agg(F.min("doc_id").alias("m")).toPandas()
+        assert dict(zip(mins["lang"], mins["m"])) == per["min"].to_dict()

@@ -102,6 +102,21 @@ sections.append(("CMS top-k: candidate tracking rides the same two-exchange stat
     "is still O(groups x state), never rows; the candidate set is part of "
     "the serialized state:", "\n".join(exch_tk)))
 
+# 5e. sharded Bloom cogroup semi-join: one probe exchange, no broadcast
+from fever_spark.ops.bloom_shard import bloom_semi_join_sharded, build_sharded_ioc_states
+iocs_df = spark.createDataFrame([(f"bad{i}",) for i in range(50)], "ioc string")
+states = build_sharded_ioc_states(iocs_df, n_shards=4)
+probes_df = spark.createDataFrame([("x", "bad1")], "pid string, probe string")
+p5e = plan(bloom_semi_join_sharded(probes_df, states, "probe", 4))
+cg = [l.strip()[:170] for l in p5e.splitlines()
+      if "Cogroup" in l or ("Exchange" in l and "__shard" in l)]
+sections.append(("Partitioned Bloom: cogroup semi-join — probes shuffled by shard once, "
+                 "no executor holds more than one shard state",
+    "bloom_semi_join_sharded — each side exchanges on __shard, then one "
+    "FlatMapCoGroupsInPandas tests the probe group against exactly its "
+    "shard's filter (the 100-TB path for IOC sets too big to broadcast):",
+    "\n".join(cg)))
+
 # 6. whole-stage codegen on text functions
 from fever_spark.functions import text as TXT
 p6 = plan(docs.select(TXT.lang_id(F.col("text")), TXT.quality_score(F.col("text")),

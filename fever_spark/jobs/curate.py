@@ -1,0 +1,125 @@
+"""Corpus curation: the canonical LLM training-data pipeline, composed from
+the library's first-class operators —
+
+  annotate (lang-id, quality score, token count; all whole-stage codegen)
+    → threshold filter (quality / language / token bounds)
+    → exact dedup (normalized-content fingerprint)
+    → near-dup dedup (MinHash-LSH pairs → connected components → keep the
+      canonical doc per cluster)
+    → deterministic hash sample (repartition-stable membership)
+    → partitioned write + a JSON manifest of per-stage survivor counts.
+
+Run: spark-submit --py-files fever_spark.zip -m fever_spark.jobs.curate \
+       --input /data/documents --output /data/curated [--min-quality 0.5]
+       [--langs en,de] [--min-tokens 10] [--max-tokens 100000]
+       [--near-dup-threshold 0.7] [--sample-rate 1.0]
+
+Scale shape: annotate/filter are one codegen'd pass; exact dedup is one
+hash-shuffle; LSH is signature UDF + banded equi-join (ids only); cluster
+propagation shuffles only the pair graph; the sample is a filter. Stage
+frames are persisted so per-stage counts don't recompute upstream stages.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fever_spark.functions import text as TXT
+from fever_spark.operators import dedup, sampling
+
+
+def curate(spark: SparkSession, input_path: str, output_path: str,
+           text_col: str = "text", id_col: str = "doc_id",
+           min_quality: float = 0.5, langs: list[str] | None = None,
+           min_tokens: int = 5, max_tokens: int = 1_000_000,
+           near_dup_threshold: float = 0.7, sample_rate: float = 1.0,
+           seed: int = 0) -> dict:
+    docs = spark.read.parquet(input_path)
+    counts = {"input": docs.count()}
+
+    annotated = docs.select(
+        "*",
+        TXT.lang_id(F.col(text_col)).alias("_lang"),
+        TXT.quality_score(F.col(text_col)).alias("quality"),
+        TXT.whitespace_token_count(F.col(text_col)).alias("n_tokens"))
+    cond = ((F.col("quality") >= min_quality)
+            & (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_tokens") <= max_tokens))
+    if langs:
+        # prefer a trusted lang column when the corpus carries one
+        lang_col = F.col("lang") if "lang" in docs.columns else F.col("_lang")
+        cond = cond & lang_col.isin(list(langs))
+    filtered = annotated.filter(cond).drop("_lang") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    counts["after_quality_filter"] = filtered.count()
+
+    exact = dedup.exact_dedup(filtered, text_col, id_col) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    counts["after_exact_dedup"] = exact.count()
+
+    pairs = dedup.minhash_near_duplicates(
+        exact, text_col, id_col, threshold=near_dup_threshold) \
+        .select("id_a", "id_b")
+    neardup = dedup.dedup_keep_canonical(exact, pairs, id_col) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    counts["after_near_dup"] = neardup.count()
+
+    out = (sampling.deterministic_sample(neardup, id_col, sample_rate, seed)
+           if sample_rate < 1.0 else neardup)
+    out.write.mode("overwrite").parquet(output_path)
+    counts["written"] = spark.read.parquet(output_path).count()
+
+    manifest = {
+        "input": input_path, "output": output_path, "counts": counts,
+        "params": {"min_quality": min_quality, "langs": langs,
+                   "min_tokens": min_tokens, "max_tokens": max_tokens,
+                   "near_dup_threshold": near_dup_threshold,
+                   "sample_rate": sample_rate, "seed": seed},
+    }
+    tmp = os.path.join(output_path, "_curation_manifest.json.tmp")
+    final = os.path.join(output_path, "_curation_manifest.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, final)
+    for df in (filtered, exact, neardup):
+        df.unpersist()
+    return manifest
+
+
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+
+    from fever_spark.session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--langs", default="")
+    ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--max-tokens", type=int, default=1_000_000)
+    ap.add_argument("--near-dup-threshold", type=float, default=0.7)
+    ap.add_argument("--sample-rate", type=float, default=1.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    spark = get_spark(master=args.master, app_name="fever_spark_curate")
+    manifest = curate(
+        spark, args.input, args.output,
+        min_quality=args.min_quality,
+        langs=[x for x in args.langs.split(",") if x] or None,
+        min_tokens=args.min_tokens, max_tokens=args.max_tokens,
+        near_dup_threshold=args.near_dup_threshold,
+        sample_rate=args.sample_rate, seed=args.seed)
+    print(json.dumps(manifest))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""Corpus-curation job: planted junk / dups / near-dups flow through
+annotate -> filter -> exact dedup -> near-dup dedup -> sample -> write."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from fever_spark.jobs.curate import curate
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(spark, tmp_path_factory):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vocab = [f"word{k}" for k in range(400)]
+    rows = []
+    # 40 good docs with genuinely distinct content (random token draws —
+    # pairwise shingle overlap is ~zero)
+    for i in range(40):
+        toks = rng.choice(vocab, size=25, replace=False)
+        rows.append((i, "the " + " ".join(toks) + " end", "en", "web"))
+    # exact dups of doc 0 (case/whitespace variants)
+    rows.append((100, rows[0][1].upper(), "en", "web"))
+    rows.append((101, "  " + rows[0][1] + "  ", "en", "web"))
+    # near-dup of doc 1: swap a single interior token
+    doc1_toks = rows[1][1].split()
+    doc1_toks[10] = "swapped"
+    rows.append((102, " ".join(doc1_toks), "en", "web"))
+    # junk: too short / symbol soup
+    rows.append((200, "x", "en", "web"))
+    rows.append((201, "!!! ??? *** $$$ %%% ^^^ &&& ((( )))", "en", "web"))
+    d = str(tmp_path_factory.mktemp("corpus") / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string, "
+                                "source string").write.parquet(d)
+    return d
+
+
+def test_curate_end_to_end(spark, corpus_dir, tmp_path):
+    out = str(tmp_path / "curated")
+    man = curate(spark, corpus_dir, out, min_quality=0.5, min_tokens=5,
+                 near_dup_threshold=0.6)
+    c = man["counts"]
+    assert c["input"] == 45
+    assert c["after_quality_filter"] == 43          # junk 200/201 dropped
+    assert c["after_exact_dedup"] == 41             # 100/101 collapse into 0
+    assert c["after_near_dup"] == 40                # 102 collapses into 1
+    assert c["written"] == 40
+    kept = {r["doc_id"] for r in spark.read.parquet(out)
+            .select("doc_id").collect()}
+    assert {0, 1} <= kept and not {100, 101, 102, 200, 201} & kept
+    # manifest written next to the data
+    disk = json.load(open(f"{out}/_curation_manifest.json"))
+    assert disk["counts"] == c
+    # annotation columns survive to the output
+    cols = set(spark.read.parquet(out).columns)
+    assert {"quality", "n_tokens"} <= cols
+
+
+def test_curate_lang_filter_and_sample(spark, corpus_dir, tmp_path):
+    out = str(tmp_path / "curated2")
+    man = curate(spark, corpus_dir, out, min_quality=0.0, min_tokens=1,
+                 langs=["de"], sample_rate=0.5)
+    assert man["counts"]["after_quality_filter"] == 0  # corpus is en-only
+    assert man["counts"]["written"] == 0

@@ -225,9 +225,10 @@ def main(argv=None):
         spark.range(0, 1 << 10, 1, CPUS * 2).select(_noop("id")).count()
 
     # best-of-N: the sandbox host is multi-tenant and single runs swing
-    # 2-5x on identical work (measured 3.9s..21s for the same job); min over
+    # 2-15x on identical work (measured 1.4s..23.8s for the same job across
+    # adjacent minutes); co-tenant spikes last minutes, so min over enough
     # reps is the defensible steady-state figure. Reps recorded in output.
-    reps = int(os.environ.get("FEVER_BENCH_REPS", "3"))
+    reps = int(os.environ.get("FEVER_BENCH_REPS", "5"))
     timings = {}
     windows = {}  # best rep's [start_ms, end_ms] epoch window per query
     for name in args.queries.split(","):

@@ -71,16 +71,17 @@ def collect_shard_map(states: DataFrame) -> dict[int, bytes]:
     return {r["shard"]: bytes(r["state"]) for r in states.collect()}
 
 
-_SHARD_CACHE: dict[tuple[int, int], BloomFilter] = {}
+_SHARD_CACHE: dict[bytes, BloomFilter] = {}
 
 
-def _shard_filter(shards: dict, shard: int) -> BloomFilter:
-    key = (id(shards), shard)
-    bf = _SHARD_CACHE.get(key)
+def _shard_filter(state: bytes) -> BloomFilter:
+    # keyed by the state BYTES (content), like ops/estimate._sketch_of —
+    # an id()-based key could alias after garbage collection
+    bf = _SHARD_CACHE.get(state)
     if bf is None:
         if len(_SHARD_CACHE) > 256:
             _SHARD_CACHE.clear()
-        bf = _SHARD_CACHE[key] = BloomFilter.from_bytes(shards[shard])
+        bf = _SHARD_CACHE[state] = BloomFilter.from_bytes(state)
     return bf
 
 
@@ -103,10 +104,11 @@ def probe_sharded_col(shards_bc, n_shards: int, *cols) -> F.Column:
             sh = (hv % n_shards + n_shards) % n_shards  # pmod parity
             hits = np.zeros(len(hv), dtype=bool)
             for shard in np.unique(sh):
-                if int(shard) not in shards:
+                state = shards.get(int(shard))
+                if state is None:
                     continue
                 m = sh == shard
-                hits[m] = _shard_filter(shards, int(shard)).contains(hv[m])
+                hits[m] = _shard_filter(state).contains(hv[m])
             full = np.zeros(len(s), dtype=bool)
             full[mask] = hits
             out |= full.astype(np.int64) << i

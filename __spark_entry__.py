@@ -332,6 +332,34 @@ def q_hll_windowed(spark, sf_dir):
                     .cast("int").alias("within_bound")))
 
 
+def q_hll_overlap(spark, sf_dir):
+    """HLL set-operation estimators: distinct-user overlap between the two
+    busiest event types via inclusion-exclusion on the per-type sketches
+    (the "how much do these crawls/segments overlap" question), gated on
+    the compounded additive bound."""
+    from fever_spark.ops.build import sketches_to_dict
+    from fever_spark.sketch.hll import (intersection_error_bound,
+                                        intersection_estimate)
+
+    ev = _read(spark, sf_dir, "events")
+    types = [r["event_type"] for r in
+             ev.groupBy("event_type").count()
+             .orderBy(F.desc("count"), "event_type").limit(2).collect()]
+    merged = two_level_merge(build_sketches(
+        ev.filter(F.col("event_type").isin(types)), ["event_type"],
+        [SketchSpec("u", "hll", "user_id", {"p": 14})]), ["event_type"])
+    sk = sketches_to_dict(merged, ["event_type"])
+    a, b = sk[(types[0], "u")], sk[(types[1], "u")]
+    exact = (ev.filter(F.col("event_type") == types[0]).select("user_id")
+             .intersect(ev.filter(F.col("event_type") == types[1])
+                        .select("user_id")).count())
+    ok = (abs(intersection_estimate(a, b) - exact)
+          <= 4 * intersection_error_bound(a, b))
+    return spark.createDataFrame(
+        [(types[0], types[1], int(ok))],
+        "type_a string, type_b string, within_bound int")
+
+
 def q_cms_bound(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     merged = two_level_merge(
@@ -605,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_extraction": q_text_extraction,
         "q_hll_bound": q_hll_bound,
         "q_hll_windowed": q_hll_windowed,
+        "q_hll_overlap": q_hll_overlap,
         "q_cms_bound": q_cms_bound,
         "q_quantile_bounds": q_quantile_bounds,
         "q_bloom_zero_fn": q_bloom_zero_fn,
@@ -800,6 +829,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
                    1 AS within_bound
             FROM events GROUP BY event_type, CAST(ts AS DATE)
+        """,
+        "q_hll_overlap": """
+            WITH ranked AS (
+              SELECT event_type,
+                     row_number() OVER (ORDER BY count(*) DESC, event_type)
+                       AS rn
+              FROM events GROUP BY event_type)
+            SELECT (SELECT event_type FROM ranked WHERE rn = 1) AS type_a,
+                   (SELECT event_type FROM ranked WHERE rn = 2) AS type_b,
+                   1 AS within_bound
         """,
         "q_cms_bound": """
             SELECT event_type, 1 AS within_bound FROM events GROUP BY event_type

@@ -88,6 +88,10 @@ class HyperLogLog(Sketch):
                 return m * math.log(m / v)  # linear counting, small range
         return float(e)  # 64-bit hash: no large-range correction needed
 
+    def copy(self) -> "HyperLogLog":
+        return HyperLogLog(p=self.p, seed=self.seed,
+                           _registers=self.registers.copy())
+
     # -- serde ---------------------------------------------------------------
 
     @classmethod
@@ -115,3 +119,38 @@ class HyperLogLog(Sketch):
         p, seed = _HEADER.unpack_from(buf, 0)
         regs = np.frombuffer(buf[_HEADER.size:], dtype=np.uint8).copy()
         return cls(p=p, seed=seed, _registers=regs)
+
+
+# -- set-operation estimators (module level: they consume, never mutate) ----
+
+
+def union_estimate(*hlls: HyperLogLog) -> float:
+    """|A ∪ B ∪ ...| — exact on the sketch lattice (register max), same
+    error bound as a single HLL."""
+    if not hlls:
+        return 0.0
+    acc = hlls[0].copy()
+    for h in hlls[1:]:
+        acc.merge(h)
+    return acc.estimate()
+
+
+def intersection_estimate(a: HyperLogLog, b: HyperLogLog) -> float:
+    """|A ∩ B| by inclusion-exclusion: |A| + |B| − |A ∪ B|. The ABSOLUTE
+    error compounds across the three estimates (≈ 1.04/√m × (|A|+|B|+|A∪B|)),
+    so the RELATIVE error blows up for nearly-disjoint sets — callers
+    comparing small overlaps should gate on intersection_error_bound()."""
+    return max(0.0, a.estimate() + b.estimate() - union_estimate(a, b))
+
+
+def intersection_error_bound(a: HyperLogLog, b: HyperLogLog) -> float:
+    """Additive error bound for intersection_estimate (1-sigma of each term
+    summed; multiply by your sigma multiple)."""
+    rel = a.relative_error
+    return rel * (a.estimate() + b.estimate() + union_estimate(a, b))
+
+
+def jaccard_estimate(a: HyperLogLog, b: HyperLogLog) -> float:
+    """|A ∩ B| / |A ∪ B| from the two sketches."""
+    u = union_estimate(a, b)
+    return intersection_estimate(a, b) / u if u > 0 else 0.0

@@ -322,3 +322,39 @@ class TestTDigest:
         qs = np.linspace(0, 1, 101)
         est = td.quantile(qs)
         assert (np.diff(est) >= 0).all()
+
+
+class TestHLLSetOps:
+    def test_intersection_and_jaccard(self):
+        from fever_spark.sketch.hll import (
+            intersection_estimate, intersection_error_bound, jaccard_estimate,
+            union_estimate)
+
+        rng = np.random.default_rng(5)
+        a_vals = rng.choice(200_000, size=50_000, replace=False)
+        b_vals = a_vals[:20_000]  # 20k overlap
+        b_extra = np.arange(300_000, 330_000)
+        a, b = HyperLogLog(p=14), HyperLogLog(p=14)
+        a.update(a_vals.astype(np.int64))
+        b.update(np.concatenate([b_vals, b_extra]).astype(np.int64))
+        true_union = 50_000 + 30_000
+        true_inter = 20_000
+        assert abs(union_estimate(a, b) - true_union) / true_union \
+            <= 4 * a.relative_error
+        est_i = intersection_estimate(a, b)
+        assert abs(est_i - true_inter) <= 4 * intersection_error_bound(a, b)
+        true_j = true_inter / true_union
+        assert abs(jaccard_estimate(a, b) - true_j) <= 0.05
+        # set ops never mutate their inputs
+        before = a.to_bytes()
+        union_estimate(a, b); intersection_estimate(a, b)
+        assert a.to_bytes() == before
+
+    def test_disjoint_intersection_near_zero(self):
+        from fever_spark.sketch.hll import (
+            intersection_error_bound, intersection_estimate)
+
+        a, b = HyperLogLog(p=14), HyperLogLog(p=14)
+        a.update(np.arange(0, 30_000, dtype=np.int64))
+        b.update(np.arange(100_000, 130_000, dtype=np.int64))
+        assert intersection_estimate(a, b) <= 4 * intersection_error_bound(a, b)

@@ -608,6 +608,84 @@ def q_bloom_match_fever_events(spark, sf_dir):
     return alerts.groupBy("match_type").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition statistics (operators/curation.py): duplicate
+    line/word fractions (per-row codegen) + top-word mass (explode + two
+    map-side-combinable aggregations)."""
+    from fever_spark.operators import curation as CUR
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        CUR.duplicate_line_fraction(F.col("text")).alias("dup_line_frac"),
+        CUR.duplicate_word_fraction(F.col("text")).alias("dup_word_frac"))
+    return base.join(CUR.top_word_fraction(docs), "doc_id")
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction + per-class counts. The corpus has no natural PII, so
+    the gate PLANTS a deterministic contact line per doc (same expression in
+    the oracle SQL) — email, dotted IPv4, long account number — then asserts
+    the redacted text and counts byte-match DuckDB's regexp engine."""
+    from fever_spark.operators import curation as CUR
+
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(F.lit("contact u"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com via 10.0."),
+                 (F.col("doc_id") % 200).cast("string"),
+                 F.lit(".7 ref 9123456"), F.col("doc_id").cast("string"),
+                 F.lit(" end")).alias("text"))
+    t = F.col("text")
+    return planted.select("doc_id",
+                          CUR.redact_pii(t).alias("redacted"),
+                          *CUR.pii_counts(t))
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination screen: docs sharing any word-8-gram with the
+    'benchmark' subset (doc_id % 17 == 0). Spark runs BOTH the Bloom screen
+    (broadcast filter, one scan, zero FN) and the exact verify join; rows
+    survive only where the screen's hit count covers the exact count, so a
+    single Bloom false negative loses a row and fails the hash. Output = the
+    exact per-doc contaminated n-gram counts (DuckDB-reproducible)."""
+    from fever_spark.operators import curation as CUR
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    bf = CUR.build_benchmark_bloom(bench, n=8, fpp=1e-6)
+    bc = spark.sparkContext.broadcast(bf.to_bytes())
+    screen = CUR.contamination_screen(docs, bc, n=8)
+    exact = CUR.contamination_exact(docs, bench, n=8)
+    return (exact.join(screen, "doc_id")
+            .filter(F.col("hit_ngrams") >= F.col("contaminated_ngrams"))
+            .select("doc_id", "contaminated_ngrams"))
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-shaped semantic dedup over embeddings. The driver embeddings
+    are near-orthogonal (max pairwise cosine ≈ 0.51), so the gate PLANTS a
+    scaled copy of every 10th vector (scaling preserves direction → cosine
+    1.0, and identical directions always land in the same k-means cell, so
+    the cell-bucketed pair search must find every planted pair). Output =
+    the found pair ids; the oracle is the brute-force cosine≥0.95 pair set
+    over the same planted union — any missed pair (cell split, banding bug)
+    or spurious pair fails the hash."""
+    from fever_spark.operators import curation as CUR
+
+    emb = _read(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.5).alias("embedding"),
+        "label")
+    corpus = emb.unionByName(planted)
+    pairs = CUR.semantic_dedup_pairs(corpus, threshold=0.95,
+                                     n_cells=8, n_probe=2)
+    return pairs.select("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_event_profile": q_event_profile,
@@ -653,6 +731,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_quality_filter": q_quality_filter,
         "q_bloom_match_fever_events": q_bloom_match_fever_events,
+        "q_repetition_stats": q_repetition_stats,
+        "q_pii_redact": q_pii_redact,
+        "q_contamination": q_contamination,
+        "q_semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -1025,5 +1107,85 @@ def oracle_sql() -> dict[str, str]:
                   + (CASE WHEN punct_frac <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2,
                   1.0), 4) AS score
               FROM q) WHERE score >= 0.7
+        """,
+        "q_repetition_stats": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(text, chr(10)) AS lines,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS w
+              FROM documents
+            ), base AS (
+              SELECT doc_id,
+                round(1.0 - len(list_distinct(lines))::DOUBLE
+                        / greatest(len(lines), 1), 4) AS dup_line_frac,
+                round(1.0 - len(list_distinct(w))::DOUBLE
+                        / greatest(len(w), 1), 4) AS dup_word_frac
+              FROM toks
+            ), pw AS (
+              SELECT doc_id, unnest(w) AS word FROM toks
+            ), wc AS (
+              SELECT doc_id, word, count(*) AS c FROM pw GROUP BY 1, 2
+            ), tw AS (
+              SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4)
+                       AS top_word_frac
+              FROM wc GROUP BY doc_id
+            )
+            SELECT base.doc_id, dup_line_frac, dup_word_frac, top_word_frac
+            FROM base JOIN tw USING (doc_id)
+        """,
+        "q_pii_redact": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     'contact u' || doc_id || '@example.com via 10.0.'
+                       || (doc_id % 200) || '.7 ref 9123456' || doc_id
+                       || ' end' AS text
+              FROM documents)
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                '\b\d{9,16}\b', '<ID>', 'g') AS redacted,
+              len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                AS n_email,
+              len(regexp_extract_all(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+              len(regexp_extract_all(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                '\b\d{9,16}\b')) AS n_id_number
+            FROM planted
+        """,
+        "q_contamination": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS w
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, greatest(len(w) - 7, 0) + 1),
+                       i -> array_to_string(w[i:i+7], ' '))) AS g
+              FROM toks
+            ), bench AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0
+            )
+            SELECT grams.doc_id,
+                   count(*) AS contaminated_ngrams
+            FROM grams JOIN bench USING (g)
+            GROUP BY grams.doc_id
+        """,
+        "q_semantic_dedup": """
+            WITH corpus AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000,
+                     list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
+              FROM embeddings WHERE vec_id % 10 = 0
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.95
         """,
     }

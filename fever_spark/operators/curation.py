@@ -1,0 +1,317 @@
+"""Corpus-curation operators for web-scale LLM training-data pipelines.
+
+Four families on top of the dedup/quality stack:
+
+- Repetition statistics (Gopher-style rules): duplicate-line fraction,
+  duplicate-word fraction, top-word mass — all JVM codegen, no UDFs.
+- PII redaction / counting: chained JVM regexp_replace / regexp_count.
+- Benchmark-contamination screening: word n-gram overlap between a training
+  corpus and an eval/benchmark set, screened through a Bloom filter over the
+  benchmark's n-gram hashes (zero false negatives — a contaminated document
+  can never slip through; rare FPs are removed by the exact verify pass).
+- Semantic dedup (SemDeDup shape): k-means cells over embeddings, exact
+  within-cell cosine; candidates never leave their cell → no all-pairs join.
+
+Scale notes (10^12 docs):
+- Repetition/PII are per-row expressions — embarrassingly parallel,
+  whole-stage codegen, no shuffle.
+- top_word_fraction shuffles (id, word) with map-side partial aggregation;
+  key cardinality is bounded by per-doc vocabulary, not corpus vocabulary.
+- The contamination Bloom is built DISTRIBUTED (partition-local states,
+  two-level salted merge — the same tree-reduce as every other sketch here)
+  and broadcast once; probing is one vectorized UDF over int64 hash arrays,
+  so the (usually huge) training side is a single scan with no shuffle.
+- Semantic dedup's within-cell pairwise work is O(cell²) numpy matmul;
+  n_cells is the knob that bounds cell size to executor memory (SemDeDup
+  uses ~100k cells at web scale). Multi-probe assignment (top-2 cells)
+  catches boundary pairs that a hard partition would lose.
+
+The reference has no corpus curation — these extend its per-event string
+discipline (processing/bloom_handler.go membership semantics: zero FN,
+FP-tolerated-then-verified) to training-data screening, per the graft
+instructions §"training-data pipeline".
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ------------------------------------------------------------- repetition
+
+
+def _words(text: Column) -> Column:
+    """Lowered whitespace tokens — the shared tokenization of the dedup
+    family (dedup._word_shingles) expressed as a JVM column."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def duplicate_line_fraction(text: Column) -> Column:
+    """Fraction of newline-delimited lines that repeat an earlier line.
+    Gopher-style boilerplate detector (nav bars, cookie banners)."""
+    lines = F.split(text, "\n")
+    return F.round(
+        1.0 - F.size(F.array_distinct(lines)).cast("double")
+        / F.greatest(F.size(lines), F.lit(1)), 4)
+
+
+def duplicate_word_fraction(text: Column) -> Column:
+    """Fraction of whitespace tokens that repeat an earlier token."""
+    w = _words(text)
+    return F.round(
+        1.0 - F.size(F.array_distinct(w)).cast("double")
+        / F.greatest(F.size(w), F.lit(1)), 4)
+
+
+def top_word_fraction(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(id_col, top_word_frac): share of tokens taken by the single most
+    frequent token. Explode → groupBy(id, word) with map-side combine →
+    per-doc max/sum; the shuffle key includes the doc id, so partial
+    aggregation collapses each partition's contribution first."""
+    per_word = (df.select(id_col, F.explode(_words(F.col(text_col))).alias("w"))
+                .groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c")))
+    return (per_word.groupBy(id_col)
+            .agg(F.round(F.max("c").cast("double") / F.sum("c"), 4)
+                 .alias("top_word_frac")))
+
+
+def repetition_filter(df: DataFrame, text_col: str = "text",
+                      max_dup_line_frac: float = 0.3,
+                      max_dup_word_frac: float = 0.7) -> DataFrame:
+    """Drop documents above the repetition thresholds (Gopher rules)."""
+    t = F.col(text_col)
+    return df.filter((duplicate_line_fraction(t) <= max_dup_line_frac)
+                     & (duplicate_word_fraction(t) <= max_dup_word_frac))
+
+
+# ------------------------------------------------------------------ PII
+
+# Order matters: emails first (contain dots/digits), then dotted IPv4,
+# then bare long digit runs (phone/account/card shapes). Patterns are kept
+# to the Java∩RE2 common dialect so the DuckDB oracle runs them verbatim.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("id_number", r"\b\d{9,16}\b", "<ID>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace PII spans with typed placeholders — chained JVM
+    regexp_replace, whole-stage codegen."""
+    out = text
+    for _, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """One count column per PII class (aliased n_<class>), counted on the
+    progressively-redacted text so classes never double-count a span."""
+    cols, cur = [], text
+    for name, pattern, token in PII_PATTERNS:
+        cols.append(F.regexp_count(cur, F.lit(pattern)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pattern, token)
+    return cols
+
+
+# ---------------------------------------------------- contamination screen
+
+
+def word_ngrams(text: Column, n: int = 8) -> Column:
+    """array<string> of word n-grams (space-joined), JVM-only. Documents
+    shorter than n words yield an empty array (the sequence() guard matters:
+    sequence(1, 0) would DESCEND)."""
+    w = _words(text)
+    return F.when(
+        F.size(w) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                    lambda i: F.array_join(F.slice(w, i, n), " "))
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
+def ngram_hashes(text: Column, n: int = 8) -> Column:
+    """array<bigint> of xxhash64(n-gram) — the probe payload. Hashing
+    JVM-side means n-gram STRINGS never cross the Arrow boundary; only
+    fixed-width int64s do (same win as the prehashed Bloom IOC path,
+    ops/bloom_match.py)."""
+    return F.transform(word_ngrams(text, n), lambda g: F.xxhash64(g))
+
+
+def build_benchmark_bloom(benchmark: DataFrame, text_col: str = "text",
+                          n: int = 8, fpp: float = 1e-6,
+                          capacity: int | None = None):
+    """BloomFilter over the benchmark set's distinct n-gram hashes, built
+    DISTRIBUTED: explode hashes → distinct → partition-local Bloom states →
+    two-level salted merge → ONE state collected. The benchmark corpus never
+    funnels through the driver; only the merged filter does (exactly the
+    fever startup shape: one filter file loaded once, then broadcast —
+    processing/bloom_handler.go:97-129).
+
+    capacity=None counts distinct n-grams first (one extra cheap pass over
+    the — small — benchmark side); pass an estimate to skip it.
+    """
+    from fever_spark.ops.build import SketchSpec, build_sketches
+    from fever_spark.ops.merge import two_level_merge
+    from fever_spark.sketch.bloom import BloomFilter
+
+    hashes = (benchmark
+              .select(F.explode(ngram_hashes(F.col(text_col), n)).alias("h"))
+              .distinct())
+    if capacity is None:
+        capacity = max(hashes.count(), 1)
+    merged = two_level_merge(
+        build_sketches(hashes, [],
+                       [SketchSpec("bench", "bloom", "h",
+                                   {"capacity": capacity, "fpp": fpp})]), [])
+    row = merged.select("state").first()
+    if row is None:  # empty benchmark → empty filter, matches nothing
+        return BloomFilter(capacity=1, fpp=fpp)
+    return BloomFilter.from_bytes(bytes(row["state"]))
+
+
+def contamination_screen(df: DataFrame, bloom_bc, n: int = 8,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(id_col, total_ngrams, hit_ngrams) per training document, where
+    hit_ngrams counts n-grams the benchmark Bloom claims to contain.
+    Zero-FN by Bloom semantics: every truly shared n-gram is counted, so
+    `hit_ngrams == 0` is a SAFE keep decision; hit_ngrams > 0 rows go to
+    the exact verify (contamination_exact) — fever's FP-tolerated-then-
+    verified discipline. One scan, no shuffle: the filter is broadcast and
+    probing is one Arrow-batched UDF over int64 arrays."""
+    from fever_spark.sketch.bloom import BloomFilter
+
+    @F.pandas_udf(T.LongType())
+    def hit_count(hs: pd.Series) -> pd.Series:
+        bf = BloomFilter.from_bytes(bloom_bc.value)
+        lens = np.fromiter((len(a) for a in hs), dtype=np.int64,
+                           count=len(hs))
+        if lens.sum() == 0:
+            return pd.Series(np.zeros(len(hs), dtype=np.int64))
+        flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in hs
+                               if len(a)])
+        mask = bf.contains(flat).astype(np.int64)
+        ends = np.cumsum(lens)
+        sums = np.add.reduceat(mask, np.concatenate(([0], ends[:-1]))[lens > 0]
+                               ) if (lens > 0).any() else np.array([], dtype=np.int64)
+        out = np.zeros(len(hs), dtype=np.int64)
+        out[lens > 0] = sums
+        return pd.Series(out)
+
+    # asNondeterministic: keep Catalyst from double-running the probe on
+    # both sides of a pushed-down filter (same guard as bloom_match_pages)
+    hit_count = hit_count.asNondeterministic()
+    h = ngram_hashes(F.col(text_col), n)
+    return df.select(
+        id_col,
+        F.size(h).alias("total_ngrams"),
+        hit_count(h).alias("hit_ngrams"))
+
+
+def contamination_exact(df: DataFrame, benchmark: DataFrame, n: int = 8,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(id_col, contaminated_ngrams) — EXACT per-doc count of word n-grams
+    shared with the benchmark set, via explode + broadcast semi-shaped join
+    on the n-gram string. This is the verify pass run on the (tiny) subset
+    the Bloom screen flagged; calling it on the full corpus is the
+    small-scale ground-truth / oracle path."""
+    grams = df.select(id_col,
+                      F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+    bench = (benchmark
+             .select(F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+             .distinct())
+    return (grams.join(F.broadcast(bench), "g")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("contaminated_ngrams")))
+
+
+# ----------------------------------------------------------- semantic dedup
+
+
+def semantic_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
+                         id_col: str = "vec_id", threshold: float = 0.92,
+                         n_cells: int = 8, n_probe: int = 2,
+                         seed: int = 11) -> DataFrame:
+    """SemDeDup-shaped near-dup pairs: k-means cells over unit vectors,
+    exact cosine only WITHIN a cell. Returns (id_a, id_b, cosine) with
+    cosine >= threshold, id_a < id_b.
+
+    - Cells come from the IVF trainer (operators/ann.py) — sampled k-means,
+      centroids broadcast.
+    - Each vector is assigned to its n_probe nearest cells, so a pair
+      sitting on a cell boundary still co-occurs somewhere (the recall gate
+      q_semantic_dedup measures exactly this against the brute-force oracle).
+    - Per-cell pairwise cosine is one numpy matmul inside applyInPandas;
+      cell size — corpus/n_cells — is the memory knob.
+    - Pair dedup across the n_probe assignments is a distinct() on
+      (id_a, id_b), map-side combinable.
+    """
+    from fever_spark.operators.ann import train_ivf_centroids
+
+    centroids = train_ivf_centroids(df, n_cells=n_cells, vec_col=vec_col,
+                                    seed=seed)
+    cbc = df.sparkSession.sparkContext.broadcast(
+        np.asarray(centroids, dtype=np.float64))
+    k_probe = min(n_probe, len(centroids))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        C = cbc.value
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        sims = M @ C.T
+        top = np.argsort(-sims, axis=1)[:, :k_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    assigned = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+                .withColumn("cell", F.explode(cells(F.col("v")))))
+
+    out_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def pairs_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        ids = pdf["id"].to_numpy()
+        M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        S = M @ M.T
+        ia, ib = np.triu_indices(m, k=1)
+        keep = S[ia, ib] >= threshold
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi,
+                             "cosine": np.round(S[ia, ib][keep], 6)})
+
+    pairs = assigned.groupBy("cell").applyInPandas(pairs_in_cell, out_schema)
+    # a boundary pair can surface from both probed cells — keep one copy
+    return pairs.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
+
+
+def semantic_dedup_keep(df: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id", threshold: float = 0.92,
+                        n_cells: int = 8, n_probe: int = 2,
+                        seed: int = 11) -> DataFrame:
+    """Drop all but the lowest-id member of each semantic near-dup cluster
+    (connected components over the pair graph, dedup.near_dup_clusters)."""
+    from fever_spark.operators.dedup import near_dup_clusters
+
+    pairs = semantic_dedup_pairs(df, vec_col, id_col, threshold,
+                                 n_cells, n_probe, seed)
+    clusters = near_dup_clusters(pairs)  # (id, cluster_id=min id reachable)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")) \
+        .select(F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

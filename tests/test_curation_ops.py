@@ -1,0 +1,146 @@
+"""Curation operators: repetition stats, PII redaction, benchmark
+contamination (Bloom screen + exact verify), semantic dedup."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fever_spark.operators import curation as CUR
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_small):
+    return spark.read.parquet(f"{sf_small}/documents.parquet")
+
+
+class TestRepetition:
+    def test_duplicate_fractions_known_values(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b a b a"),          # 5 words, 2 distinct → 0.6 dup
+             (2, "x\ny\nx\nz"),          # 4 lines, 3 distinct → 0.25 dup
+             (3, "all distinct words"),
+             (4, "")],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in df.select(
+            "doc_id",
+            CUR.duplicate_word_fraction(F.col("text")).alias("dwf"),
+            CUR.duplicate_line_fraction(F.col("text")).alias("dlf"),
+        ).collect()}
+        assert rows[1]["dwf"] == 0.6
+        assert rows[2]["dlf"] == 0.25
+        assert rows[3]["dwf"] == 0.0
+        assert rows[4]["dwf"] == 0.0  # empty text → no repetition, no NaN
+
+    def test_top_word_fraction(self, spark):
+        df = spark.createDataFrame([(1, "spam spam spam eggs")],
+                                   "doc_id long, text string")
+        [row] = CUR.top_word_fraction(df).collect()
+        assert row["top_word_frac"] == 0.75
+
+    def test_repetition_filter_drops_degenerate(self, spark):
+        df = spark.createDataFrame(
+            [(1, "w " * 500), (2, "a perfectly normal varied sentence")],
+            "doc_id long, text string")
+        kept = [r["doc_id"]
+                for r in CUR.repetition_filter(df).select("doc_id").collect()]
+        assert kept == [2]
+
+
+class TestPII:
+    def test_redact_and_count(self, spark):
+        df = spark.createDataFrame(
+            [("write to jane.doe+x@sub.example.org from 192.168.001.5, "
+              "acct 12345678901 ok",)], "text string")
+        [row] = df.select(CUR.redact_pii(F.col("text")).alias("r"),
+                          *CUR.pii_counts(F.col("text"))).collect()
+        assert "<EMAIL>" in row["r"] and "<IP>" in row["r"] and "<ID>" in row["r"]
+        assert "example.org" not in row["r"]
+        assert (row["n_email"], row["n_ipv4"], row["n_id_number"]) == (1, 1, 1)
+
+    def test_no_double_count_across_classes(self, spark):
+        # the digits inside an email / IP must not count again as id_number
+        df = spark.createDataFrame([("a123456789@x.io and 10.1.2.3",)],
+                                   "text string")
+        [row] = df.select(*CUR.pii_counts(F.col("text"))).collect()
+        assert row["n_id_number"] == 0
+
+    def test_clean_text_untouched(self, spark):
+        df = spark.createDataFrame([("no personal data here at all",)],
+                                   "text string")
+        [row] = df.select(CUR.redact_pii(F.col("text")).alias("r")).collect()
+        assert row["r"] == "no personal data here at all"
+
+
+class TestContamination:
+    def test_short_doc_ngram_guard(self, spark):
+        # sequence(1, 0) would DESCEND — docs shorter than n must yield []
+        df = spark.createDataFrame([(1, "only two"), (2, None),
+                                    (3, " ".join(f"w{i}" for i in range(9)))],
+                                   "doc_id long, text string")
+        rows = {r["doc_id"]: r["ng"] for r in df.select(
+            "doc_id", F.size(CUR.word_ngrams(F.col("text"), 8)).alias("ng")
+        ).collect()}
+        assert rows[1] == 0 and rows[3] == 2
+        assert rows[2] <= 0  # null text → null/empty, never a bogus gram
+
+    def test_screen_zero_false_negatives(self, spark, docs):
+        bench = docs.filter(F.col("doc_id") % 11 == 0)
+        bf = CUR.build_benchmark_bloom(bench, n=8, fpp=1e-4)
+        bc = spark.sparkContext.broadcast(bf.to_bytes())
+        screen = {r["doc_id"]: r["hit_ngrams"]
+                  for r in CUR.contamination_screen(docs, bc, n=8).collect()}
+        exact = {r["doc_id"]: r["contaminated_ngrams"]
+                 for r in CUR.contamination_exact(docs, bench, n=8).collect()}
+        assert exact, "fixture must actually contaminate"
+        for doc_id, true_hits in exact.items():
+            # Bloom may overcount (FP) but can NEVER undercount (FN)
+            assert screen[doc_id] >= true_hits
+
+    def test_screen_counts_bounded_by_total(self, spark, docs):
+        bench = docs.limit(3)
+        bf = CUR.build_benchmark_bloom(bench, n=8)
+        bc = spark.sparkContext.broadcast(bf.to_bytes())
+        bad = CUR.contamination_screen(docs, bc, n=8) \
+            .filter(F.col("hit_ngrams") > F.col("total_ngrams")).count()
+        assert bad == 0
+
+    def test_benchmark_doc_is_fully_contaminated(self, spark, docs):
+        bench = docs.filter(F.col("doc_id") == 0)
+        n_grams = docs.filter(F.col("doc_id") == 0).select(
+            F.size(CUR.word_ngrams(F.col("text"), 8)).alias("n")
+        ).first()["n"]
+        exact = {r["doc_id"]: r["contaminated_ngrams"]
+                 for r in CUR.contamination_exact(docs, bench, n=8).collect()}
+        assert exact[0] == n_grams
+
+
+class TestSemanticDedup:
+    def _with_planted(self, spark, sf_med):
+        emb = spark.read.parquet(f"{sf_med}/embeddings.parquet") \
+            .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+            (F.col("vec_id") + 10_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+            "label")
+        return emb.unionByName(planted), planted.count()
+
+    def test_planted_pairs_all_found(self, spark, sf_med):
+        corpus, n_planted = self._with_planted(spark, sf_med)
+        pairs = CUR.semantic_dedup_pairs(corpus, threshold=0.99).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        expected = {(v, v + 10_000) for v in range(0, 500, 25)}
+        assert expected <= found
+        for r in pairs:
+            assert r["cosine"] >= 0.99
+
+    def test_keep_drops_exactly_the_copies(self, spark, sf_med):
+        corpus, n_planted = self._with_planted(spark, sf_med)
+        kept = CUR.semantic_dedup_keep(corpus, threshold=0.99)
+        # canonical = lowest id → the planted high-id copies are the losers
+        assert kept.count() == corpus.count() - n_planted
+        assert kept.filter(F.col("vec_id") >= 10_000).count() == 0
+
+    def test_no_pairs_in_orthogonal_corpus(self, spark, sf_med):
+        emb = spark.read.parquet(f"{sf_med}/embeddings.parquet") \
+            .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        assert CUR.semantic_dedup_pairs(emb, threshold=0.95).count() == 0

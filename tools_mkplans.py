@@ -125,6 +125,32 @@ wsc = [l.strip()[:120] for l in p6.splitlines() if "WholeStageCodegen" in l]
 sections.append(("Text analysis: whole-stage codegen, zero Python",
     "lang_id + quality_score + fingerprint —", "\n".join(wsc) or p6.splitlines()[0]))
 
+# 6b. contamination screen: pruned scan, ONE ArrowEvalPython, no shuffle
+from fever_spark.operators import curation as CUR
+bench_bf = CUR.build_benchmark_bloom(docs.limit(5), n=8, fpp=1e-5)
+bc2 = spark.sparkContext.broadcast(bench_bf.to_bytes())
+p6b = plan(CUR.contamination_screen(docs, bc2, n=8))
+n_arrow = p6b.count("ArrowEvalPython")
+has_exchange = "Exchange" in p6b
+scan6b = [l.strip()[:300] for l in p6b.splitlines() if "FileScan" in l]
+sections.append(("Contamination screen: one scan, one Arrow probe, ZERO shuffles",
+    f"contamination_screen — n-gram hashing is JVM codegen (only int64 "
+    f"arrays cross Arrow), the Bloom is broadcast; ArrowEvalPython nodes: "
+    f"{n_arrow}, Exchange nodes present: {has_exchange}. ReadSchema prunes "
+    f"to (doc_id, text):", "\n".join(scan6b)))
+
+# 6c. semantic dedup: exchanges keyed by cell only, pairwise work inside cells
+emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet") \
+    .withColumn("embedding", F.col("embedding").cast("array<double>"))
+p6c = plan(CUR.semantic_dedup_pairs(emb, threshold=0.9, n_cells=4))
+exch6c = [l.strip()[:160] for l in p6c.splitlines()
+          if "Exchange hashpartitioning" in l or "FlatMapGroupsInPandas" in l]
+sections.append(("Semantic dedup: candidates never leave their k-means cell",
+    "semantic_dedup_pairs — one exchange on cell (the applyInPandas group), "
+    "one on (id_a, id_b) for the cross-probe distinct; no cartesian node "
+    "anywhere (within-cell pairwise is a numpy matmul inside the group):",
+    "\n".join(exch6c)))
+
 # 7. where bloom_match's round-1 46.8s actually went (profiled)
 sections.append(("bloom_match wall-time, profiled (round-1 'unexplained 46.8s')",
     "Stage-level timings at 1M pages, local[32] (profile scripts in round-2 "

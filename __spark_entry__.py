@@ -663,6 +663,23 @@ def q_contamination(spark, sf_dir):
             .select("doc_id", "contaminated_ngrams"))
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Cross-document paragraph dedup (RefinedWeb/C4 boilerplate pass). The
+    corpus is single-line, so the gate PLANTS two extra paragraphs per doc —
+    a global boilerplate line and a shared-by-(doc_id%7) promo line — then
+    asserts the reassembled texts byte-match DuckDB's window-rank dedup:
+    boilerplate survives only in doc 0, each promo line only in the lowest
+    doc of its class, original order preserved everywhere."""
+    from fever_spark.operators import curation as CUR
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit("\nsubscribe to our newsletter today\nshared promo "),
+                 (F.col("doc_id") % 7).cast("string")).alias("text"))
+    return CUR.paragraph_dedup(docs, id_col="doc_id", text_col="text")
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-shaped semantic dedup over embeddings. The driver embeddings
     are near-orthogonal (max pairwise cosine ≈ 0.51), so the gate PLANTS a
@@ -735,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_redact": q_pii_redact,
         "q_contamination": q_contamination,
         "q_semantic_dedup": q_semantic_dedup,
+        "q_paragraph_dedup": q_paragraph_dedup,
     }
 
 
@@ -1175,6 +1193,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS contaminated_ngrams
             FROM grams JOIN bench USING (g)
             GROUP BY grams.doc_id
+        """,
+        "q_paragraph_dedup": """
+            WITH planted AS (
+              SELECT doc_id, text || chr(10)
+                     || 'subscribe to our newsletter today' || chr(10)
+                     || 'shared promo ' || (doc_id % 7) AS text
+              FROM documents
+            ), p AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS para,
+                     unnest(range(1, len(string_split(text, chr(10))) + 1))
+                       AS pos
+              FROM planted
+            ), k AS (
+              SELECT doc_id, para, pos,
+                     row_number() OVER (PARTITION BY para
+                                        ORDER BY doc_id, pos) AS rn
+              FROM p
+            )
+            SELECT d.doc_id, coalesce(s.text, '') AS text
+            FROM planted d LEFT JOIN (
+              SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+              FROM k WHERE rn = 1 GROUP BY doc_id) s USING (doc_id)
         """,
         "q_semantic_dedup": """
             WITH corpus AS (

@@ -2,17 +2,23 @@
 the library's first-class operators —
 
   annotate (lang-id, quality score, token count; all whole-stage codegen)
-    → threshold filter (quality / language / token bounds)
+    → threshold filter (quality / language / token bounds / repetition)
+    → PII redaction (optional, chained codegen regexp)
+    → paragraph dedup (optional, cross-doc boilerplate removal)
     → exact dedup (normalized-content fingerprint)
     → near-dup dedup (MinHash-LSH pairs → connected components → keep the
       canonical doc per cluster)
+    → contamination screen (optional: drop docs sharing word n-grams with a
+      benchmark corpus — Bloom broadcast, zero FN, exact verify)
     → deterministic hash sample (repartition-stable membership)
     → partitioned write + a JSON manifest of per-stage survivor counts.
 
 Run: spark-submit --py-files fever_spark.zip -m fever_spark.jobs.curate \
        --input /data/documents --output /data/curated [--min-quality 0.5]
        [--langs en,de] [--min-tokens 10] [--max-tokens 100000]
-       [--near-dup-threshold 0.7] [--sample-rate 1.0]
+       [--near-dup-threshold 0.7] [--sample-rate 1.0] [--redact-pii]
+       [--paragraph-dedup] [--max-dup-word-frac 0.7]
+       [--benchmark /data/benchmark]
 
 Scale shape: annotate/filter are one codegen'd pass; exact dedup is one
 hash-shuffle; LSH is signature UDF + banded equi-join (ids only); cluster
@@ -30,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fever_spark.functions import text as TXT
-from fever_spark.operators import dedup, sampling
+from fever_spark.operators import curation, dedup, sampling
 
 
 def curate(spark: SparkSession, input_path: str, output_path: str,
@@ -38,7 +44,11 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
            min_quality: float = 0.5, langs: list[str] | None = None,
            min_tokens: int = 5, max_tokens: int = 1_000_000,
            near_dup_threshold: float = 0.7, sample_rate: float = 1.0,
-           seed: int = 0) -> dict:
+           seed: int = 0, redact_pii: bool = False,
+           paragraph_dedup: bool = False,
+           max_dup_word_frac: float | None = None,
+           benchmark_path: str | None = None,
+           contamination_ngram: int = 8) -> dict:
     docs = spark.read.parquet(input_path)
     counts = {"input": docs.count()}
 
@@ -54,9 +64,22 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
         # prefer a trusted lang column when the corpus carries one
         lang_col = F.col("lang") if "lang" in docs.columns else F.col("_lang")
         cond = cond & lang_col.isin(list(langs))
-    filtered = annotated.filter(cond).drop("_lang") \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    if max_dup_word_frac is not None:
+        cond = cond & (curation.duplicate_word_fraction(F.col(text_col))
+                       <= max_dup_word_frac)
+    filtered = annotated.filter(cond).drop("_lang")
+    if redact_pii:
+        # same pass as the filter — redaction is a codegen'd projection
+        filtered = filtered.withColumn(text_col,
+                                       curation.redact_pii(F.col(text_col)))
+    filtered = filtered.persist(StorageLevel.MEMORY_AND_DISK)
     counts["after_quality_filter"] = filtered.count()
+
+    if paragraph_dedup:
+        filtered = curation.paragraph_dedup(filtered, id_col, text_col) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        counts["after_paragraph_dedup"] = \
+            filtered.filter(F.col(text_col) != "").count()
 
     exact = dedup.exact_dedup(filtered, text_col, id_col) \
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -69,6 +92,21 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
         .persist(StorageLevel.MEMORY_AND_DISK)
     counts["after_near_dup"] = neardup.count()
 
+    if benchmark_path:
+        # Bloom screen keeps only hit_ngrams == 0 docs — zero-FN semantics
+        # make that a SAFE drop-side decision (no contaminated doc survives;
+        # rare FPs only over-drop, counted in the manifest delta)
+        bench = spark.read.parquet(benchmark_path)
+        bf = curation.build_benchmark_bloom(bench, text_col,
+                                            n=contamination_ngram)
+        bc = spark.sparkContext.broadcast(bf.to_bytes())
+        clean_ids = (curation.contamination_screen(
+            neardup, bc, contamination_ngram, text_col, id_col)
+            .filter(F.col("hit_ngrams") == 0).select(id_col))
+        neardup = neardup.join(clean_ids, id_col, "left_semi") \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        counts["after_contamination_screen"] = neardup.count()
+
     out = (sampling.deterministic_sample(neardup, id_col, sample_rate, seed)
            if sample_rate < 1.0 else neardup)
     out.write.mode("overwrite").parquet(output_path)
@@ -79,7 +117,12 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
         "params": {"min_quality": min_quality, "langs": langs,
                    "min_tokens": min_tokens, "max_tokens": max_tokens,
                    "near_dup_threshold": near_dup_threshold,
-                   "sample_rate": sample_rate, "seed": seed},
+                   "sample_rate": sample_rate, "seed": seed,
+                   "redact_pii": redact_pii,
+                   "paragraph_dedup": paragraph_dedup,
+                   "max_dup_word_frac": max_dup_word_frac,
+                   "benchmark": benchmark_path,
+                   "contamination_ngram": contamination_ngram},
     }
     tmp = os.path.join(output_path, "_curation_manifest.json.tmp")
     final = os.path.join(output_path, "_curation_manifest.json")
@@ -106,6 +149,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--near-dup-threshold", type=float, default=0.7)
     ap.add_argument("--sample-rate", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--redact-pii", action="store_true")
+    ap.add_argument("--paragraph-dedup", action="store_true")
+    ap.add_argument("--max-dup-word-frac", type=float, default=None)
+    ap.add_argument("--benchmark", default=None,
+                    help="parquet path of an eval corpus to screen against")
+    ap.add_argument("--contamination-ngram", type=int, default=8)
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -116,7 +165,11 @@ def main(argv: list[str] | None = None) -> None:
         langs=[x for x in args.langs.split(",") if x] or None,
         min_tokens=args.min_tokens, max_tokens=args.max_tokens,
         near_dup_threshold=args.near_dup_threshold,
-        sample_rate=args.sample_rate, seed=args.seed)
+        sample_rate=args.sample_rate, seed=args.seed,
+        redact_pii=args.redact_pii, paragraph_dedup=args.paragraph_dedup,
+        max_dup_word_frac=args.max_dup_word_frac,
+        benchmark_path=args.benchmark,
+        contamination_ngram=args.contamination_ngram)
     print(json.dumps(manifest))
     spark.stop()
 

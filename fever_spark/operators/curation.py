@@ -231,6 +231,50 @@ def contamination_exact(df: DataFrame, benchmark: DataFrame, n: int = 8,
             .agg(F.count(F.lit(1)).alias("contaminated_ngrams")))
 
 
+# --------------------------------------------------------- paragraph dedup
+
+
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", sep: str = "\n") -> DataFrame:
+    """Cross-document paragraph-level dedup (the RefinedWeb/C4 boilerplate
+    pass): each distinct paragraph survives ONLY at its first occurrence —
+    ordered by (doc id, position) — and is removed everywhere else; every
+    document is reassembled with its remaining paragraphs in original order.
+    Returns df with `text_col` replaced (docs reduced to zero paragraphs
+    keep an empty string; other columns pass through).
+
+    Shape: posexplode → window rank over xxhash64(paragraph) → filter →
+    re-assemble via sort_array(collect_list(struct(pos, para))). Two
+    shuffles, both bounded: one keyed by paragraph fingerprint (64-bit, so
+    the hot boilerplate key is ONE group — skew there means that group is
+    large, but its payload is (id, pos) pairs, not text, and AQE skew-split
+    handles it), one keyed by doc id for reassembly. Dedup is by 64-bit
+    content fingerprint, not the paragraph string, so the fingerprint
+    shuffle carries 8-byte keys; collisions are ~n²/2^65.
+    """
+    other_cols = [c for c in df.columns if c != text_col]
+    paras = df.select(
+        *other_cols,
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"))
+    from pyspark.sql import Window
+    w = Window.partitionBy(F.xxhash64("_para")).orderBy(id_col, "_pos")
+    kept = (paras.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1))
+    reassembled = (kept.groupBy(*other_cols)
+                   .agg(F.array_join(
+                       F.transform(
+                           F.array_sort(F.collect_list(
+                               F.struct("_pos", "_para"))),
+                           lambda s: s["_para"]),
+                       sep).alias(text_col)))
+    # docs whose every paragraph was claimed elsewhere drop out of `kept`;
+    # restore them with empty text so the operator is row-preserving
+    lost = (df.select(*other_cols)
+            .join(reassembled.select(*other_cols), other_cols, "left_anti")
+            .withColumn(text_col, F.lit("")))
+    return reassembled.unionByName(lost).select(*df.columns)
+
+
 # ----------------------------------------------------------- semantic dedup
 
 

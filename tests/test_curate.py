@@ -64,3 +64,40 @@ def test_curate_lang_filter_and_sample(spark, corpus_dir, tmp_path):
                  langs=["de"], sample_rate=0.5)
     assert man["counts"]["after_quality_filter"] == 0  # corpus is en-only
     assert man["counts"]["written"] == 0
+
+
+def test_curate_full_stack_options(spark, corpus_dir, tmp_path):
+    """PII redaction + paragraph dedup + repetition gate + contamination
+    screen, all in one run."""
+    # benchmark corpus = doc 5's exact text → doc 5 must be screened out
+    docs = spark.read.parquet(corpus_dir)
+    bench_dir = str(tmp_path / "bench")
+    docs.filter(F.col("doc_id") == 5).write.parquet(bench_dir)
+
+    out = str(tmp_path / "curated3")
+    man = curate(spark, corpus_dir, out, min_quality=0.5, min_tokens=5,
+                 near_dup_threshold=0.6, redact_pii=True,
+                 paragraph_dedup=True, max_dup_word_frac=0.9,
+                 benchmark_path=bench_dir, contamination_ngram=8)
+    c = man["counts"]
+    assert c["after_contamination_screen"] == c["after_near_dup"] - 1
+    kept = {r["doc_id"] for r in spark.read.parquet(out)
+            .select("doc_id").collect()}
+    assert 5 not in kept and 0 in kept
+    assert man["params"]["redact_pii"] is True
+
+
+def test_curate_repetition_gate_drops_degenerate(spark, tmp_path):
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "spam " * 60, "en"),
+         (2, "the quick brown fox jumps over the lazy dog near a river "
+             "bank while birds sing", "en")],
+        "doc_id long, text string, lang string").write.parquet(src)
+    out = str(tmp_path / "curated4")
+    man = curate(spark, src, out, min_quality=0.0, min_tokens=1,
+                 max_dup_word_frac=0.5)
+    kept = {r["doc_id"] for r in spark.read.parquet(out)
+            .select("doc_id").collect()}
+    assert kept == {2}
+    assert man["counts"]["after_quality_filter"] == 1

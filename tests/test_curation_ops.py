@@ -114,6 +114,46 @@ class TestContamination:
         assert exact[0] == n_grams
 
 
+class TestParagraphDedup:
+    def test_boilerplate_survives_only_first_occurrence(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha\nSUBSCRIBE NOW\nbeta"),
+             (2, "gamma\nSUBSCRIBE NOW"),
+             (3, "SUBSCRIBE NOW\ndelta")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r["text"]
+               for r in CUR.paragraph_dedup(df).collect()}
+        assert out[1] == "alpha\nSUBSCRIBE NOW\nbeta"
+        assert out[2] == "gamma"
+        assert out[3] == "delta"
+
+    def test_order_preserved_and_row_preserving(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x\ny\nz"), (2, "z\ny\nx"), (3, "y")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r["text"]
+               for r in CUR.paragraph_dedup(df).collect()}
+        assert out[1] == "x\ny\nz"
+        assert out[2] == ""   # every paragraph claimed by doc 1 — row kept
+        assert out[3] == ""
+        assert len(out) == 3
+
+    def test_within_doc_duplicates_collapse_too(self, spark):
+        # the SAME paragraph twice in one doc: first position wins
+        df = spark.createDataFrame([(1, "a\nb\na")],
+                                   "doc_id long, text string")
+        [r] = CUR.paragraph_dedup(df).collect()
+        assert r["text"] == "a\nb"
+
+    def test_other_columns_pass_through(self, spark):
+        df = spark.createDataFrame([(1, "en", "p\nq"), (2, "de", "q\nr")],
+                                   "doc_id long, lang string, text string")
+        out = CUR.paragraph_dedup(df)
+        assert set(out.columns) == {"doc_id", "lang", "text"}
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert rows[2]["lang"] == "de" and rows[2]["text"] == "r"
+
+
 class TestSemanticDedup:
     def _with_planted(self, spark, sf_med):
         emb = spark.read.parquet(f"{sf_med}/embeddings.parquet") \

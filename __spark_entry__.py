@@ -680,6 +680,29 @@ def q_paragraph_dedup(spark, sf_dir):
     return CUR.paragraph_dedup(docs, id_col="doc_id", text_col="text")
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + URL-level dedup groups. The corpus has no URL
+    column, so the gate PLANTS a deterministic messy URL per doc (mixed-case
+    scheme/host, default port, tracking params, fragments, trailing
+    slashes); the oracle reimplements the whole canonicalization contract
+    independently in DuckDB SQL — any divergence in fragment/port/param/
+    slash handling breaks the group hash."""
+    from fever_spark.functions.urls import url_dedup_groups
+
+    docs = _read(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://Site"), (F.col("doc_id") % 37).cast("string"),
+            F.lit(".Example:443/Page/"), (F.col("doc_id") % 100).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/?utm_source=feed&x=1"))
+             .when(F.col("doc_id") % 3 == 1, F.lit("?x=1"))
+             .otherwise(F.lit("/")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("#top")).otherwise(F.lit("")),
+        ).alias("url"))
+    return url_dedup_groups(raw, "url", "doc_id")
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-shaped semantic dedup over embeddings. The driver embeddings
     are near-orthogonal (max pairwise cosine ≈ 0.51), so the gate PLANTS a
@@ -753,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination": q_contamination,
         "q_semantic_dedup": q_semantic_dedup,
         "q_paragraph_dedup": q_paragraph_dedup,
+        "q_url_dedup": q_url_dedup,
     }
 
 
@@ -1193,6 +1217,50 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS contaminated_ngrams
             FROM grams JOIN bench USING (g)
             GROUP BY grams.doc_id
+        """,
+        "q_url_dedup": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                'HTTPS://Site' || (doc_id % 37) || '.Example:443/Page/'
+                || (doc_id % 100)
+                || (CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&x=1'
+                         WHEN doc_id % 3 = 1 THEN '?x=1' ELSE '/' END)
+                || (CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END) AS url
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM raw
+            ), s2 AS (
+              SELECT *, coalesce(regexp_extract(nf,
+                '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)', 1), '') AS prefix
+              FROM s1
+            ), s3 AS (
+              SELECT *,
+                regexp_replace(regexp_replace(lower(prefix),
+                  '^(http://.*):80$', '\1'), '^(https://.*):443$', '\1')
+                  AS prefix_norm,
+                substr(nf, length(prefix) + 1) AS rest
+              FROM s2
+            ), s4 AS (
+              SELECT *, split_part(rest, '?', 1) AS path,
+                CASE WHEN strpos(rest, '?') > 0
+                     THEN substr(rest, length(split_part(rest, '?', 1)) + 2)
+                     ELSE '' END AS query
+              FROM s3
+            ), s5 AS (
+              SELECT *,
+                array_to_string(list_filter(string_split(query, '&'),
+                  p -> NOT (starts_with(lower(split_part(p, '=', 1)), 'utm_')
+                            OR lower(split_part(p, '=', 1))
+                               IN ('gclid', 'fbclid', 'ref'))), '&') AS clean_q,
+                regexp_replace(path, '/$', '') AS path_norm
+              FROM s4
+            )
+            SELECT prefix_norm || path_norm
+                   || (CASE WHEN clean_q <> '' THEN '?' || clean_q
+                            ELSE '' END) AS canonical_url,
+                   count(*) AS n_dups,
+                   min(doc_id) AS keep_id
+            FROM s5 GROUP BY 1
         """,
         "q_paragraph_dedup": """
             WITH planted AS (

@@ -64,3 +64,64 @@ def page_url_probes(url: Column) -> dict[str, Column]:
         "hostpath": host_path(url),
         "path": url_path(url),
     }
+
+
+# --------------------------------------------------------- canonicalization
+
+# Tracking parameters dropped during canonicalization: the utm_* family plus
+# the common click ids. Key comparison is case-insensitive.
+TRACKING_PARAM_PREFIX = "utm_"
+TRACKING_PARAMS = ("gclid", "fbclid", "ref")
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form for URL-level dedup of a web crawl — entirely JVM
+    codegen (regexp + array ops, no UDF). Contract:
+
+    - fragment removed;
+    - scheme and host (incl. userinfo/port section) lowercased — path and
+      query keep their case (paths are case-sensitive per RFC 3986);
+    - default ports stripped (http://…:80, https://…:443);
+    - tracking query params removed (``utm_*``, gclid, fbclid, ref),
+      remaining params kept in original order; an emptied query drops '?';
+    - single trailing slash on the path stripped
+      (https://a.example/x/ == https://a.example/x, and bare
+      https://a.example/ == https://a.example).
+
+    Crawl dedup normalizes harder than fever's probe shapes (above) —
+    those must stay byte-faithful to bloom_handler.go's matching; this is
+    the training-pipeline key."""
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    prefix = F.regexp_extract(no_frag,
+                              r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
+    prefix_lc = F.lower(prefix)
+    prefix_norm = F.regexp_replace(
+        F.regexp_replace(prefix_lc, r"^(http://.*):80$", "$1"),
+        r"^(https://.*):443$", "$1")
+    rest = F.substr(no_frag, F.length(prefix) + 1)
+    path = F.substring_index(rest, "?", 1)
+    query = F.when(rest.contains("?"),
+                   F.substr(rest, F.length(path) + 2)).otherwise(F.lit(""))
+
+    def _keep(p: Column) -> Column:
+        key = F.lower(F.substring_index(p, "=", 1))
+        return ~(key.startswith(TRACKING_PARAM_PREFIX)
+                 | key.isin(*TRACKING_PARAMS))
+
+    clean_q = F.array_join(F.filter(F.split(query, "&"), _keep), "&")
+    path_norm = F.regexp_replace(path, r"/$", "")
+    return F.concat(
+        prefix_norm, path_norm,
+        F.when(clean_q != "", F.concat(F.lit("?"), clean_q)).otherwise(F.lit("")))
+
+
+def url_dedup_groups(df, url_col: str = "url", id_col: str = "doc_id"):
+    """(canonical_url, n_dups, keep_id): dedup groups under canonical_url —
+    one hash shuffle keyed by the canonical string, min-id canonical keep.
+    The URL-level pass that runs BEFORE content dedup in a crawl pipeline
+    (same crawl fetched via http/https, with/without tracking params)."""
+    return (df.select(canonical_url(F.col(url_col)).alias("canonical_url"),
+                      F.col(id_col))
+            .groupBy("canonical_url")
+            .agg(F.count(F.lit(1)).alias("n_dups"),
+                 F.min(id_col).alias("keep_id")))

@@ -154,6 +154,43 @@ class TestParagraphDedup:
         assert rows[2]["lang"] == "de" and rows[2]["text"] == "r"
 
 
+class TestCanonicalUrl:
+    CASES = {
+        "HTTPS://Site.Example:443/P/?utm_source=f&x=1#t":
+            "https://site.example/P?x=1",
+        "http://site.example:80/P?x=1": "http://site.example/P?x=1",
+        "https://a.example/": "https://a.example",
+        "https://a.example": "https://a.example",
+        "https://c.example/x/y/?ref=abc": "https://c.example/x/y",
+        "http://h.example/q?gclid=z&keep=2&UTM_Term=q":
+            "http://h.example/q?keep=2",
+        # non-default port and non-tracking params survive
+        "https://h.example:8443/a?b=1&c=2": "https://h.example:8443/a?b=1&c=2",
+    }
+
+    def test_contract(self, spark):
+        from fever_spark.functions.urls import canonical_url
+
+        df = spark.createDataFrame([(k,) for k in self.CASES], "url string")
+        got = {r["url"]: r["c"] for r in df.select(
+            "url", canonical_url(F.col("url")).alias("c")).collect()}
+        for raw, want in self.CASES.items():
+            assert got[raw] == want, raw
+
+    def test_dedup_groups(self, spark):
+        from fever_spark.functions.urls import url_dedup_groups
+
+        df = spark.createDataFrame(
+            [(1, "HTTPS://A.example/x/?utm_source=z"),
+             (2, "https://a.example/x"),
+             (3, "https://b.example/y")],
+            "doc_id long, url string")
+        groups = {r["canonical_url"]: (r["n_dups"], r["keep_id"])
+                  for r in url_dedup_groups(df).collect()}
+        assert groups["https://a.example/x"] == (2, 1)
+        assert groups["https://b.example/y"] == (1, 3)
+
+
 class TestSemanticDedup:
     def _with_planted(self, spark, sf_med):
         emb = spark.read.parquet(f"{sf_med}/embeddings.parquet") \

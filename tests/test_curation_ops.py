@@ -154,6 +154,73 @@ class TestParagraphDedup:
         assert rows[2]["lang"] == "de" and rows[2]["text"] == "r"
 
 
+class TestParagraphDedupInvariants:
+    def _random_corpus(self, spark, seed, n_docs=30, n_distinct_paras=12):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        paras = [f"paragraph {chr(97 + i)} body" for i in range(n_distinct_paras)]
+        rows = [(i, "\n".join(rng.choice(paras,
+                                         size=rng.integers(1, 6)).tolist()))
+                for i in range(n_docs)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @pytest.mark.parametrize("seed", [1, 7, 42])
+    def test_multiset_invariants(self, spark, seed):
+        """After dedup: (a) every distinct input paragraph survives exactly
+        once corpus-wide; (b) no paragraph appears twice; (c) row count
+        preserved."""
+        df = self._random_corpus(spark, seed)
+        out = CUR.paragraph_dedup(df)
+        assert out.count() == df.count()
+        surviving = (out.filter(F.col("text") != "")
+                     .select(F.explode(F.split("text", "\n")).alias("p")))
+        counts = {r["p"]: r["n"] for r in
+                  surviving.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+        original = {r["p"] for r in
+                    df.select(F.explode(F.split("text", "\n")).alias("p"))
+                    .distinct().collect()}
+        assert set(counts) == original
+        assert all(n == 1 for n in counts.values())
+
+    def test_idempotent(self, spark):
+        df = self._random_corpus(spark, 3)
+        once = CUR.paragraph_dedup(df)
+        twice = CUR.paragraph_dedup(once)
+        a = {(r["doc_id"], r["text"]) for r in once.collect()}
+        b = {(r["doc_id"], r["text"]) for r in twice.collect()}
+        assert a == b
+
+
+class TestPlanShapes:
+    """Lock in the physical-plan properties PLANS.md claims."""
+
+    def test_contamination_screen_one_udf_no_shuffle(self, spark, docs):
+        bf = CUR.build_benchmark_bloom(docs.limit(3), n=8)
+        bc = spark.sparkContext.broadcast(bf.to_bytes())
+        plan = CUR.contamination_screen(docs, bc, n=8) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 1
+        assert "Exchange" not in plan
+
+    def test_repetition_and_redaction_udf_free(self, spark, docs):
+        plan = docs.select(
+            CUR.duplicate_word_fraction(F.col("text")),
+            CUR.duplicate_line_fraction(F.col("text")),
+            CUR.redact_pii(F.col("text")),
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan  # neither Arrow nor Batch
+
+    def test_semantic_dedup_no_cartesian(self, spark, sf_med):
+        emb = spark.read.parquet(f"{sf_med}/embeddings.parquet") \
+            .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        plan = CUR.semantic_dedup_pairs(emb, threshold=0.9, n_cells=4) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 class TestCanonicalUrl:
     CASES = {
         "HTTPS://Site.Example:443/P/?utm_source=f&x=1#t":

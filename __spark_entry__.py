@@ -313,6 +313,45 @@ def q_hll_bound(spark, sf_dir):
                     .cast("int").alias("within_bound")))
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV / bottom-k sketch gate, three properties in one result:
+    (a) kmv_exact — with k above the true cardinality the KMV IS the exact
+        distinct count (hash-matched against DuckDB's countDistinct, not a
+        flag);
+    (b) within_bound — a k=64 sketch (k < cardinality → estimator regime)
+        lands within 4/sqrt(k-2) of exact;
+    (c) sample_is_subset — the deterministic bottom-k sample contains only
+        genuine user_ids of its group."""
+    from fever_spark.ops import kmv_estimate_col, kmv_sample_col
+    from fever_spark.sketch import KMVSketch
+
+    ev = _read(spark, sf_dir, "events")
+    merged = two_level_merge(
+        build_sketches(ev, ["event_type"], [
+            SketchSpec("kmv_exact", "kmv", "user_id", {"k": 256}),
+            SketchSpec("kmv_est", "kmv", "user_id", {"k": 64}),
+        ]), ["event_type"])
+    big = (merged.filter(F.col("sketch") == "kmv_exact")
+           .select("event_type",
+                   F.round(kmv_estimate_col(F.col("state"))).cast("long")
+                   .alias("kmv_exact"),
+                   kmv_sample_col(F.col("state")).alias("_sample")))
+    small = (merged.filter(F.col("sketch") == "kmv_est")
+             .select("event_type",
+                     kmv_estimate_col(F.col("state")).alias("_est")))
+    users = ev.groupBy("event_type").agg(
+        F.collect_set(F.col("user_id").cast("string")).alias("_users"),
+        F.countDistinct("user_id").alias("_x"))
+    bound = 4 * KMVSketch(k=64).relative_error
+    return (big.join(small, "event_type").join(users, "event_type")
+            .select(
+                "event_type", "kmv_exact",
+                (F.abs(F.col("_est") - F.col("_x")) / F.col("_x") <= bound)
+                .cast("int").alias("within_bound"),
+                (F.size(F.array_except("_sample", "_users")) == 0)
+                .cast("int").alias("sample_is_subset")))
+
+
 def q_hll_windowed(spark, sf_dir):
     """north_star literal: 'HLL for distinct cardinality per lang AND
     warc_ts window' — the sketch pipeline keyed by (category, event-time
@@ -750,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_heavy_hitters": q_token_heavy_hitters,
         "q_text_extraction": q_text_extraction,
         "q_hll_bound": q_hll_bound,
+        "q_kmv_distinct": q_kmv_distinct,
         "q_hll_windowed": q_hll_windowed,
         "q_hll_overlap": q_hll_overlap,
         "q_cms_bound": q_cms_bound,
@@ -948,6 +988,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_hll_bound": """
             SELECT event_type, 1 AS within_bound FROM events GROUP BY event_type
+        """,
+        "q_kmv_distinct": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS kmv_exact,
+                   1 AS within_bound,
+                   1 AS sample_is_subset
+            FROM events GROUP BY event_type
         """,
         "q_hll_windowed": """
             SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,

@@ -57,6 +57,23 @@ def cms_estimate_col(state: Column, item: Column) -> Column:
     return _cms_estimate(state, item)
 
 
+def kmv_estimate_col(state: Column) -> Column:
+    """Distinct-count estimate from a KMV state column (the generic
+    ``estimate()`` dispatch — exact below k, (k-1)/U(k) above)."""
+    return _hll_estimate(state)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _kmv_sample(state: pd.Series) -> pd.Series:
+    return state.map(lambda b: _sketch_of(bytes(b)).sample())
+
+
+def kmv_sample_col(state: Column) -> Column:
+    """Deterministic uniform sample (bottom-k by hash) of the distinct
+    values from a KMV state column."""
+    return _kmv_sample(state)
+
+
 def quantile_col(state: Column, qs: list[float]) -> Column:
     """array<double> of quantile estimates from a KLL or t-digest state."""
     qarr = np.asarray(qs, dtype=np.float64)

@@ -20,6 +20,7 @@ from fever_spark.sketch.cms import CountMinSketch
 from fever_spark.sketch.kll import KLLSketch
 from fever_spark.sketch.tdigest import TDigest
 from fever_spark.sketch.topk import CMSTopK
+from fever_spark.sketch.kmv import KMVSketch, kmv_jaccard
 
 __all__ = [
     "Sketch",

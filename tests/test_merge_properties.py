@@ -48,7 +48,14 @@ EXACT_FACTORIES = [
     lambda: BloomFilter(capacity=2000, fpp=1e-4, seed=11),
     lambda: HyperLogLog(p=8, seed=11),
     lambda: CountMinSketch(epsilon=1e-2, delta=0.1, seed=11),
+    lambda: _kmv(k=64, seed=11),
 ]
+
+
+def _kmv(**kw):
+    from fever_spark.sketch import KMVSketch
+
+    return KMVSketch(**kw)
 
 
 @settings(max_examples=40, deadline=None)

@@ -358,3 +358,72 @@ class TestHLLSetOps:
         a.update(np.arange(0, 30_000, dtype=np.int64))
         b.update(np.arange(100_000, 130_000, dtype=np.int64))
         assert intersection_estimate(a, b) <= 4 * intersection_error_bound(a, b)
+
+
+class TestKMV:
+    """Bottom-k sketch: exact-below-k, estimator bound, deterministic
+    sample, set-union merge semantics, Jaccard."""
+
+    def test_exact_below_k(self):
+        from fever_spark.sketch import KMVSketch
+
+        s = KMVSketch(k=256, seed=3)
+        s.update(np.array([f"v{i}" for i in range(100)], dtype=object))
+        s.update(np.array([f"v{i}" for i in range(50)], dtype=object))
+        assert s.estimate() == 100.0
+        assert sorted(s.sample()) == sorted(f"v{i}" for i in range(100))
+
+    def test_estimator_within_bound(self):
+        from fever_spark.sketch import KMVSketch
+
+        s = KMVSketch(k=1024, seed=3)
+        n = 200_000
+        s.update(np.arange(n))
+        assert abs(s.estimate() - n) / n <= 3 * s.relative_error
+
+    def test_merge_equals_single_build_byte_identical(self):
+        from fever_spark.sketch import KMVSketch
+
+        xs = np.array([f"item{i}" for i in range(5000)], dtype=object)
+        a, b, whole = (KMVSketch(k=128, seed=5) for _ in range(3))
+        a.update(xs[:3000]); b.update(xs[2000:]); whole.update(xs)
+        assert a.copy().merge(b).to_bytes() == whole.to_bytes()
+
+    def test_sample_partition_invariant(self):
+        """The sample is a function of the SET, not of how the build was
+        partitioned — the property that makes it a valid corpus sample
+        through the two-level merge."""
+        from fever_spark.sketch import KMVSketch
+
+        xs = np.array([f"doc{i}" for i in range(2000)], dtype=object)
+        perm = RNG.permutation(2000)
+        a, b = KMVSketch(k=64, seed=9), KMVSketch(k=64, seed=9)
+        for chunk in np.array_split(xs, 7):
+            a.update(chunk)
+        for chunk in np.array_split(xs[perm], 3):
+            b.update(chunk)
+        assert a.sample() == b.sample()
+
+    def test_serde_round_trip(self):
+        from fever_spark.sketch import KMVSketch
+
+        s = KMVSketch(k=32, seed=1)
+        s.update(np.array(["α", "b,c", "", "d\nd"], dtype=object))
+        rt = sketch_from_bytes(s.to_bytes())
+        assert rt.sample() == s.sample()
+        assert rt.to_bytes() == s.to_bytes()
+
+    def test_jaccard(self):
+        from fever_spark.sketch import KMVSketch, kmv_jaccard
+
+        x, y = KMVSketch(k=512, seed=7), KMVSketch(k=512, seed=7)
+        x.update(np.arange(0, 10_000)); y.update(np.arange(5_000, 15_000))
+        assert abs(kmv_jaccard(x, y) - 1 / 3) < 0.1
+
+    def test_param_mismatch_raises(self):
+        from fever_spark.sketch import KMVSketch
+
+        with pytest.raises(ValueError):
+            KMVSketch(k=64, seed=1).merge(KMVSketch(k=64, seed=2))
+        with pytest.raises(ValueError):
+            KMVSketch(k=64).merge(KMVSketch(k=128))

@@ -24,7 +24,8 @@ import json
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from fever_spark.ops import SketchSpec, heavy_hitters_col, hll_estimate_col, quantile_col
+from fever_spark.ops import (SketchSpec, heavy_hitters_col, hll_estimate_col,
+                             kmv_estimate_col, kmv_sample_col, quantile_col)
 from fever_spark.jobs.sketch_job import SketchJob
 
 QUANTILES = [0.5, 0.95, 0.99]
@@ -69,7 +70,8 @@ def build_report(spark: SparkSession, input_path: str, checkpoint_dir: str,
         specs=[SketchSpec("top_hosts", "cmstopk", "host",
                           {"epsilon": 1e-4, "delta": 1e-3, "track": 4 * topk}),
                SketchSpec("page_bytes_q", "kll", "page_bytes", {"k": 200}),
-               SketchSpec("text_len_q", "tdigest", "text_len", {"delta": 200.0})],
+               SketchSpec("text_len_q", "tdigest", "text_len", {"delta": 200.0}),
+               SketchSpec("url_sample", "kmv", "url", {"k": 256})],
         prepare=_prepare_pages, job_id="global").run(spark, resume=resume)
     hosts = (glob.filter(F.col("sketch") == "top_hosts")
              .select(F.explode(heavy_hitters_col(F.col("state"), topk))
@@ -82,6 +84,13 @@ def build_report(spark: SparkSession, input_path: str, checkpoint_dir: str,
                .first())
         report[name] = dict(zip(map(str, QUANTILES),
                                 [round(x, 1) for x in row["q"]]))
+    # KMV: distinct-url estimate + a deterministic uniform URL sample from
+    # the same mergeable state (corpus eyeballing / downstream QA sample)
+    kmv_row = (glob.filter(F.col("sketch") == "url_sample")
+               .select(kmv_estimate_col(F.col("state")).alias("est"),
+                       kmv_sample_col(F.col("state")).alias("s")).first())
+    report["distinct_url_kmv"] = round(kmv_row["est"], 1)
+    report["url_sample"] = sorted(kmv_row["s"])[:20]
 
     if with_tokens:
         toks = SketchJob(

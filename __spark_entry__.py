@@ -719,6 +719,28 @@ def q_paragraph_dedup(spark, sf_dir):
     return CUR.paragraph_dedup(docs, id_col="doc_id", text_col="text")
 
 
+def q_multi_join_topk(spark, sf_dir):
+    """TPC-H Q3 shape: filtered dimension (customer segment) broadcast into
+    the orders/lineitem fact joins, grouped revenue, deterministic top-10.
+    Exercises multi-way join planning — Catalyst broadcasts the pruned
+    customer side (see PLANS.md) — beyond the single-join q_join_agg."""
+    cust = _read(spark, sf_dir, "customer") \
+        .filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = _read(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderdate") < "1998-01-01") \
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = _read(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_shipdate") > "1998-01-01") \
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    joined = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey))
+    return (joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), "l_orderkey").limit(10))
+
+
 def q_url_dedup(spark, sf_dir):
     """URL canonicalization + URL-level dedup groups. The corpus has no URL
     column, so the gate PLANTS a deterministic messy URL per doc (mixed-case
@@ -817,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup": q_semantic_dedup,
         "q_paragraph_dedup": q_paragraph_dedup,
         "q_url_dedup": q_url_dedup,
+        "q_multi_join_topk": q_multi_join_topk,
     }
 
 
@@ -1264,6 +1287,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS contaminated_ngrams
             FROM grams JOIN bench USING (g)
             GROUP BY grams.doc_id
+        """,
+        "q_multi_join_topk": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
         """,
         "q_url_dedup": r"""
             WITH raw AS (

@@ -151,6 +151,22 @@ sections.append(("Semantic dedup: candidates never leave their k-means cell",
     "anywhere (within-cell pairwise is a numpy matmul inside the group):",
     "\n".join(exch6c)))
 
+# 6d. sketch_pipeline stage breakdown (measured, round-2 session)
+sections.append(("sketch_pipeline wall-time breakdown (1M pages, local[32], warm workers)",
+    "Measured best-of-3 per stage: BUILD of all three sketches = 1.5s "
+    "(hll 0.66 / cms 1.06 / kll 0.74 run individually), two-level merge "
+    "adds ~3-4s — dominated by the CMS state (eps=1e-4, delta=1e-3 -> "
+    "7x27k int64 table, ~1.5 MB/partial, 64 partials/lang) being "
+    "decompressed+summed+recompressed across the two merge stages. The "
+    "merge cost is O(partitions x groups x state_size) and INDEPENDENT of "
+    "row count: at 10M pages (bench_scaling) the identical merge is <10% "
+    "of wall and throughput reaches ~1-1.9M pages/s; at 100 TB it "
+    "disappears relative to build. The 1M-page bench.py figure therefore "
+    "UNDERSTATES steady-state throughput by construction; the 10M-page "
+    "scaling-harness pages/sec is the representative number.",
+    "build 1.5s | build+merge 5.8s @1M pages vs 9.2s @10M pages (local[2], "
+    "same plan) -> merge amortizes exactly as O(states), not O(rows)"))
+
 # 7. where bloom_match's round-1 46.8s actually went (profiled)
 sections.append(("bloom_match wall-time, profiled (round-1 'unexplained 46.8s')",
     "Stage-level timings at 1M pages, local[32] (profile scripts in round-2 "

@@ -121,3 +121,50 @@ class TestAlertify:
         row = alertify(lines, ["evil.example.com"]).first()
         obj = json.loads(row["alert_json"])
         assert isinstance(obj["alert"], dict)  # not a stringified blob
+
+
+class TestMalformedInput:
+    """fever logs-and-skips unparseable lines (input/input_socket.go:94-101);
+    parse_eve must null them out, never fail the job."""
+
+    GARBAGE = [
+        "not json at all",
+        '{"event_type": "http", "http": {"hostname": "ok.example"',  # truncated
+        "",
+        "\x00\x01\x02 binary junk",
+        "[1, 2, 3]",            # valid JSON, wrong shape
+        '"just a string"',
+    ]
+
+    def test_garbage_lines_null_out(self, spark):
+        from fever_spark.sources.eve import parse_eve
+
+        good = ('{"timestamp": "2024-01-01T00:00:00.000000+0000", '
+                '"event_type": "http", "src_ip": "10.0.0.1", '
+                '"http": {"hostname": "ok.example", "url": "/x"}}')
+        df = spark.createDataFrame(
+            [(ln,) for ln in self.GARBAGE + [good]], "value string")
+        parsed = parse_eve(df)
+        assert parsed.count() == len(self.GARBAGE) + 1  # nothing crashes
+        kept = parsed.filter(parsed.event_type.isNotNull())
+        rows = kept.collect()
+        assert len(rows) == 1
+        assert rows[0]["http_host"] == "ok.example"
+
+    def test_alert_pipeline_survives_garbage(self, spark):
+        """End-to-end: garbage + one matching event through parse ->
+        bloom match -> alertify."""
+        from fever_spark.ops.bloom_match import bloom_match_events, build_ioc_filter
+        from fever_spark.sources.eve import parse_eve
+
+        good = ('{"timestamp": "2024-01-01T00:00:00.000000+0000", '
+                '"event_type": "http", '
+                '"http": {"hostname": "evil.example", "url": "/mal"}}')
+        df = spark.createDataFrame(
+            [(ln,) for ln in self.GARBAGE + [good]], "value string")
+        ev = parse_eve(df).filter(F.col("event_type").isNotNull())
+        bf = build_ioc_filter(["evil.example"], fpp=1e-7)
+        bc = spark.sparkContext.broadcast(bf.to_bytes())
+        alerts = bloom_match_events(ev, bc).collect()
+        assert len(alerts) >= 1
+        assert all(a["ioc"] == "evil.example" for a in alerts)

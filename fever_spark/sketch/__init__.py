@@ -20,7 +20,8 @@ from fever_spark.sketch.cms import CountMinSketch
 from fever_spark.sketch.kll import KLLSketch
 from fever_spark.sketch.tdigest import TDigest
 from fever_spark.sketch.topk import CMSTopK
-from fever_spark.sketch.kmv import KMVSketch, kmv_jaccard
+from fever_spark.sketch.kmv import (
+    KMVSketch, kmv_intersection_estimate, kmv_jaccard, kmv_union_estimate)
 
 __all__ = [
     "Sketch",

@@ -134,6 +134,17 @@ class KMVSketch(Sketch):
         return cls(k=k, seed=seed, _hashes=hashes, _values=vals)
 
 
+def kmv_union_estimate(a: KMVSketch, b: KMVSketch) -> float:
+    """|A ∪ B| — merge is exact on the bottom-k lattice, so this is just
+    the merged sketch's estimator."""
+    return a.copy().merge(b).estimate()
+
+
+def kmv_intersection_estimate(a: KMVSketch, b: KMVSketch) -> float:
+    """|A ∩ B| ≈ Jaccard × |A ∪ B| (Beyer et al. §5 ratio estimator)."""
+    return kmv_jaccard(a, b) * kmv_union_estimate(a, b)
+
+
 def kmv_jaccard(a: KMVSketch, b: KMVSketch) -> float:
     """Jaccard estimate from two KMV states (Beyer et al. §5): among the
     union's bottom-k hashes, the fraction present in BOTH sides."""

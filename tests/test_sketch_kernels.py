@@ -427,3 +427,14 @@ class TestKMV:
             KMVSketch(k=64, seed=1).merge(KMVSketch(k=64, seed=2))
         with pytest.raises(ValueError):
             KMVSketch(k=64).merge(KMVSketch(k=128))
+
+    def test_set_operation_estimates(self):
+        from fever_spark.sketch import (
+            KMVSketch, kmv_intersection_estimate, kmv_union_estimate)
+
+        x, y = KMVSketch(k=512, seed=7), KMVSketch(k=512, seed=7)
+        x.update(np.arange(0, 10_000)); y.update(np.arange(5_000, 15_000))
+        u = kmv_union_estimate(x, y)
+        i = kmv_intersection_estimate(x, y)
+        assert abs(u - 15_000) / 15_000 < 0.15
+        assert abs(i - 5_000) / 5_000 < 0.25

@@ -76,10 +76,13 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
     counts["after_quality_filter"] = filtered.count()
 
     if paragraph_dedup:
-        filtered = curation.paragraph_dedup(filtered, id_col, text_col) \
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        counts["after_paragraph_dedup"] = \
-            filtered.filter(F.col(text_col) != "").count()
+        # docs reduced to zero paragraphs are fully-duplicated boilerplate —
+        # drop them here, or an empty-text canonical doc would survive exact
+        # dedup into the output
+        filtered = (curation.paragraph_dedup(filtered, id_col, text_col)
+                    .filter(F.col(text_col) != "")
+                    .persist(StorageLevel.MEMORY_AND_DISK))
+        counts["after_paragraph_dedup"] = filtered.count()
 
     exact = dedup.exact_dedup(filtered, text_col, id_col) \
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -90,7 +90,10 @@ def build_report(spark: SparkSession, input_path: str, checkpoint_dir: str,
                .select(kmv_estimate_col(F.col("state")).alias("est"),
                        kmv_sample_col(F.col("state")).alias("s")).first())
     report["distinct_url_kmv"] = round(kmv_row["est"], 1)
-    report["url_sample"] = sorted(kmv_row["s"])[:20]
+    # hash order, NOT lexicographic — sorting then slicing would bias the
+    # published sample toward sort-order-early URLs; the stored order is
+    # already a uniform draw
+    report["url_sample"] = list(kmv_row["s"])[:20]
 
     if with_tokens:
         toks = SketchJob(

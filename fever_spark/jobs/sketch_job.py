@@ -54,14 +54,30 @@ class SketchJob:
     def _manifest_path(self) -> str:
         return os.path.join(self.checkpoint_dir, MANIFEST)
 
+    def _spec_signature(self) -> list:
+        # normalize through JSON so it compares equal to what a round-trip
+        # through manifest.json produces
+        return json.loads(json.dumps([asdict(s) for s in self.specs],
+                                     default=str))
+
     def _load_manifest(self) -> dict:
         try:
             with open(self._manifest_path()) as f:
-                return json.load(f)
+                manifest = json.load(f)
         except (OSError, json.JSONDecodeError):
             return {"job_id": self.job_id, "input": self.input_path,
                     "specs": [asdict(s) for s in self.specs],
                     "keys": self.keys, "chunks": {}, "completed": False}
+        # resuming with DIFFERENT specs/keys would silently mix old
+        # checkpointed states with new ones (or return a frame missing the
+        # new sketches entirely) — refuse loudly instead
+        if (manifest.get("specs") != self._spec_signature()
+                or manifest.get("keys") != list(self.keys)):
+            raise ValueError(
+                f"checkpoint at {self.checkpoint_dir} was written with "
+                "different specs/keys than this job; use a fresh "
+                "checkpoint dir (or resume=False to rebuild)")
+        return manifest
 
     def _save_manifest(self, manifest: dict) -> None:
         tmp = self._manifest_path() + ".tmp"

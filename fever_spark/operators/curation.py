@@ -268,9 +268,12 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
                            lambda s: s["_para"]),
                        sep).alias(text_col)))
     # docs whose every paragraph was claimed elsewhere drop out of `kept`;
-    # restore them with empty text so the operator is row-preserving
+    # restore them with empty text so the operator is row-preserving.
+    # Anti-join on the id column ONLY — equality over every metadata column
+    # would silently miss rows carrying NULLs (NULL != NULL in a join key)
+    # and emit them twice.
     lost = (df.select(*other_cols)
-            .join(reassembled.select(*other_cols), other_cols, "left_anti")
+            .join(reassembled.select(id_col), id_col, "left_anti")
             .withColumn(text_col, F.lit("")))
     return reassembled.unionByName(lost).select(*df.columns)
 

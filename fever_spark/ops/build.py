@@ -138,6 +138,15 @@ def build_sketches(df: DataFrame, keys: list[str],
     needed = list(dict.fromkeys(
         keys + [s.column for s in spec_list if not s.column.startswith("__ph_")]
         + [s.weight_column for s in spec_list if s.weight_column]))
+    # Arrow→pandas turns a nullable integral column into float64 ONLY for
+    # batches that contain a null — so the same id would hash as int64 in
+    # one batch and float64 (123 vs 123.0) in another, silently corrupting
+    # every hash sketch. Remember which columns are integral and cast the
+    # null-masked values back. (Exact for |v| < 2^53; beyond that the
+    # float64 round-trip is lossy either way.)
+    integral_cols = {f.name for f in df.schema.fields
+                     if isinstance(f.dataType, (
+                         T.ByteType, T.ShortType, T.IntegerType, T.LongType))}
     out_schema = _output_schema(df, keys)
     key_names = list(keys)
 
@@ -158,6 +167,9 @@ def build_sketches(df: DataFrame, keys: list[str],
                     vals = vals[mask]
                 if len(vals) == 0:
                     continue
+                if (spec.column in integral_cols
+                        and vals.dtype == np.float64):
+                    vals = vals.astype(np.int64)
                 if spec.weight_column is not None:
                     w = group[spec.weight_column].to_numpy()
                     if not mask.all():

@@ -33,4 +33,8 @@ __all__ = [
     "KLLSketch",
     "TDigest",
     "CMSTopK",
+    "KMVSketch",
+    "kmv_jaccard",
+    "kmv_union_estimate",
+    "kmv_intersection_estimate",
 ]

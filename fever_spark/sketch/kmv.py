@@ -141,8 +141,17 @@ def kmv_union_estimate(a: KMVSketch, b: KMVSketch) -> float:
 
 
 def kmv_intersection_estimate(a: KMVSketch, b: KMVSketch) -> float:
-    """|A ∩ B| ≈ Jaccard × |A ∪ B| (Beyer et al. §5 ratio estimator)."""
-    return kmv_jaccard(a, b) * kmv_union_estimate(a, b)
+    """|A ∩ B| ≈ Jaccard × |A ∪ B| (Beyer et al. §5 ratio estimator).
+    One merged sketch serves both the Jaccard numerator and the union
+    estimator."""
+    if (a.k, a.seed) != (b.k, b.seed):
+        raise ValueError("KMV set ops need identical (k, seed)")
+    union = a.copy().merge(b)
+    if len(union.hashes) == 0:
+        return 0.0
+    in_both = (np.isin(union.hashes, a.hashes)
+               & np.isin(union.hashes, b.hashes))
+    return float(in_both.sum() / len(union.hashes)) * union.estimate()
 
 
 def kmv_jaccard(a: KMVSketch, b: KMVSketch) -> float:

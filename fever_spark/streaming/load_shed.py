@@ -77,22 +77,35 @@ class LoadSheddingSink:
     history: list[BatchRecord] = field(default_factory=list)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        arrived = batch_df.count()
-        if arrived <= self.max_rows_per_batch:
-            kept_df, kept = batch_df, arrived
-        else:
-            p = self.max_rows_per_batch / arrived
-            threshold = int(p * _BUCKETS)
-            bucket = F.pmod(F.xxhash64(*batch_df.columns, F.lit(self.seed)),
-                            F.lit(_BUCKETS))
-            kept_df = batch_df.filter(bucket < threshold)
-            kept = kept_df.count()
-        self.ingested_rows += kept
-        self.dropped_rows += arrived - kept
-        self.history.append(
-            BatchRecord(batch_id, arrived, kept, arrived - kept))
-        if kept:
-            self.downstream(kept_df, batch_id)
+        # one materialization for all three uses (arrived count, kept count,
+        # downstream action) — an overload-protection sink must not triple
+        # the source scan exactly when the source is bursting
+        batch_df.persist()
+        try:
+            arrived = batch_df.count()
+            if arrived <= self.max_rows_per_batch:
+                kept_df, kept = batch_df, arrived
+            else:
+                p = self.max_rows_per_batch / arrived
+                # never floor to zero: a positive budget must admit rows
+                threshold = max(1, int(p * _BUCKETS))
+                bucket = F.pmod(
+                    F.xxhash64(*batch_df.columns, F.lit(self.seed)),
+                    F.lit(_BUCKETS))
+                kept_df = batch_df.filter(bucket < threshold)
+                kept = kept_df.count()
+            rec = BatchRecord(batch_id, arrived, kept, arrived - kept)
+            # at-least-once replays re-deliver the same batch_id: replace the
+            # old record instead of double-counting (idempotent accounting,
+            # same discipline as StreamingSketchAccumulator's replay dedupe)
+            self.history = [r for r in self.history
+                            if r.batch_id != batch_id] + [rec]
+            self.ingested_rows = sum(r.kept for r in self.history)
+            self.dropped_rows = sum(r.dropped for r in self.history)
+            if kept:
+                self.downstream(kept_df, batch_id)
+        finally:
+            batch_df.unpersist()
 
     @property
     def metrics(self) -> dict:

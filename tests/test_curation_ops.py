@@ -288,3 +288,59 @@ class TestSemanticDedup:
         emb = spark.read.parquet(f"{sf_med}/embeddings.parquet") \
             .withColumn("embedding", F.col("embedding").cast("array<double>"))
         assert CUR.semantic_dedup_pairs(emb, threshold=0.95).count() == 0
+
+
+class TestReviewRegressions:
+    """Regression gates for the round-2 code-review findings."""
+
+    def test_paragraph_dedup_null_metadata_row_preserving(self, spark):
+        # NULL in a metadata column must not duplicate the doc (the lost-row
+        # anti-join keys on the id column only)
+        df = spark.createDataFrame(
+            [(1, None, "x\ny"), (2, "en", "y\nz"), (3, None, "y")],
+            "doc_id long, lang string, text string")
+        out = CUR.paragraph_dedup(df)
+        assert out.count() == 3
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert rows[1]["text"] == "x\ny" and rows[1]["lang"] is None
+        assert rows[3]["text"] == ""  # lost all paragraphs, still one row
+
+    def test_build_sketches_nullable_integral_column_stable_hash(self, spark):
+        """A nullable int64 column arrives float64 in null-carrying Arrow
+        batches; the build layer must cast back so the same id hashes
+        identically everywhere (HLL exactness + KMV sample shape)."""
+        from fever_spark.ops import (SketchSpec, build_sketches,
+                                     kmv_sample_col, two_level_merge,
+                                     kmv_estimate_col)
+
+        rows = [(int(i), int(i % 50) if i % 7 else None) for i in range(400)]
+        df = spark.createDataFrame(rows, "rid long, user_id long") \
+            .repartition(8)  # several batches, some with nulls
+        merged = two_level_merge(build_sketches(
+            df, [], [SketchSpec("u", "kmv", "user_id", {"k": 256})]), [])
+        row = merged.select(kmv_estimate_col(F.col("state")).alias("est"),
+                            kmv_sample_col(F.col("state")).alias("s")).first()
+        assert row["est"] == 50.0  # exact below k — no double-hashed ids
+        assert all("." not in v for v in row["s"])  # '123', never '123.0'
+
+    def test_sketch_job_refuses_spec_mismatch_resume(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from fever_spark.jobs.sketch_job import SketchJob
+        from fever_spark.ops import SketchSpec
+
+        src = str(tmp_path / "src")
+        spark.range(100).selectExpr("id", "CAST(id % 5 AS STRING) AS g") \
+            .coalesce(1).write.parquet(src)
+        ckpt = str(tmp_path / "ckpt")
+        spec_v1 = [SketchSpec("d", "hll", "id", {"p": 10})]
+        SketchJob(src, ckpt, keys=["g"], specs=spec_v1,
+                  job_id="j").run(spark)
+        spec_v2 = spec_v1 + [SketchSpec("s", "kmv", "id", {"k": 32})]
+        with _pytest.raises(ValueError, match="different specs"):
+            SketchJob(src, ckpt, keys=["g"], specs=spec_v2,
+                      job_id="j").run(spark, resume=True)
+        # resume=False rebuilds cleanly with the new specs
+        out = SketchJob(src, ckpt, keys=["g"], specs=spec_v2,
+                        job_id="j").run(spark, resume=False)
+        assert out.filter(F.col("sketch") == "s").count() == 5

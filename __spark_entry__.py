@@ -315,12 +315,14 @@ def q_hll_bound(spark, sf_dir):
 
 def q_kmv_distinct(spark, sf_dir):
     """KMV / bottom-k sketch gate, three properties in one result:
-    (a) kmv_exact — with k above the true cardinality the KMV IS the exact
-        distinct count (hash-matched against DuckDB's countDistinct, not a
-        flag);
-    (b) within_bound — a k=64 sketch (k < cardinality → estimator regime)
-        lands within 4/sqrt(k-2) of exact;
-    (c) sample_is_subset — the deterministic bottom-k sample contains only
+    (a) n_distinct — Spark's exact countDistinct, hash-matched against
+        DuckDB (value parity, not a flag);
+    (b) kmv_ok — regime-aware sketch check: when the true cardinality is
+        below k=256 the KMV estimate must EQUAL n_distinct exactly (the
+        sketch IS exact there); above k it must land within 4/sqrt(k-2)
+        (so the gate holds at any sf, not just where cardinality < k);
+    (c) within_bound — a k=64 sketch, always in whichever regime applies;
+    (d) sample_is_subset — the deterministic bottom-k sample contains only
         genuine user_ids of its group."""
     from fever_spark.ops import kmv_estimate_col, kmv_sample_col
     from fever_spark.sketch import KMVSketch
@@ -328,26 +330,32 @@ def q_kmv_distinct(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     merged = two_level_merge(
         build_sketches(ev, ["event_type"], [
-            SketchSpec("kmv_exact", "kmv", "user_id", {"k": 256}),
-            SketchSpec("kmv_est", "kmv", "user_id", {"k": 64}),
+            SketchSpec("kmv_256", "kmv", "user_id", {"k": 256}),
+            SketchSpec("kmv_64", "kmv", "user_id", {"k": 64}),
         ]), ["event_type"])
-    big = (merged.filter(F.col("sketch") == "kmv_exact")
+    big = (merged.filter(F.col("sketch") == "kmv_256")
            .select("event_type",
-                   F.round(kmv_estimate_col(F.col("state"))).cast("long")
-                   .alias("kmv_exact"),
+                   kmv_estimate_col(F.col("state")).alias("_est256"),
                    kmv_sample_col(F.col("state")).alias("_sample")))
-    small = (merged.filter(F.col("sketch") == "kmv_est")
+    small = (merged.filter(F.col("sketch") == "kmv_64")
              .select("event_type",
-                     kmv_estimate_col(F.col("state")).alias("_est")))
+                     kmv_estimate_col(F.col("state")).alias("_est64")))
     users = ev.groupBy("event_type").agg(
         F.collect_set(F.col("user_id").cast("string")).alias("_users"),
         F.countDistinct("user_id").alias("_x"))
-    bound = 4 * KMVSketch(k=64).relative_error
+
+    def regime_ok(est, k):
+        bound = 4 * KMVSketch(k=k).relative_error
+        return (F.when(F.col("_x") < k, est == F.col("_x"))
+                .otherwise(F.abs(est - F.col("_x")) / F.col("_x") <= bound))
+
     return (big.join(small, "event_type").join(users, "event_type")
             .select(
-                "event_type", "kmv_exact",
-                (F.abs(F.col("_est") - F.col("_x")) / F.col("_x") <= bound)
-                .cast("int").alias("within_bound"),
+                "event_type",
+                F.col("_x").alias("n_distinct"),
+                regime_ok(F.col("_est256"), 256).cast("int").alias("kmv_ok"),
+                regime_ok(F.col("_est64"), 64).cast("int")
+                .alias("within_bound"),
                 (F.size(F.array_except("_sample", "_users")) == 0)
                 .cast("int").alias("sample_is_subset")))
 
@@ -587,19 +595,30 @@ def q_ann_topk(spark, sf_dir):
 
 def q_ann_ivf(spark, sf_dir):
     """IVF-ANN gate: train the coarse quantizer, assign cells, probe — the
-    result must EQUAL the exact brute-force top-10 (the oracle). n_probe=8
-    of 16 cells reflects this corpus: the synthetic embeddings are nearly
-    unclustered, so IVF needs wide probes for recall (measured: n_probe
-    1/2/4/8 → recall 5/5/6/10 of 10); on clustered real corpora the same
-    machinery prunes much harder. A broken quantizer/assignment/probe path
-    diverges from the oracle regardless."""
+    result must EQUAL the exact brute-force top-10 (the oracle) at ANY sf.
+    The driver embeddings are nearly unclustered (top-10 of a random query
+    scatter uniformly over cells, so no n_probe < n_cells gives reliable
+    recall as the corpus grows). The gate therefore PLANTS the cluster
+    structure IVF exists for: nine scaled copies of vec 0 (same direction →
+    cosine 1.0 → always routed to vec 0's cell), making the true top-10
+    exactly {vec 0 + 9 copies}. A broken quantizer, assignment, or probe
+    path loses planted neighbors and diverges from the oracle; n_probe=4 of
+    16 shows the pruning actually prunes."""
     emb = _read(spark, sf_dir, "embeddings") \
         .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    planted = emb.filter(F.col("vec_id") == 0).select(
+        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("i"), "embedding"
+    ).select((F.col("i") + 100000).alias("vec_id"),
+             F.transform("embedding",
+                         lambda x: x * (F.lit(1.0) + F.col("i") * 0.1))
+             .alias("embedding"),
+             F.lit(0).alias("label"))
+    corpus = emb.unionByName(planted)
     qvec = np.asarray(
         emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"])
-    cents = ann.train_ivf_centroids(emb, n_cells=16)
-    assigned = ann.ivf_assign(emb, cents)
-    return (ann.ivf_topk(assigned, cents, qvec, k=10, n_probe=8)
+    cents = ann.train_ivf_centroids(corpus, n_cells=16)
+    assigned = ann.ivf_assign(corpus, cents)
+    return (ann.ivf_topk(assigned, cents, qvec, k=10, n_probe=4)
             .select("vec_id"))
 
 
@@ -1014,7 +1033,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_kmv_distinct": """
             SELECT event_type,
-                   count(DISTINCT user_id) AS kmv_exact,
+                   count(DISTINCT user_id) AS n_distinct,
+                   1 AS kmv_ok,
                    1 AS within_bound,
                    1 AS sample_is_subset
             FROM events GROUP BY event_type
@@ -1160,12 +1180,21 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY c DESC, vec_id LIMIT 10
         """,
         "q_ann_ivf": """
+            WITH corpus AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              UNION ALL
+              SELECT i + 100000,
+                     list_transform(
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = 0), x -> x * (1.0 + i * 0.1))
+              FROM generate_series(1, 9) AS t(i)
+            )
             SELECT vec_id FROM (
               SELECT vec_id,
-                     list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                     list_cosine_similarity(v,
                        (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
                         WHERE vec_id = 0)) AS c
-              FROM embeddings)
+              FROM corpus)
             ORDER BY c DESC, vec_id LIMIT 10
         """,
         "q_token_count": f"""

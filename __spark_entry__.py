@@ -282,10 +282,16 @@ def q_token_heavy_hitters(spark, sf_dir):
     estimates gated by q_cms_bound/test_cms_topk)."""
     from fever_spark.ops import heavy_hitters_col
 
+    from fever_spark.operators.dedup import _few_input_partitions
+
     docs = _read(spark, sf_dir, "documents")
     toks = (docs.select(F.explode(F.split(F.lower(F.trim(F.col("text"))),
                                           r"\s+")).alias("tok"))
             .filter(F.col("tok") != ""))
+    if _few_input_partitions(docs):
+        # single-file test inputs arrive as ONE partition and would build
+        # the CMS single-threaded; at scale the scan split makes this a no-op
+        toks = toks.repartition(spark.sparkContext.defaultParallelism)
     merged = two_level_merge(
         build_sketches(toks, [], [SketchSpec(
             "t", "cmstopk", "tok",

@@ -744,6 +744,18 @@ def q_paragraph_dedup(spark, sf_dir):
     return CUR.paragraph_dedup(docs, id_col="doc_id", text_col="text")
 
 
+def q_pack_bins(spark, sf_dir):
+    """Token-budget packing (training-shard assignment): global ordered
+    prefix sum done scale-correctly — exact id-percentile buckets, bucket
+    offsets, per-bucket windows (never a single-task global sort). The
+    oracle is DuckDB's single-node window cumsum; any drift in bucketing,
+    offsets, or the in-bucket window breaks the exact bin assignment."""
+    from fever_spark.operators.curation import pack_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_documents(docs, budget=500)
+
+
 def q_multi_join_topk(spark, sf_dir):
     """TPC-H Q3 shape: filtered dimension (customer segment) broadcast into
     the orders/lineitem fact joins, grouped revenue, deterministic top-10.
@@ -865,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_paragraph_dedup": q_paragraph_dedup,
         "q_url_dedup": q_url_dedup,
         "q_multi_join_topk": q_multi_join_topk,
+        "q_pack_bins": q_pack_bins,
     }
 
 
@@ -1322,6 +1335,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS contaminated_ngrams
             FROM grams JOIN bench USING (g)
             GROUP BY grams.doc_id
+        """,
+        "q_pack_bins": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+'))::BIGINT
+                     AS n_tokens,
+                   CAST(floor(
+                     (sum(len(regexp_split_to_array(trim(text), '\s+')))
+                        OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                      - len(regexp_split_to_array(trim(text), '\s+')))
+                     / 500.0) AS BIGINT) AS bin_id
+            FROM documents
         """,
         "q_multi_join_topk": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,

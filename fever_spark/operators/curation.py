@@ -278,6 +278,72 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     return reassembled.unionByName(lost).select(*df.columns)
 
 
+# ------------------------------------------------------------ token packing
+
+
+def pack_documents(df: DataFrame, budget: int, id_col: str = "doc_id",
+                   token_col: str | None = None, text_col: str = "text",
+                   n_buckets: int = 64) -> DataFrame:
+    """Token-budget packing (training-shard assignment): documents in id
+    order are laid end to end and each is assigned the bin its FIRST token
+    falls into — ``bin_id = (prefix_sum - n_tokens) // budget``. Returns
+    (id_col, n_tokens, bin_id). Deterministic, order-stable, exact.
+
+    This is a GLOBAL ordered prefix sum — the classic Spark scale trap: a
+    naive ``Window.orderBy(id)`` with no partition key collapses the whole
+    corpus into ONE task. Instead:
+
+    1. bucket boundaries = exact id percentiles (one small aggregate,
+       collected — n_buckets values, not rows);
+    2. per-bucket token totals → exclusive bucket offsets (n_buckets rows
+       on the driver, broadcast back as a literal map);
+    3. cumulative sum WITHIN each bucket (Window.partitionBy(bucket) —
+       n_buckets-way parallel) + the bucket's offset.
+
+    Work per task is corpus/n_buckets; nothing global ever sorts in one
+    task. n_buckets is the parallelism knob (set ~ cluster cores).
+    """
+    spark = df.sparkSession
+    from pyspark.sql import Window
+
+    n_tok = (F.col(token_col) if token_col
+             else F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    base = df.select(F.col(id_col), n_tok.cast("long").alias("n_tokens"))
+
+    # 1. exact percentile boundaries of the id domain (tiny result)
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    row = base.agg(F.expr(
+        f"percentile_disc(array({','.join(map(str, fracs))})) "
+        f"WITHIN GROUP (ORDER BY {id_col})").alias("b")).first()
+    bounds = sorted(set(row["b"] or []))
+
+    bucket = F.lit(0)
+    for i, b in enumerate(bounds):
+        bucket = F.when(F.col(id_col) > b, i + 1).otherwise(bucket)
+    bucketed = base.withColumn("_bkt", bucket)
+
+    # 2. exclusive offsets per bucket (n_buckets rows → driver → literal map)
+    sums = {r["_bkt"]: r["s"] for r in
+            bucketed.groupBy("_bkt").agg(F.sum("n_tokens").alias("s"))
+            .collect()}
+    offsets, acc = {}, 0
+    for b in sorted(sums):
+        offsets[b] = acc
+        acc += sums[b]
+    offset_expr = F.lit(0)
+    for b, off in offsets.items():
+        offset_expr = F.when(F.col("_bkt") == b, off).otherwise(offset_expr)
+
+    # 3. per-bucket cumulative sum — parallel across buckets
+    w = Window.partitionBy("_bkt").orderBy(id_col) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum("n_tokens").over(w) + offset_expr
+    return (bucketed
+            .withColumn("bin_id",
+                        F.floor((cum - F.col("n_tokens")) / budget))
+            .select(id_col, "n_tokens", "bin_id"))
+
+
 # ----------------------------------------------------------- semantic dedup
 
 

@@ -344,3 +344,46 @@ class TestReviewRegressions:
         out = SketchJob(src, ckpt, keys=["g"], specs=spec_v2,
                         job_id="j").run(spark, resume=False)
         assert out.filter(F.col("sketch") == "s").count() == 5
+
+
+class TestPackDocuments:
+    def test_known_small_case(self, spark):
+        from fever_spark.operators.curation import pack_documents
+
+        # tokens: 3, 4, 5, 2 — prefix starts 0,3,7,12 → bins 0,0,0,1 @10
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "d e f g"), (3, "h i j k l"), (4, "m n")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: (r["n_tokens"], r["bin_id"])
+               for r in pack_documents(df, budget=10).collect()}
+        assert out == {1: (3, 0), 2: (4, 0), 3: (5, 0), 4: (2, 1)}
+
+    def test_matches_single_window_reference(self, spark, sf_small):
+        """Bucketed two-pass prefix sum == the naive single-task window."""
+        from pyspark.sql import Window
+        from fever_spark.operators.curation import pack_documents
+
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+        got = {r["doc_id"]: r["bin_id"]
+               for r in pack_documents(docs, budget=300,
+                                       n_buckets=7).collect()}
+        n = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+        w = Window.orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        ref = {r["doc_id"]: r["b"] for r in
+               docs.select("doc_id", n.alias("n"))
+               .select("doc_id",
+                       F.floor((F.sum("n").over(w) - F.col("n")) / 300)
+                       .alias("b")).collect()}
+        assert got == ref
+
+    def test_oversized_doc_gets_own_bins(self, spark):
+        from fever_spark.operators.curation import pack_documents
+
+        df = spark.createDataFrame(
+            [(1, " ".join(["w"] * 25)), (2, "a b")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r["bin_id"]
+               for r in pack_documents(df, budget=10).collect()}
+        assert out[1] == 0      # starts at offset 0
+        assert out[2] == 2      # starts at offset 25 → bin 2

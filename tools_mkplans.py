@@ -151,6 +151,18 @@ sections.append(("Semantic dedup: candidates never leave their k-means cell",
     "anywhere (within-cell pairwise is a numpy matmul inside the group):",
     "\n".join(exch6c)))
 
+# 6c2. token packing: prefix sum without a global single-task sort
+from fever_spark.operators.curation import pack_documents
+p6c2 = plan(pack_documents(docs, budget=500, n_buckets=8))
+ex6c2 = [l.strip()[:150] for l in p6c2.splitlines()
+         if "Exchange" in l or "Window" in l or "Sort" in l]
+has_single = "SinglePartition" in p6c2
+sections.append(("Token packing: global prefix sum with NO single-task global sort",
+    f"pack_documents — the window runs per _bkt partition (exchange on "
+    f"hashpartitioning(_bkt)); a naive Window.orderBy(id) would show "
+    f"'Exchange SinglePartition'. SinglePartition in plan: {has_single}:",
+    "\n".join(ex6c2)))
+
 # 6d. sketch_pipeline stage breakdown (measured, round-2 session)
 sections.append(("sketch_pipeline wall-time breakdown (1M pages, local[32], warm workers)",
     "Measured best-of-3 per stage: BUILD of all three sketches = 1.5s "

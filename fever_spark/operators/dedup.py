@@ -95,8 +95,9 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         doc_idx, shingles = _word_shingles(texts, shingle_size)
         out = np.full((n_docs, num_hashes), np.iinfo(np.int64).max, dtype=np.int64)
         if len(shingles):
-            h1 = hash64(shingles, seed=seed)
-            h2 = hash64(shingles, seed=seed + 0x9E3779B9) | np.uint64(1)
+            from fever_spark.hashing import double_hash64
+
+            h1, h2 = double_hash64(shingles, seed=seed)
             # shingles are emitted doc-contiguously → per-doc minima come
             # from ONE contiguous reduceat pass per permutation (~10x faster
             # than scattered minimum.at)
@@ -147,6 +148,10 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     if sig_len_row is None:
         return signatures.sparkSession.createDataFrame(
             [], f"id_a long, id_b long, est_jaccard double")
+    # never more bands than signature rows: bands beyond the signature
+    # would slice empty arrays → one constant hash shared by EVERY doc →
+    # the equi-join degenerates into an all-pairs cross join
+    bands = min(bands, sig_len_row["n"])
     rows_per_band = max(1, sig_len_row["n"] // bands)
 
     # the exploded band rows and the candidate join carry IDS ONLY — the
@@ -340,15 +345,22 @@ def embedding_near_duplicates(df: DataFrame, vec_col: str = "embedding",
                 keys.append(signs.dot(1 << np.arange(n_planes)).astype(np.int64))
             return pd.Series(list(np.stack(keys, axis=1)))
 
+        # same ids-only discipline as lsh_candidate_pairs: the bucket
+        # explode and candidate equi-join never carry the (~KBs/row)
+        # vectors — unit vectors re-attach once per SURVIVING pair
         bucketed = unit.withColumn("bkt", bucket(F.col("v"))) \
-            .select("id", "v", F.posexplode("bkt").alias("pset", "bucket"))
-        a = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                            "pset", "bucket")
-        b = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                            "pset", "bucket")
-        pairs = (a.join(b, ["pset", "bucket"])
-                 .filter(F.col("id_a") < F.col("id_b"))
-                 .dropDuplicates(["id_a", "id_b"]))
+            .select("id", F.posexplode("bkt").alias("pset", "bucket"))
+        a = bucketed.select(F.col("id").alias("id_a"), "pset", "bucket")
+        b = bucketed.select(F.col("id").alias("id_b"), "pset", "bucket")
+        cand = (a.join(b, ["pset", "bucket"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .dropDuplicates(["id_a", "id_b"]))
+        pairs = (cand
+                 .join(unit.select(F.col("id").alias("id_a"),
+                                   F.col("v").alias("va")), "id_a")
+                 .join(unit.select(F.col("id").alias("id_b"),
+                                   F.col("v").alias("vb")), "id_b"))
 
     return (pairs.withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
             .filter(F.col("cosine") >= threshold)
@@ -395,6 +407,13 @@ def near_dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # a silently-split cluster keeps duplicate "canonicals" — fail loud
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iterations} "
+            f"rounds ({changed} labels still moving): a dup-chain diameter "
+            "exceeds max_iterations — raise it, or switch to "
+            "star-contraction for adversarial chain shapes")
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 

@@ -68,7 +68,10 @@ def build_ioc_filter_prehashed(spark, iocs, capacity: int | None = None,
     import numpy as np
     from pyspark.sql import functions as F2
 
-    iocs = list(iocs)
+    # empty lines in an IOC feed are noise, never indicators (the reference
+    # skips them on load); inserting xxhash64('') would make every
+    # empty-probe row "match" on the prehashed path
+    iocs = [i for i in iocs if i]
     bf = BloomFilter(capacity=capacity or max(len(iocs), 1), fpp=fpp, seed=seed)
     if iocs:
         hashed = (spark.createDataFrame([(s,) for s in iocs], "ioc string")
@@ -77,13 +80,14 @@ def build_ioc_filter_prehashed(spark, iocs, capacity: int | None = None,
     return bf
 
 
-def _alert_cols(df: DataFrame, prefix: str):
-    """Columns every alert row carries: original timestamp preserved as
-    timestamp_event, alerting time as timestamp (alertifier.go:126-155)."""
-    return [
-        F.lit("alert").alias("event_type"),
-        F.current_timestamp().alias("timestamp"),
-    ]
+def _prehash_probe(c):
+    """Probe-side hash for prehashed filters: NULL **and empty string** map
+    to the null sentinel so the prehashed path matches the raw path's
+    empty-tests-False semantics exactly."""
+    from fever_spark.ops.build import _PREHASH_NULL
+
+    return (F.when(c.isNotNull() & (c != ""), F.xxhash64(c))
+            .otherwise(F.lit(_PREHASH_NULL)))
 
 
 def bloom_match_events(events: DataFrame, bloom_bc, blacklist: list[str] | None = None,
@@ -208,10 +212,11 @@ def bloom_match_pages(pages: DataFrame, bloom_bc,
         .withColumn("_path", probes["path"]))
     if prehashed:
         # filter built by build_ioc_filter_prehashed: probe with JVM
-        # xxhash64 so only int64 hashes cross into Python
-        from fever_spark.ops.build import prehash_col
-
-        probe_cols = [prehash_col(F.col(c))
+        # xxhash64 so only int64 hashes cross into Python. Empty strings map
+        # to the null sentinel — the raw-string path tests '' as False
+        # (reference skip-on-empty, bloom_handler.go), and xxhash64('') is a
+        # real value that WOULD match if an empty line slipped into the feed
+        probe_cols = [_prehash_probe(F.col(c))
                       for c in ("_host", "_full", "_hostpath", "_path")]
     else:
         probe_cols = [F.col(c) for c in ("_host", "_full", "_hostpath", "_path")]

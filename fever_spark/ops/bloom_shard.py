@@ -136,7 +136,12 @@ def bloom_semi_join_sharded(probes: DataFrame, states: DataFrame,
     def test_group(probe_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(probe_pdf) == 0 or len(state_pdf) == 0:
             return probe_pdf[in_cols].iloc[0:0]
-        bf = sketch_from_bytes(bytes(state_pdf["state"].iloc[0]))
+        # a shard group may carry several partial states (caller passed a
+        # pre-merge frame or a union) — probing only the first would drop
+        # members of the others, a silent false negative
+        from fever_spark.sketch.base import merge_many
+
+        bf = merge_many([bytes(b) for b in state_pdf["state"]])
         hv = probe_pdf["__h"].to_numpy()
         keep = bf.contains(hv)
         return probe_pdf.loc[keep, in_cols]

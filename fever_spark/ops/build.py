@@ -163,6 +163,10 @@ def build_sketches(df: DataFrame, keys: list[str],
                     mask = vals != _PREHASH_NULL
                 else:
                     mask = pd.notna(group[spec.column]).to_numpy()
+                if spec.weight_column is not None:
+                    # a null weight must drop the row too: NaN cast to int64
+                    # is INT64_MIN and would drive CMS cells hugely negative
+                    mask = mask & pd.notna(group[spec.weight_column]).to_numpy()
                 if not mask.all():
                     vals = vals[mask]
                 if len(vals) == 0:
@@ -171,9 +175,7 @@ def build_sketches(df: DataFrame, keys: list[str],
                         and vals.dtype == np.float64):
                     vals = vals.astype(np.int64)
                 if spec.weight_column is not None:
-                    w = group[spec.weight_column].to_numpy()
-                    if not mask.all():
-                        w = w[mask]
+                    w = group[spec.weight_column].to_numpy()[mask]
                     sketches[spec.name].update(vals, w)
                 else:
                     sketches[spec.name].update(vals)
@@ -187,8 +189,22 @@ def build_sketches(df: DataFrame, keys: list[str],
             else:
                 update_group((), pdf)
 
+        def _fix_key(kt: tuple) -> tuple:
+            # nullable integral KEY columns decay to float64 in Arrow
+            # batches with nulls (same decay the value path guards above):
+            # NaN must leave as None and 3.0 as 3, or the LongType output
+            # schema gets garbage from the unsafe float->int cast
+            out = []
+            for name, v in zip(key_names, kt):
+                if name in integral_cols and isinstance(v, float):
+                    out.append(None if np.isnan(v) else int(v))
+                else:
+                    out.append(v)
+            return tuple(out)
+
         rows = []
         for key_tuple, sketches in acc.items():
+            key_tuple = _fix_key(key_tuple)
             for name, sk in sketches.items():
                 rows.append(key_tuple + (name, sk.to_bytes()))
         if rows:

@@ -132,7 +132,10 @@ class BloomFilter(Sketch):
     def info(self) -> dict:
         return {"capacity": self.capacity, "fpp": self.fpp, "k": self.k,
                 "m": self.m, "n_inserted": self.n_inserted,
-                "fill_ratio": float(np.unpackbits(self.bits)[: self.m].mean())}
+                # bitorder must match _positions' little-endian bit layout,
+                # or the [:m] slice counts the wrong bits of a partial byte
+                "fill_ratio": float(np.unpackbits(
+                    self.bits, bitorder="little")[: self.m].mean())}
 
     # -- serde ----------------------------------------------------------------
 

@@ -138,3 +138,97 @@ def test_build_prunes_columns(spark, sf_med):
     built = build_sketches(fresh, ["lang"], specs)
     plan = built._jdf.queryExecution().executedPlan().toString()
     assert "text" not in plan  # widest column must not be scanned
+
+
+class TestReviewRegressions2:
+    """Round-2 package-wide review fixes."""
+
+    def test_null_weight_rows_dropped(self, spark):
+        from fever_spark.ops import (SketchSpec, build_sketches,
+                                     cms_estimate_col, two_level_merge)
+
+        df = spark.createDataFrame(
+            [("a", 2), ("a", None), ("b", 5)],
+            "host string, bytes long")
+        merged = two_level_merge(build_sketches(
+            df, [], [SketchSpec("f", "cms", "host",
+                                {"epsilon": 1e-3, "delta": 1e-3},
+                                weight_column="bytes")]), [])
+        probes = spark.createDataFrame([("a",), ("b",)], "item string")
+        got = {r["item"]: r["est"] for r in
+               merged.crossJoin(probes)
+               .select("item", cms_estimate_col(F.col("state"),
+                                                F.col("item")).alias("est"))
+               .collect()}
+        # NaN weight would have driven cells to INT64_MIN; CMS never
+        # undercounts, so estimates must be >= the true weights
+        assert got["a"] >= 2 and got["b"] >= 5
+
+    def test_nullable_integral_key_column(self, spark):
+        from fever_spark.ops import (SketchSpec, build_sketches,
+                                     hll_estimate_col, two_level_merge)
+
+        rows = [(None if i % 5 == 0 else i % 3, i) for i in range(300)]
+        df = spark.createDataFrame(rows, "grp long, v long").repartition(6)
+        merged = two_level_merge(build_sketches(
+            df, ["grp"], [SketchSpec("d", "hll", "v", {"p": 12})]),
+            ["grp"])
+        got = {r["grp"]: r["est"] for r in
+               merged.select("grp", F.round(hll_estimate_col(F.col("state")))
+                             .alias("est")).collect()}
+        # keys survive as proper longs + one null group, not NaN garbage
+        assert set(got) == {None, 0, 1, 2}
+        assert abs(got[None] - 60) <= 3
+
+    def test_sharded_probe_merges_multiple_states(self, spark):
+        """Pre-merge (multi-state-per-shard) frames must not lose members."""
+        from fever_spark.ops import SketchSpec, build_sketches
+        from fever_spark.ops.bloom_shard import (bloom_semi_join_sharded,
+                                                 shard_col)
+
+        iocs = spark.createDataFrame([(f"bad{i}",) for i in range(40)],
+                                     "ioc string").repartition(4)
+        hashed = iocs.select(shard_col(F.col("ioc"), 2).alias("shard"),
+                             F.xxhash64("ioc").alias("h"))
+        # NO two_level_merge: several partial states per shard
+        states = build_sketches(
+            hashed, ["shard"],
+            [SketchSpec("i", "bloom", "h", {"capacity": 64, "fpp": 1e-6})]) \
+            .select("shard", "state")
+        probes = spark.createDataFrame(
+            [(f"bad{i}",) for i in range(40)] + [("clean",)], "probe string")
+        kept = {r["probe"] for r in bloom_semi_join_sharded(
+            probes, states, "probe", 2).collect()}
+        assert {f"bad{i}" for i in range(40)} <= kept  # zero FN
+
+    def test_prehashed_empty_string_never_matches(self, spark):
+        from fever_spark.ops.bloom_match import (bloom_match_pages,
+                                                 build_ioc_filter_prehashed)
+
+        # feed with a stray empty line; page whose path probe is ''
+        bf = build_ioc_filter_prehashed(spark, ["", "evil.example"])
+        bc = spark.sparkContext.broadcast(bf.to_bytes())
+        pages = spark.createDataFrame(
+            [("https://ok.example", "2024-01-01T00:00:00Z")],
+            "url string, warc_ts string")
+        alerts = bloom_match_pages(pages, bc, prehashed=True).collect()
+        assert alerts == []  # '' must test False, exactly like the raw path
+
+    def test_bloom_fill_ratio_partial_byte(self):
+        import numpy as np
+        from fever_spark.sketch import BloomFilter
+
+        bf = BloomFilter(capacity=5, fpp=0.4)  # small m, not byte-aligned
+        bf.update(np.array(["a", "b", "c"], dtype=object))
+        bits_set = int(np.unpackbits(bf.bits, bitorder="little")[:bf.m].sum())
+        assert bf.info()["fill_ratio"] == bits_set / bf.m
+
+    def test_lsh_bands_clamped_to_signature(self, spark, sf_small):
+        from fever_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(60)
+        sigs = dedup.minhash_signatures(docs, num_hashes=16)
+        # bands=64 > 16 hashes: must NOT degenerate into all-pairs
+        cand = dedup.lsh_candidate_pairs(sigs, bands=64)
+        n_docs = 60
+        assert cand.count() < n_docs * (n_docs - 1) / 2

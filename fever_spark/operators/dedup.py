@@ -323,9 +323,36 @@ def embedding_near_duplicates(df: DataFrame, vec_col: str = "embedding",
                            F.lit(0.0), lambda a, x: a + x)
 
     if brute_force:
-        a = unit.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-        b = unit.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        # ground-truth path (small-scale only, by contract): ONE numpy
+        # matmul over the whole corpus in a single applyInPandas group —
+        # exact, and ~100x faster than the previous expression-level
+        # cosine over the O(n²) self-join (12.5M pairs × 64-element
+        # zip_with lambdas took minutes at 5k vectors; M @ M.T is instant)
+        out_schema = T.StructType([
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ])
+
+        def all_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            m = len(pdf)
+            if m < 2:
+                return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                     "id_b": pd.Series(dtype="int64"),
+                                     "cosine": pd.Series(dtype="float64")})
+            ids = pdf["id"].to_numpy()
+            M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            S = M @ M.T
+            ia, ib = np.triu_indices(m, k=1)
+            keep = np.round(S[ia, ib], 6) >= threshold
+            a, b = ids[ia[keep]], ids[ib[keep]]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            return pd.DataFrame({"id_a": lo, "id_b": hi,
+                                 "cosine": np.round(S[ia, ib][keep], 6)})
+
+        return (unit.withColumn("_g", F.lit(0)).groupBy("_g")
+                .applyInPandas(all_pairs, out_schema)
+                .select("id_a", "id_b", "cosine"))
     else:
         dim_row = df.select(F.size(vec_col).alias("d")).first()
         if dim_row is None:

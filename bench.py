@@ -227,20 +227,25 @@ def main(argv=None):
     # best-of-N: the sandbox host is multi-tenant and single runs swing
     # 2-15x on identical work (measured 1.4s..23.8s for the same job across
     # adjacent minutes); co-tenant spikes last minutes, so min over enough
-    # reps is the defensible steady-state figure. Reps recorded in output.
+    # reps is the defensible steady-state figure. Reps are ROUND-ROBIN
+    # interleaved across queries (rep 1 of every query, then rep 2, ...):
+    # a minutes-long spike then inflates one rep of each query instead of
+    # every rep of whichever query it landed on (observed: 5 consecutive
+    # reps of the same query all 4x slow inside one spike, while the same
+    # query alone minutes later ran at steady state).
     reps = int(os.environ.get("FEVER_BENCH_REPS", "5"))
-    timings = {}
+    names = args.queries.split(",")
+    timings = {name: float("inf") for name in names}
     windows = {}  # best rep's [start_ms, end_ms] epoch window per query
-    for name in args.queries.split(","):
-        best = float("inf")
-        for _ in range(reps):
+    for _ in range(reps):
+        for name in names:
             t0 = time.time()
             BENCHES[name](spark)
             t1 = time.time()
-            if t1 - t0 < best:
-                best = t1 - t0
+            if t1 - t0 < timings[name]:
+                timings[name] = t1 - t0
                 windows[name] = [int(t0 * 1000), int(t1 * 1000)]
-        timings[name] = round(best, 3)
+    timings = {name: round(v, 3) for name, v in timings.items()}
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -14,6 +14,7 @@ independent of row count.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Iterator
 
@@ -73,9 +74,19 @@ def _output_schema(df: DataFrame, keys: list[str]) -> T.StructType:
 
 def build_sketches(df: DataFrame, keys: list[str],
                    specs: list[SketchSpec],
-                   coalesce_to: int | None = None) -> DataFrame:
+                   coalesce_to: int | None = None,
+                   memory_budget_bytes: int | None = None) -> DataFrame:
     """→ DataFrame(keys..., sketch: string, state: binary), one row per
-    (input partition, group key, spec). Feed to ``two_level_merge``.
+    (input partition, group key, spec) — MORE rows when the in-task group
+    map overflows ``memory_budget_bytes`` (default 1 GiB, env
+    ``FEVER_BUILD_MEM_BUDGET``): the accumulated partials are emitted and
+    the map reset, bounding task memory at budget + one Arrow batch no
+    matter how many distinct keys a partition holds (per-host keys over web
+    pages can reach millions of groups × 16 KB-1.5 MB dense state). The
+    extra partials are indistinguishable from another partition's to
+    ``two_level_merge``, which combines any number of partials per key —
+    the same spill-to-downstream fallback Spark's own hash aggregate uses.
+    Feed to ``two_level_merge``.
 
     Only the key columns + referenced value columns are selected, so Catalyst
     pushes column pruning into the scan (the Entry-projection analog of
@@ -149,6 +160,14 @@ def build_sketches(df: DataFrame, keys: list[str],
                          T.ByteType, T.ShortType, T.IntegerType, T.LongType))}
     out_schema = _output_schema(df, keys)
     key_names = list(keys)
+    if memory_budget_bytes is None:
+        memory_budget_bytes = int(os.environ.get(
+            "FEVER_BUILD_MEM_BUDGET", str(1 << 30)))
+    # per-group in-memory footprint ≈ raw (uncompressed) state bytes; the
+    # group cap derives from the budget once, on the driver (floor 16 so a
+    # tiny budget still amortizes per-batch costs over a few groups)
+    per_group = sum(len(s.make()._payload_bytes()) for s in specs) or 1
+    max_groups = max(16, memory_budget_bytes // per_group)
 
     def build_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict[tuple, dict[str, object]] = {}
@@ -180,15 +199,6 @@ def build_sketches(df: DataFrame, keys: list[str],
                 else:
                     sketches[spec.name].update(vals)
 
-        for pdf in batches:
-            if key_names:
-                for key_tuple, group in pdf.groupby(key_names, dropna=False, sort=False):
-                    if not isinstance(key_tuple, tuple):
-                        key_tuple = (key_tuple,)
-                    update_group(key_tuple, group)
-            else:
-                update_group((), pdf)
-
         def _fix_key(kt: tuple) -> tuple:
             # nullable integral KEY columns decay to float64 in Arrow
             # batches with nulls (same decay the value path guards above):
@@ -202,13 +212,36 @@ def build_sketches(df: DataFrame, keys: list[str],
                     out.append(v)
             return tuple(out)
 
-        rows = []
-        for key_tuple, sketches in acc.items():
-            key_tuple = _fix_key(key_tuple)
-            for name, sk in sketches.items():
-                rows.append(key_tuple + (name, sk.to_bytes()))
-        if rows:
-            yield pd.DataFrame(rows, columns=key_names + ["sketch", "state"])
+        def drain() -> pd.DataFrame | None:
+            rows = []
+            for key_tuple, sketches in acc.items():
+                key_tuple = _fix_key(key_tuple)
+                for name, sk in sketches.items():
+                    rows.append(key_tuple + (name, sk.to_bytes()))
+            acc.clear()
+            if rows:
+                return pd.DataFrame(rows, columns=key_names + ["sketch", "state"])
+            return None
+
+        for pdf in batches:
+            if key_names:
+                for key_tuple, group in pdf.groupby(key_names, dropna=False, sort=False):
+                    if not isinstance(key_tuple, tuple):
+                        key_tuple = (key_tuple,)
+                    update_group(key_tuple, group)
+                    # checked per GROUP, not per batch: one Arrow batch can
+                    # introduce thousands of fresh groups, each allocating
+                    # full dense state the moment it's first seen
+                    if len(acc) >= max_groups:
+                        out = drain()
+                        if out is not None:
+                            yield out
+            else:
+                update_group((), pdf)
+
+        out = drain()
+        if out is not None:
+            yield out
 
     return df.select(*[F.col(c) for c in needed], *extra_exprs) \
         .mapInPandas(build_partition, schema=out_schema)

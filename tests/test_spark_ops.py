@@ -232,3 +232,53 @@ class TestReviewRegressions2:
         cand = dedup.lsh_candidate_pairs(sigs, bands=64)
         n_docs = 60
         assert cand.count() < n_docs * (n_docs - 1) / 2
+
+
+class TestBoundedBuildMemory:
+    """build_sketches memory budget: overflowing the in-task group map must
+    emit extra partials (bounding memory for high-cardinality keys at
+    scale), and the post-merge result must be identical to the unbounded
+    build — the flushed partials are just more states for the same keys."""
+
+    def test_flush_preserves_merged_result(self, spark, events):
+        # ~200 distinct keys per partition vs the 16-group floor the 1-byte
+        # budget forces -> every task flushes ~12x on real testdata
+        ev = events.withColumn("grp", F.pmod(F.col("user_id"), F.lit(200)))
+        specs = [SketchSpec("u", "hll", "event_id", {"p": 12})]
+        ref = {r["grp"]: r["est"] for r in two_level_merge(
+            build_sketches(ev, ["grp"], specs), ["grp"])
+            .withColumn("est", F.round(hll_estimate_col(F.col("state")), 4))
+            .collect()}
+        assert len(ref) > 16  # enough groups to overflow the floored cap
+
+        bounded = build_sketches(ev, ["grp"], specs, memory_budget_bytes=1)
+        got = {r["grp"]: r["est"] for r in two_level_merge(bounded, ["grp"])
+               .withColumn("est", F.round(hll_estimate_col(F.col("state")), 4))
+               .collect()}
+        assert got == ref
+
+    def test_flush_emits_extra_partials(self, spark):
+        import pandas as pd
+
+        # 64 distinct keys, ONE partition, small Arrow batches: the 1-byte
+        # budget floors the cap at 16 groups, so every batch flushes the
+        # map ~4x and each key re-enters on the next batch -> strictly more
+        # partials than the unbounded one-per-key build
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+        try:
+            df = spark.createDataFrame(
+                pd.DataFrame({"k": [f"k{i:02d}" for i in range(64)] * 10,
+                              "v": list(range(640))})).repartition(1)
+            specs = [SketchSpec("u", "hll", "v", {"p": 12})]
+            partials = build_sketches(df, ["k"], specs, memory_budget_bytes=1)
+            n_partials = partials.count()
+            assert n_partials > 64, n_partials
+            # unbounded build from one partition: one partial per key
+            assert build_sketches(df, ["k"], specs).count() == 64
+            merged = two_level_merge(partials, ["k"])
+            est = merged.withColumn(
+                "est", F.round(hll_estimate_col(F.col("state")))).collect()
+            assert len(est) == 64
+            assert all(abs(r["est"] - 10) <= 1 for r in est)
+        finally:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")

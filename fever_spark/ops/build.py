@@ -163,10 +163,15 @@ def build_sketches(df: DataFrame, keys: list[str],
     if memory_budget_bytes is None:
         memory_budget_bytes = int(os.environ.get(
             "FEVER_BUILD_MEM_BUDGET", str(1 << 30)))
-    # per-group in-memory footprint ≈ raw (uncompressed) state bytes; the
-    # group cap derives from the budget once, on the driver (floor 16 so a
-    # tiny budget still amortizes per-batch costs over a few groups)
-    per_group = sum(len(s.make()._payload_bytes()) for s in specs) or 1
+    # per-group in-memory footprint = each sketch's SATURATED state bound
+    # (Sketch.max_state_bytes), not the fresh payload size: a freshly-made
+    # KMV is ~16 bytes but holds k hashes + k value strings when full, so
+    # fresh-size provisioning would let max_groups run ~4 orders of
+    # magnitude high and blow the budget exactly in the millions-of-groups
+    # case the flush exists for. The cap derives from the budget once, on
+    # the driver (floor 16 so a tiny budget still amortizes per-batch costs
+    # over a few groups).
+    per_group = sum(s.make().max_state_bytes() for s in specs) or 1
     max_groups = max(16, memory_budget_bytes // per_group)
 
     def build_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -40,6 +40,19 @@ KIND_TDIGEST = 5
 SKETCH_REGISTRY: dict[int, type] = {}
 NAME_REGISTRY: dict[str, type] = {}
 
+_MASK64 = (1 << 64) - 1
+
+
+def canonical_seed(seed: int) -> int:
+    """Wrap an arbitrary Python int seed to the signed 64-bit range —
+    the same 2's-complement wrap hashing.hash64 applies to integer inputs.
+    Sketches canonicalize their seed ONCE at construction so (a) the seed
+    survives serde exactly (headers store it as little-endian int64) and
+    (b) derived seeds like ``seed + 0x9E3779B9`` that overflow 64 bits
+    can't raise struct.error inside an executor at to_bytes time."""
+    s = int(seed) & _MASK64
+    return s - (1 << 64) if s >= (1 << 63) else s
+
 
 def register(kind: int, name: str):
     def deco(cls):
@@ -66,6 +79,16 @@ class Sketch(ABC):
 
     @abstractmethod
     def _payload_bytes(self) -> bytes: ...
+
+    def max_state_bytes(self) -> int:
+        """Upper bound on the IN-MEMORY footprint this sketch can reach when
+        saturated — what a task-memory budget must provision per group
+        (ops/build.py derives its group cap from this). The default — the
+        current payload size — is exact for dense fixed-size states
+        (Bloom/HLL/CMS allocate their full table at construction); sketches
+        whose state GROWS with input (KMV's stored values, KLL's levels,
+        t-digest's buffers) override with a saturated-state estimate."""
+        return max(1, len(self._payload_bytes()))
 
     @classmethod
     @abstractmethod

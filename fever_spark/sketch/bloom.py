@@ -20,9 +20,9 @@ import struct
 import numpy as np
 
 from fever_spark.hashing import double_hash64
-from fever_spark.sketch.base import KIND_BLOOM, Sketch, register
+from fever_spark.sketch.base import KIND_BLOOM, Sketch, canonical_seed, register
 
-_HEADER = struct.Struct("<QQIIQ")  # capacity n, m bits, k, seed, N inserted
+_HEADER = struct.Struct("<QQIqQ")  # capacity n, m bits, k, seed (signed 64), N inserted
 
 
 @register(KIND_BLOOM, "bloom")
@@ -47,7 +47,7 @@ class BloomFilter(Sketch):
         capacity = max(1, int(capacity))
         self.capacity = capacity
         self.fpp = float(fpp)
-        self.seed = int(seed)
+        self.seed = canonical_seed(seed)
         if _bits is not None:
             self.m = int(_m)
             self.k = int(_k)

@@ -17,9 +17,9 @@ import struct
 import numpy as np
 
 from fever_spark.hashing import double_hash64
-from fever_spark.sketch.base import KIND_CMS, Sketch, register
+from fever_spark.sketch.base import KIND_CMS, Sketch, canonical_seed, register
 
-_HEADER = struct.Struct("<IIIq")  # depth d, width w, seed, total N
+_HEADER = struct.Struct("<IIqq")  # depth d, width w, seed (signed 64), total N
 
 
 @register(KIND_CMS, "cms")
@@ -33,7 +33,7 @@ class CountMinSketch(Sketch):
             width = max(8, int(math.ceil(math.e / epsilon)))
         self.depth = int(depth)
         self.width = int(width)
-        self.seed = int(seed)
+        self.seed = canonical_seed(seed)
         self.table = (_table if _table is not None
                       else np.zeros((self.depth, self.width), dtype=np.int64))
         self.total = int(_total)

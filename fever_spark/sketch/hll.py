@@ -16,9 +16,9 @@ import struct
 import numpy as np
 
 from fever_spark.hashing import hash64
-from fever_spark.sketch.base import KIND_HLL, Sketch, register
+from fever_spark.sketch.base import KIND_HLL, Sketch, canonical_seed, register
 
-_HEADER = struct.Struct("<BI")  # p, seed
+_HEADER = struct.Struct("<Bq")  # p, seed (signed 64)
 
 
 def _alpha(m: int) -> float:
@@ -46,7 +46,7 @@ class HyperLogLog(Sketch):
             raise ValueError("p must be in [4, 18]")
         self.p = int(p)
         self.m = 1 << self.p
-        self.seed = int(seed)
+        self.seed = canonical_seed(seed)
         self.registers = (_registers if _registers is not None
                           else np.zeros(self.m, dtype=np.uint8))
 

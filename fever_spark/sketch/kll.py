@@ -40,11 +40,23 @@ class KLLSketch(Sketch):
         self.levels: list[np.ndarray] = _levels if _levels is not None else [
             np.empty(0, dtype=np.float64)]
         self.n = int(_n)
-        self.rng_state = int(_rng_state) if _rng_state is not None else (seed or 0xDA3E39CB94B95BDB)
+        # unsigned 64-bit splitmix state: mask so a negative or oversized
+        # seed can't raise struct.error in the '<IqQ...' header's Q slot
+        self.rng_state = (int(_rng_state) if _rng_state is not None
+                          else (seed or 0xDA3E39CB94B95BDB)) & 0xFFFFFFFFFFFFFFFF
 
     def rank_error(self) -> float:
         """Published normalized rank-error bound for this k."""
         return 2.296 / (self.k ** 0.9)
+
+    def max_state_bytes(self) -> int:
+        """Saturated in-memory bound: the capacity schedule sums to
+        k·Σc^d ≈ k/(1-c) = 3k retained items across levels (plus the
+        _MIN_CAP floor on ~60 deep levels), and the bulk-update path holds
+        one max(k, 1024)-item chunk in level 0 before compressing."""
+        retained = 3 * self.k + 64 * _MIN_CAP
+        in_flight = max(self.k, 1024)
+        return _HEADER.size + 8 * (retained + in_flight)
 
     # -- capacity schedule ----------------------------------------------------
 
@@ -113,6 +125,48 @@ class KLLSketch(Sketch):
         self.rng_state &= 0xFFFFFFFFFFFFFFFF
         self._compress()
         return self
+
+    @classmethod
+    def _merge_many(cls, states: list[bytes]) -> "KLLSketch":
+        """N-way shuffle-merge fast path (see base.merge_many): decode every
+        payload once, concatenate level-wise across ALL inputs, then run ONE
+        compression pass — versus the pairwise fallback's N-1 full
+        deserialize+compress rounds. Same estimator guarantees: compaction
+        is randomized, and the rng fold matches pairwise merge's mixing."""
+        from fever_spark.sketch.base import payload_of
+
+        payloads = [payload_of(s) for s in states]
+        k0, _, _, _ = _HEADER.unpack_from(payloads[0], 0)
+        level_parts: list[list[np.ndarray]] = []
+        total_n = 0
+        rng_state = None
+        for pl in payloads:
+            k, n, rs, n_levels = _HEADER.unpack_from(pl, 0)
+            if k != k0:
+                raise ValueError("cannot merge KLL sketches with different k")
+            total_n += n
+            if rng_state is None:
+                rng_state = rs
+            else:
+                rng_state ^= rs * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF
+                rng_state &= 0xFFFFFFFFFFFFFFFF
+            off = _HEADER.size
+            for h in range(n_levels):
+                (ln,) = struct.unpack_from("<I", pl, off)
+                off += 4
+                while len(level_parts) <= h:
+                    level_parts.append([])
+                if ln:
+                    level_parts[h].append(
+                        np.frombuffer(pl, dtype=np.float64, count=ln,
+                                      offset=off))
+                off += 8 * ln
+        levels = [np.concatenate(parts) if parts
+                  else np.empty(0, dtype=np.float64)
+                  for parts in (level_parts or [[]])]
+        out = cls(k=k0, _levels=levels, _n=total_n, _rng_state=rng_state)
+        out._compress()
+        return out
 
     # -- queries -----------------------------------------------------------------
 

@@ -36,11 +36,17 @@ import struct
 import numpy as np
 
 from fever_spark.hashing import hash64
-from fever_spark.sketch.base import Sketch, register
+from fever_spark.sketch.base import Sketch, canonical_seed, register
 
 KIND_KMV = 7
-_HEADER = struct.Struct("<IIQ")  # k, seed, n_entries
+_HEADER = struct.Struct("<IqQ")  # k, seed (signed 64), n_entries
 _TWO64 = float(1 << 64)
+
+# saturated-state sizing assumption for max_state_bytes: stored values are
+# URL/hostname-shaped strings; 128 bytes/value is the provisioning estimate
+# (generous for hosts, right for long URLs). Callers storing bigger values
+# should budget via FEVER_BUILD_MEM_BUDGET accordingly.
+_EST_VALUE_BYTES = 128
 
 
 @register(KIND_KMV, "kmv")
@@ -51,7 +57,7 @@ class KMVSketch(Sketch):
         if k < 3:
             raise ValueError("k must be >= 3 (estimator uses k-2)")
         self.k = int(k)
-        self.seed = int(seed)
+        self.seed = canonical_seed(seed)
         # invariant: hashes sorted ascending, len <= k, values aligned
         self.hashes = (_hashes if _hashes is not None
                        else np.zeros(0, dtype=np.uint64))
@@ -110,6 +116,13 @@ class KMVSketch(Sketch):
         return KMVSketch(k=self.k, seed=self.seed,
                          _hashes=self.hashes.copy(),
                          _values=self.values.copy())
+
+    def max_state_bytes(self) -> int:
+        """Saturated KMV state is k hashes + k length prefixes + k STORED
+        VALUE strings — ~4 orders of magnitude bigger than the ~16-byte
+        empty state, so the default fresh-payload sizing would let a
+        build-task group map overrun its memory budget."""
+        return _HEADER.size + self.k * (8 + 4 + _EST_VALUE_BYTES)
 
     # -- serde ---------------------------------------------------------------
 

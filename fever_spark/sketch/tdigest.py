@@ -42,6 +42,15 @@ class TDigest(Sketch):
         self._buf_weights: list[np.ndarray] = []
         self._buf_size = 0
 
+    def max_state_bytes(self) -> int:
+        """Saturated in-memory bound: compressed centroids are capped by the
+        k1 floor-bucketing at ~delta/2 + 2 groups, but the UPDATE BUFFER
+        holds up to max(512, 10·delta) raw points before a flush — the
+        dominant term a per-group memory budget must provision."""
+        centroids = int(self.delta) // 2 + 2
+        buffered = max(512, 10 * int(self.delta))
+        return _HEADER.size + 16 * (centroids + buffered)
+
     # -- scale function k1 and its q-limit step --------------------------------
 
     def _k(self, q: np.ndarray) -> np.ndarray:
@@ -122,6 +131,35 @@ class TDigest(Sketch):
         if self._buf_size:
             self._flush()
         return self.means, self.weights
+
+    @classmethod
+    def _merge_many(cls, states: list[bytes]) -> "TDigest":
+        """N-way shuffle-merge fast path (see base.merge_many): concatenate
+        every input's centroid list and run ONE compression pass, versus the
+        pairwise fallback's N-1 deserialize+compress rounds. Accuracy is the
+        documented merge approximation either way (rank-error-bound tests,
+        not byte equality, across merge orders)."""
+        from fever_spark.sketch.base import payload_of
+
+        payloads = [payload_of(s) for s in states]
+        d0, _, _, _ = _HEADER.unpack_from(payloads[0], 0)
+        mean_parts, weight_parts = [], []
+        for pl in payloads:
+            delta, n, _, nc = _HEADER.unpack_from(pl, 0)
+            if delta != d0:
+                raise ValueError("cannot merge t-digests with different delta")
+            if nc:
+                off = _HEADER.size
+                mean_parts.append(np.frombuffer(pl, dtype=np.float64,
+                                                count=nc, offset=off))
+                weight_parts.append(np.frombuffer(pl, dtype=np.float64,
+                                                  count=nc, offset=off + 8 * nc))
+        out = cls(delta=d0)
+        if mean_parts:
+            out.means, out.weights = out._compress(
+                np.concatenate(mean_parts), np.concatenate(weight_parts))
+            out.n = int(round(out.weights.sum()))
+        return out
 
     # -- queries ----------------------------------------------------------------------
 

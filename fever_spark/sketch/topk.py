@@ -58,6 +58,12 @@ class CMSTopK(Sketch):
     def total(self) -> int:
         return self.cms.total
 
+    def max_state_bytes(self) -> int:
+        """Dense inner CMS table + the bounded candidate set (``track``
+        items; 128 bytes/item provisions URL/hostname-shaped strings —
+        the same sizing assumption as KMV's stored values)."""
+        return self.cms.max_state_bytes() + self.track * (8 + 128)
+
     def error_bound(self) -> float:
         return self.cms.error_bound()
 

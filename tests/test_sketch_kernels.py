@@ -438,3 +438,134 @@ class TestKMV:
         i = kmv_intersection_estimate(x, y)
         assert abs(u - 15_000) / 15_000 < 0.15
         assert abs(i - 5_000) / 5_000 < 0.25
+
+
+# ------------------------------------------------- round-3 hardening
+
+
+class TestSeedSerde:
+    """Seeds survive serde exactly for the full int range (round-3 ADVICE:
+    'I'-packed headers raised struct.error on negative / >= 2^32 seeds —
+    e.g. the seed + 0x9E3779B9 derivations — inside executors)."""
+
+    SEEDS = [0, 7, -1, -(2 ** 40), 2 ** 32 + 9, 2 ** 63, 2 ** 64 + 5,
+             5 + 0x9E3779B9 + (2 ** 62) * 7]
+
+    @pytest.mark.parametrize("seed", SEEDS)
+    def test_all_kinds_roundtrip(self, seed):
+        from fever_spark.sketch import KMVSketch
+
+        vals = np.array(["a", "b", "c", "a"], dtype=object)
+        for sk in (KMVSketch(k=64, seed=seed),
+                   CountMinSketch(epsilon=1e-2, delta=1e-2, seed=seed),
+                   HyperLogLog(p=8, seed=seed),
+                   BloomFilter(capacity=100, seed=seed),
+                   KLLSketch(k=200, seed=seed)):
+            sk.update(np.arange(50.0) if isinstance(sk, (KLLSketch, TDigest))
+                      else vals)
+            blob = sk.to_bytes()
+            rt = sketch_from_bytes(blob)
+            assert rt.to_bytes() == blob
+            if hasattr(sk, "seed"):
+                assert rt.seed == sk.seed
+
+    def test_canonical_seed_matches_integer_wrap(self):
+        # hash64 wraps integer seeds mod 2^64; canonical_seed must agree so
+        # a sketch built pre-serde probes identically post-serde
+        from fever_spark.sketch.base import canonical_seed
+
+        vals = np.arange(100, dtype=np.int64)
+        assert np.array_equal(hash64(vals, seed=-1),
+                              hash64(vals, seed=canonical_seed(-1)))
+        assert np.array_equal(hash64(vals, seed=2 ** 64 + 5),
+                              hash64(vals, seed=canonical_seed(2 ** 64 + 5)))
+
+    def test_bloom_membership_survives_roundtrip_negative_seed(self):
+        bf = BloomFilter(capacity=1000, fpp=1e-4, seed=-3)
+        members = np.array([f"ioc{i}" for i in range(500)], dtype=object)
+        bf.update(members)
+        rt = sketch_from_bytes(bf.to_bytes())
+        assert rt.contains(members).all()
+
+
+class TestMaxStateBytes:
+    def test_dense_sketches_equal_fresh_payload(self):
+        for sk in (HyperLogLog(p=12), CountMinSketch(epsilon=1e-3, delta=1e-2),
+                   BloomFilter(capacity=10_000)):
+            assert sk.max_state_bytes() == len(sk._payload_bytes())
+
+    def test_kmv_provisions_saturated_state(self):
+        from fever_spark.sketch import KMVSketch
+
+        sk = KMVSketch(k=1024)
+        fresh = len(sk._payload_bytes())
+        assert sk.max_state_bytes() > 100 * fresh  # the 4-orders ADVICE gap
+        # saturate with realistic URL-ish values and check the bound holds
+        sk.update(np.array([f"https://host{i}.example/path/{i}?q={i}"
+                            for i in range(5000)], dtype=object))
+        assert len(sk._payload_bytes()) <= sk.max_state_bytes()
+
+    def test_growing_sketches_bounded_after_heavy_update(self):
+        kll, td = KLLSketch(k=200), TDigest(delta=200)
+        data = RNG.normal(0, 1, 200_000)
+        kll.update(data)
+        td.update(data)
+        assert len(kll._payload_bytes()) <= kll.max_state_bytes()
+        assert len(td._payload_bytes()) <= td.max_state_bytes()
+
+
+class TestQuantileMergeMany:
+    """KLL/t-digest N-way fast paths (round-3: previously pairwise-only)."""
+
+    def _states(self, cls, n_parts=64, **kw):
+        rng = np.random.default_rng(9)
+        out = []
+        for _ in range(n_parts):
+            s = cls(**kw)
+            s.update(rng.normal(1000, 250, 20_000))
+            out.append(s.to_bytes())
+        return out
+
+    @pytest.mark.parametrize("cls,kw", [(KLLSketch, {"k": 200}),
+                                        (TDigest, {"delta": 200})])
+    def test_fast_path_within_published_bound(self, cls, kw):
+        from fever_spark.sketch.base import merge_many
+
+        states = self._states(cls, **kw)
+        merged = merge_many(states)
+        assert isinstance(merged, cls)
+        assert merged.n == 64 * 20_000
+        # rank error at the median vs the true normal distribution
+        true_median = 1000.0
+        r = merged.rank(true_median)
+        tol = merged.rank_error() if hasattr(merged, "rank_error") else 0.02
+        assert abs(r - 0.5) < max(tol, 0.02) * 3
+
+    @pytest.mark.parametrize("cls,kw", [(KLLSketch, {"k": 200}),
+                                        (TDigest, {"delta": 200})])
+    def test_fast_path_agrees_with_pairwise(self, cls, kw):
+        from fever_spark.sketch.base import merge_many
+
+        states = self._states(cls, n_parts=16, **kw)
+        fast = merge_many(states)
+        slow = sketch_from_bytes(states[0])
+        for b in states[1:]:
+            slow.merge(sketch_from_bytes(b))
+        assert fast.n == slow.n
+        qs = np.array([0.01, 0.25, 0.5, 0.75, 0.99])
+        fq, sq = np.atleast_1d(fast.quantile(qs)), np.atleast_1d(slow.quantile(qs))
+        # both are approximations of the same data: agree within the bound
+        spread = sq.max() - sq.min()
+        assert np.all(np.abs(fq - sq) < 0.05 * spread)
+
+    def test_merge_many_param_mismatch_raises(self):
+        from fever_spark.sketch.base import merge_many
+
+        a, b = KLLSketch(k=200), KLLSketch(k=256)
+        a.update(np.arange(10.0)); b.update(np.arange(10.0))
+        with pytest.raises(ValueError):
+            merge_many([a.to_bytes(), b.to_bytes()])
+        x, y = TDigest(delta=100), TDigest(delta=200)
+        x.update(np.arange(10.0)); y.update(np.arange(10.0))
+        with pytest.raises(ValueError):
+            merge_many([x.to_bytes(), y.to_bytes()])

@@ -477,6 +477,10 @@ def q_bloom_sharded(spark, sf_dir):
 def q_bloom_zero_fn(spark, sf_dir):
     # Bloom true positives == exact semi-join (zero false negatives);
     # FPs removed by the exact intersect, FNs would leave rows missing.
+    # The fpr_ok column folds in the FPR-bound check (formerly its own
+    # q_bloom_fpr entry, whose oracle was a vacuous SELECT 1): probing
+    # known non-members must stay within 3x the configured bound, and a
+    # violation flips fpr_ok to 0 on EVERY row — breaking the hash.
     docs = _read(spark, sf_dir, "documents")
     web_ids = np.array([r["doc_id"] for r in
                         docs.filter(F.col("source") == "web")
@@ -485,23 +489,19 @@ def q_bloom_zero_fn(spark, sf_dir):
     if len(web_ids):
         bf.update(web_ids)
     bc = spark.sparkContext.broadcast(bf.to_bytes())
+
+    ev = _read(spark, sf_dir, "events")
+    fbf = BloomFilter(capacity=1000, fpp=1e-3)
+    fbf.update(np.arange(0, 1000, dtype=np.int64))
+    fbc = spark.sparkContext.broadcast(fbf.to_bytes())
+    non_members = (ev.select((F.col("event_id") + 1_000_000).alias("probe"))
+                   .distinct())
+    n = non_members.count()
+    fp = non_members.filter(bloom_contains_col(fbc, F.col("probe"))).count()
+    fpr_ok = int(fp <= max(3, 1e-3 * 3 * n))
     return (docs.filter(bloom_contains_col(bc, F.col("doc_id"))
                         & (F.col("source") == "web"))
-            .select("doc_id"))
-
-
-def q_bloom_fpr(spark, sf_dir):
-    # FPR on known non-members stays within 3x the configured bound
-    ev = _read(spark, sf_dir, "events")
-    members = np.arange(0, 1000, dtype=np.int64)
-    bf = BloomFilter(capacity=1000, fpp=1e-3)
-    bf.update(members)
-    bc = spark.sparkContext.broadcast(bf.to_bytes())
-    non_members = ev.select((F.col("event_id") + 1_000_000).alias("probe")).distinct()
-    n = non_members.count()
-    fp = non_members.filter(bloom_contains_col(bc, F.col("probe"))).count()
-    return spark.createDataFrame([(int(fp <= max(3, 3e-3 * 3 * n)),)],
-                                 "fpr_ok int")
+            .select("doc_id", F.lit(fpr_ok).alias("fpr_ok")))
 
 
 # --------------------------------------------------------------------------
@@ -512,14 +512,18 @@ _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
 
 def q_exact_dedup(spark, sf_dir):
+    # survivors of exact dedup, PLUS the distinct-fingerprint count as a
+    # constant column (formerly its own q_dedup_group_count entry): the
+    # oracle recomputes it as count(DISTINCT normalized text), so a
+    # fingerprint collision or normalization drift breaks the hash on
+    # every row, and survivor-count == distinct-content-count by
+    # construction.
     docs = _read(spark, sf_dir, "documents")
-    return dedup.exact_dedup(docs).select("doc_id")
-
-
-def q_dedup_group_count(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
-    return (docs.withColumn("fp", TXT.fingerprint(F.col("text")))
-            .agg(F.countDistinct("fp").alias("n_distinct_contents")))
+    n_fp = (docs.withColumn("fp", TXT.fingerprint(F.col("text")))
+            .agg(F.countDistinct("fp")).first()[0])
+    return (dedup.exact_dedup(docs)
+            .select("doc_id", F.lit(int(n_fp)).cast("long")
+                    .alias("n_distinct_contents")))
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -729,17 +733,19 @@ def q_contamination(spark, sf_dir):
 
 def q_paragraph_dedup(spark, sf_dir):
     """Cross-document paragraph dedup (RefinedWeb/C4 boilerplate pass). The
-    corpus is single-line, so the gate PLANTS two extra paragraphs per doc —
-    a global boilerplate line and a shared-by-(doc_id%7) promo line — then
-    asserts the reassembled texts byte-match DuckDB's window-rank dedup:
-    boilerplate survives only in doc 0, each promo line only in the lowest
-    doc of its class, original order preserved everywhere."""
+    corpus is single-line, so the gate PLANTS three extra paragraphs per
+    doc — a BLANK paragraph (consecutive separators; must survive in EVERY
+    doc, the round-3 blank-exemption contract), a global boilerplate line,
+    and a shared-by-(doc_id%7) promo line — then asserts the reassembled
+    texts byte-match DuckDB's window-rank dedup: boilerplate survives only
+    in doc 0, each promo line only in the lowest doc of its class, blanks
+    and original order preserved everywhere."""
     from fever_spark.operators import curation as CUR
 
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(F.col("text"),
-                 F.lit("\nsubscribe to our newsletter today\nshared promo "),
+                 F.lit("\n\nsubscribe to our newsletter today\nshared promo "),
                  (F.col("doc_id") % 7).cast("string")).alias("text"))
     return CUR.paragraph_dedup(docs, id_col="doc_id", text_col="text")
 
@@ -855,9 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantile_bounds": q_quantile_bounds,
         "q_bloom_zero_fn": q_bloom_zero_fn,
         "q_bloom_sharded": q_bloom_sharded,
-        "q_bloom_fpr": q_bloom_fpr,
         "q_exact_dedup": q_exact_dedup,
-        "q_dedup_group_count": q_dedup_group_count,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash": q_simhash,
@@ -1082,19 +1086,17 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT unnest([0.1, 0.5, 0.9]) AS q) qs
         """,
         "q_bloom_zero_fn": """
-            SELECT doc_id FROM documents WHERE source = 'web'
+            SELECT doc_id, 1 AS fpr_ok FROM documents WHERE source = 'web'
         """,
         "q_bloom_sharded": """
             SELECT doc_id FROM documents WHERE source = 'web'
         """,
-        "q_bloom_fpr": "SELECT 1 AS fpr_ok",
         "q_exact_dedup": f"""
-            SELECT min(doc_id) AS doc_id FROM documents
-            GROUP BY {_NORM_SQL}
-        """,
-        "q_dedup_group_count": f"""
-            SELECT count(DISTINCT {_NORM_SQL}) AS n_distinct_contents
-            FROM documents
+            SELECT s.doc_id, c.n_distinct_contents
+            FROM (SELECT min(doc_id) AS doc_id FROM documents
+                  GROUP BY {_NORM_SQL}) s
+            CROSS JOIN (SELECT count(DISTINCT {_NORM_SQL})
+                          AS n_distinct_contents FROM documents) c
         """,
         "q_ngram_jaccard": ngram_exact,
         "q_stratified_sample": """
@@ -1406,7 +1408,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_paragraph_dedup": """
             WITH planted AS (
-              SELECT doc_id, text || chr(10)
+              SELECT doc_id, text || chr(10) || chr(10)
                      || 'subscribe to our newsletter today' || chr(10)
                      || 'shared promo ' || (doc_id % 7) AS text
               FROM documents
@@ -1417,10 +1419,14 @@ def oracle_sql() -> dict[str, str]:
                        AS pos
               FROM planted
             ), k AS (
+              -- blank paragraphs are dedup-exempt structure: always kept
               SELECT doc_id, para, pos,
                      row_number() OVER (PARTITION BY para
                                         ORDER BY doc_id, pos) AS rn
-              FROM p
+              FROM p WHERE trim(para) <> ''
+              UNION ALL
+              SELECT doc_id, para, pos, 1 AS rn
+              FROM p WHERE trim(para) = ''
             )
             SELECT d.doc_id, coalesce(s.text, '') AS text
             FROM planted d LEFT JOIN (

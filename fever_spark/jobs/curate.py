@@ -76,11 +76,12 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
     counts["after_quality_filter"] = filtered.count()
 
     if paragraph_dedup:
-        # docs reduced to zero paragraphs are fully-duplicated boilerplate —
-        # drop them here, or an empty-text canonical doc would survive exact
-        # dedup into the output
+        # docs reduced to zero CONTENT paragraphs are fully-duplicated
+        # boilerplate — drop them here, or an empty canonical doc would
+        # survive exact dedup into the output (trim: blank paragraphs are
+        # dedup-exempt structure, so such docs reassemble to whitespace)
         filtered = (curation.paragraph_dedup(filtered, id_col, text_col)
-                    .filter(F.col(text_col) != "")
+                    .filter(F.trim(F.col(text_col)) != "")
                     .persist(StorageLevel.MEMORY_AND_DISK))
         counts["after_paragraph_dedup"] = filtered.count()
 

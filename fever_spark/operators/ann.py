@@ -46,9 +46,35 @@ def brute_force_topk(df: DataFrame, query: np.ndarray, k: int = 10,
 def train_ivf_centroids(df: DataFrame, n_cells: int = 16,
                         vec_col: str = "embedding", sample_rows: int = 10_000,
                         iters: int = 10, seed: int = 5) -> np.ndarray:
-    """Driver-side mini k-means on a sample — the coarse quantizer. The
-    sample (≤ sample_rows) is the only data that leaves the executors."""
-    sample = df.select(vec_col).limit(sample_rows).toPandas()[vec_col]
+    """Driver-side mini k-means on a DETERMINISTIC UNIFORM sample — the
+    coarse quantizer. The sample (≤ sample_rows) is the only data that
+    leaves the executors.
+
+    The sample is the bottom-`sample_rows` rows by xxhash64(vector) — the
+    KMV/bottom-k discipline (operators/sampling.py): membership is a pure
+    function of the row, so the SAME sample is drawn on any partition
+    layout, any cluster, any run. A plain ``limit(sample_rows)`` is NOT
+    that: Spark serves limit() from the first partition(s), so at scale the
+    trainer would see one shard of the corpus (one day / one crawl segment)
+    and the centroids would bias to it, silently degrading recall for
+    everything else. When the corpus is much larger than the sample, a
+    hash-threshold pre-filter (rate ≈ 4×sample/total) bounds the top-k
+    merge so the driver never sees more than ~4×sample_rows candidates."""
+    total = df.count()
+    if total == 0:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
+    h = F.xxhash64(F.col(vec_col), F.lit(seed))
+    pool = df.select(F.col(vec_col), h.alias("_h"))
+    if total > 4 * sample_rows:
+        # deterministic pre-filter: keeps ~4x the sample, so the TakeOrdered
+        # below merges a bounded candidate set, not per-partition top-k of
+        # the whole corpus
+        _BUCKETS = 1 << 20
+        pool = pool.filter(
+            F.pmod(F.col("_h"), F.lit(_BUCKETS))
+            < int(4 * sample_rows / total * _BUCKETS) + 1)
+    sample = (pool.orderBy("_h").limit(min(sample_rows, total))
+              .select(vec_col).toPandas()[vec_col])
     M = np.stack(sample.to_numpy()).astype(np.float64)
     M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

@@ -251,15 +251,27 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     handles it), one keyed by doc id for reassembly. Dedup is by 64-bit
     content fingerprint, not the paragraph string, so the fingerprint
     shuffle carries 8-byte keys; collisions are ~n²/2^65.
+
+    Blank (empty / whitespace-only) paragraphs are EXEMPT from the dedup
+    window: they are document structure (consecutive separators = a
+    paragraph break), not content — deduping them would strip every blank
+    line from all but the corpus-wide first document on reassembly. They
+    also never enter the window shuffle, which matters at scale: every ''
+    in the corpus shares ONE fingerprint, the single worst skew key.
     """
     other_cols = [c for c in df.columns if c != text_col]
     paras = df.select(
         *other_cols,
         F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"))
     from pyspark.sql import Window
+    is_blank = F.trim(F.col("_para")) == ""
+    blanks = paras.filter(is_blank)
     w = Window.partitionBy(F.xxhash64("_para")).orderBy(id_col, "_pos")
-    kept = (paras.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1))
+    kept = (paras.filter(~is_blank)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .unionByName(blanks))
     reassembled = (kept.groupBy(*other_cols)
                    .agg(F.array_join(
                        F.transform(
@@ -293,8 +305,8 @@ def pack_documents(df: DataFrame, budget: int, id_col: str = "doc_id",
     naive ``Window.orderBy(id)`` with no partition key collapses the whole
     corpus into ONE task. Instead:
 
-    1. bucket boundaries = exact id percentiles (one small aggregate,
-       collected — n_buckets values, not rows);
+    1. bucket boundaries = APPROXIMATE id percentiles (one small
+       sketch-aggregate, collected — n_buckets values, not rows);
     2. per-bucket token totals → exclusive bucket offsets (n_buckets rows
        on the driver, broadcast back as a literal map);
     3. cumulative sum WITHIN each bucket (Window.partitionBy(bucket) —
@@ -302,6 +314,17 @@ def pack_documents(df: DataFrame, budget: int, id_col: str = "doc_id",
 
     Work per task is corpus/n_buckets; nothing global ever sorts in one
     task. n_buckets is the parallelism knob (set ~ cluster cores).
+
+    Boundary placement does NOT affect the result — for any boundary set,
+    a row's cumulative sum = (exact total of every bucket before it) +
+    (exact within-bucket prefix sum) = the exact global prefix sum in id
+    order, so bin_id is invariant. That is why approx_percentile is safe
+    here where it wouldn't be in a quantile QUERY: boundaries only
+    balance work across tasks, and an exact distributed percentile is a
+    sort-heavy global aggregate at 10^12 ids. (Non-numeric id columns —
+    which approx_percentile does not support — get boundaries from an
+    evenly-split deterministic hash-sample of the id domain, correct by
+    the same invariance.)
     """
     spark = df.sparkSession
     from pyspark.sql import Window
@@ -310,12 +333,25 @@ def pack_documents(df: DataFrame, budget: int, id_col: str = "doc_id",
              else F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
     base = df.select(F.col(id_col), n_tok.cast("long").alias("n_tokens"))
 
-    # 1. exact percentile boundaries of the id domain (tiny result)
+    # 1. approximate percentile boundaries of the id domain (tiny result)
     fracs = [i / n_buckets for i in range(1, n_buckets)]
-    row = base.agg(F.expr(
-        f"percentile_disc(array({','.join(map(str, fracs))})) "
-        f"WITHIN GROUP (ORDER BY {id_col})").alias("b")).first()
-    bounds = sorted(set(row["b"] or []))
+    frac_list = ",".join(map(str, fracs))
+    id_is_numeric = isinstance(df.schema[id_col].dataType, T.NumericType)
+    if id_is_numeric:
+        row = base.agg(F.expr(
+            f"approx_percentile({id_col}, array({frac_list}), 10000)")
+            .alias("b")).first()
+        bounds = sorted(set(row["b"] or []))
+    else:
+        # bottom-k by xxhash64(id): a partition-layout-independent uniform
+        # sample of the id domain (same discipline as the IVF trainer);
+        # splitting it evenly gives ~equal-population buckets
+        cap = max(64 * n_buckets, 4096)
+        ids = sorted(r[0] for r in base
+                     .select(id_col, F.xxhash64(F.col(id_col)).alias("_h"))
+                     .orderBy("_h").limit(cap).select(id_col).collect())
+        step = max(1, len(ids) // n_buckets)
+        bounds = sorted(set(ids[step::step][: n_buckets - 1]))
 
     bucket = F.lit(0)
     for i, b in enumerate(bounds):

@@ -137,22 +137,32 @@ def minhash_jaccard(sig_a, sig_b) -> F.Column:
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
-                        bands: int = 32) -> DataFrame:
+                        bands: int = 32,
+                        num_hashes: int | None = None) -> DataFrame:
     """Banded LSH: split each signature into `bands` row-chunks; docs sharing
     any band hash become a candidate pair. Returns (id_a, id_b, est_jaccard).
 
     Shuffle shape: explode → num_docs × bands rows, equi-join on
     (band, band_hash). AQE's skew-join split handles degenerate buckets
-    (e.g. all-empty docs sharing the sentinel signature)."""
-    sig_len_row = signatures.select(F.size("minhash").alias("n")).first()
-    if sig_len_row is None:
-        return signatures.sparkSession.createDataFrame(
-            [], f"id_a long, id_b long, est_jaccard double")
+    (e.g. all-empty docs sharing the sentinel signature).
+
+    ``num_hashes`` is the signature length; callers that built the
+    signatures know it (minhash_near_duplicates threads its own parameter
+    through). When omitted — externally-supplied signature frames — it is
+    probed with a ``first()``, which costs a Spark job evaluating the
+    signature UDF on one partition BEFORE the banding stage; at corpus
+    scale that is a wasted pass, so pass it when you have it."""
+    if num_hashes is None:
+        sig_len_row = signatures.select(F.size("minhash").alias("n")).first()
+        if sig_len_row is None:
+            return signatures.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, est_jaccard double")
+        num_hashes = sig_len_row["n"]
     # never more bands than signature rows: bands beyond the signature
     # would slice empty arrays → one constant hash shared by EVERY doc →
     # the equi-join degenerates into an all-pairs cross join
-    bands = min(bands, sig_len_row["n"])
-    rows_per_band = max(1, sig_len_row["n"] // bands)
+    bands = min(bands, num_hashes)
+    rows_per_band = max(1, num_hashes // bands)
 
     # the exploded band rows and the candidate join carry IDS ONLY — the
     # 128-long signature arrays (~1 KB/doc) stay out of the bands×docs
@@ -197,7 +207,7 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
 
     sigs = (minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
             .persist(StorageLevel.MEMORY_AND_DISK))
-    pairs = lsh_candidate_pairs(sigs, id_col, bands)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
     return pairs.filter(F.col("est_jaccard") >= threshold)
 
 
@@ -422,17 +432,30 @@ def near_dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id"))
               .localCheckpoint(eager=True))
-    for _ in range(max_iterations):
+    # Convergence is CHECKED only every `check_every` rounds: the check is a
+    # join+count job, and dup components are shallow (most corpora converge
+    # in <=3 rounds), so checking every round nearly doubles the job count.
+    # Propagation is idempotent at the fixpoint, so a state that converged
+    # on an unchecked round still reads changed == 0 at the next check; the
+    # cost is at most check_every-1 extra (cheap, no-op) propagation rounds.
+    check_every = 2
+    changed = None
+    rounds = 0
+    for i in range(max_iterations):
         neighbor = (edges.join(labels, edges.src == labels.id)
                     .select(F.col("dst").alias("id"), "label"))
         new_labels = (labels.select("id", "label").union(neighbor)
                       .groupBy("id").agg(F.min("label").alias("label"))
                       .localCheckpoint(eager=True))
-        changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
-                                   "id")
-                   .filter(F.col("label") != F.col("old")).count())
+        rounds = i + 1
+        do_check = (i % check_every == check_every - 1
+                    or i == max_iterations - 1)
+        if do_check:
+            changed = (new_labels
+                       .join(labels.withColumnRenamed("label", "old"), "id")
+                       .filter(F.col("label") != F.col("old")).count())
         labels = new_labels
-        if changed == 0:
+        if do_check and changed == 0:
             break
     else:
         # a silently-split cluster keeps duplicate "canonicals" — fail loud
@@ -441,6 +464,8 @@ def near_dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             f"rounds ({changed} labels still moving): a dup-chain diameter "
             "exceeds max_iterations — raise it, or switch to "
             "star-contraction for adversarial chain shapes")
+    # round-count telemetry (read by tests / perf triage)
+    near_dup_clusters.last_rounds = rounds
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 

@@ -387,3 +387,67 @@ class TestPackDocuments:
                for r in pack_documents(df, budget=10).collect()}
         assert out[1] == 0      # starts at offset 0
         assert out[2] == 2      # starts at offset 25 → bin 2
+
+
+class TestParagraphDedupBlankExemption:
+    """Round-3 ADVICE fix: blank paragraphs (consecutive separators) are
+    document structure — exempt from dedup, preserved everywhere."""
+
+    def test_blank_lines_survive_in_every_doc(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha\n\nbeta"), (2, "gamma\n\ndelta")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r["text"]
+               for r in CUR.paragraph_dedup(df).collect()}
+        assert out[1] == "alpha\n\nbeta"
+        assert out[2] == "gamma\n\ndelta"   # blank NOT claimed by doc 1
+
+    def test_whitespace_only_paragraphs_exempt_too(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a\n  \nb"), (2, "c\n  \nd")], "doc_id long, text string")
+        out = {r["doc_id"]: r["text"]
+               for r in CUR.paragraph_dedup(df).collect()}
+        assert out[1] == "a\n  \nb"
+        assert out[2] == "c\n  \nd"
+
+    def test_content_dedup_still_applies_around_blanks(self, spark):
+        df = spark.createDataFrame(
+            [(1, "promo\n\nx"), (2, "promo\n\ny")], "doc_id long, text string")
+        out = {r["doc_id"]: r["text"]
+               for r in CUR.paragraph_dedup(df).collect()}
+        assert out[1] == "promo\n\nx"
+        assert out[2] == "\ny"   # 'promo' deduped, the break kept
+
+
+class TestPackDocumentsBoundaries:
+    """Round-3: boundaries come from approx_percentile — bin assignment is
+    invariant to boundary placement (exact per-bucket offsets + exact
+    in-bucket prefix sums reproduce the exact global prefix sum)."""
+
+    def test_invariant_across_n_buckets(self, spark, sf_small):
+        from fever_spark.operators.curation import pack_documents
+
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+        a = {r["doc_id"]: (r["n_tokens"], r["bin_id"])
+             for r in pack_documents(docs, budget=300, n_buckets=7).collect()}
+        b = {r["doc_id"]: (r["n_tokens"], r["bin_id"])
+             for r in pack_documents(docs, budget=300, n_buckets=3).collect()}
+        c = {r["doc_id"]: (r["n_tokens"], r["bin_id"])
+             for r in pack_documents(docs, budget=300, n_buckets=64).collect()}
+        assert a == b == c
+
+    def test_string_id_fallback_exact_path(self, spark):
+        from fever_spark.operators.curation import pack_documents
+
+        df = spark.createDataFrame(
+            [(f"id{i:03d}", "w " * (i + 1)) for i in range(20)],
+            "doc_id string, text string")
+        out = {r["doc_id"]: r["bin_id"]
+               for r in pack_documents(df, budget=30, n_buckets=4).collect()}
+        # exact reference: ids sort lexically = insertion order here
+        acc, ref = 0, {}
+        for i in range(20):
+            n = i + 1
+            ref[f"id{i:03d}"] = acc // 30
+            acc += n
+        assert out == ref

@@ -343,3 +343,60 @@ class TestSampling:
         # the min per stratum is the stratum's global min doc_id
         mins = docs.groupBy("lang").agg(F.min("doc_id").alias("m")).toPandas()
         assert dict(zip(mins["lang"], mins["m"])) == per["min"].to_dict()
+
+
+class TestIVFSampleDeterminism:
+    """Round-3 fix: the coarse-quantizer sample was limit(sample_rows) —
+    served from the first partition(s), so centroids were biased to
+    whatever shard happened to come first. Now it is bottom-k by
+    xxhash64(vector): a pure function of the rows, identical on any
+    partition layout."""
+
+    def test_centroids_invariant_to_partitioning(self, spark, sf_med):
+        emb = spark.read.parquet(f"{sf_med}/embeddings.parquet")
+        C1 = ann.train_ivf_centroids(emb, n_cells=8, sample_rows=200)
+        # different layouts: many small partitions, one partition, reversed
+        C2 = ann.train_ivf_centroids(emb.repartition(37), n_cells=8,
+                                     sample_rows=200)
+        C3 = ann.train_ivf_centroids(
+            emb.orderBy(F.desc("vec_id")).coalesce(1), n_cells=8,
+            sample_rows=200)
+        assert np.allclose(C1, C2)
+        assert np.allclose(C1, C3)
+
+    def test_subsample_path_still_deterministic(self, spark, sf_med):
+        # sample_rows << corpus triggers the hash-threshold pre-filter
+        emb = spark.read.parquet(f"{sf_med}/embeddings.parquet")
+        C1 = ann.train_ivf_centroids(emb, n_cells=4, sample_rows=20)
+        C2 = ann.train_ivf_centroids(emb.repartition(11), n_cells=4,
+                                     sample_rows=20)
+        assert np.allclose(C1, C2)
+
+    def test_empty_corpus_raises(self, spark):
+        import pyspark.sql.types as T
+        empty = spark.createDataFrame(
+            [], T.StructType([T.StructField(
+                "embedding", T.ArrayType(T.FloatType()))]))
+        with pytest.raises(ValueError, match="empty"):
+            ann.train_ivf_centroids(empty, n_cells=4)
+
+
+class TestLSHNumHashesParam:
+    def test_explicit_matches_probed(self, spark, planted):
+        sigs = dedup.minhash_signatures(planted, num_hashes=64).cache()
+        probed = {(r["id_a"], r["id_b"]) for r in
+                  dedup.lsh_candidate_pairs(sigs, bands=16).collect()}
+        explicit = {(r["id_a"], r["id_b"]) for r in
+                    dedup.lsh_candidate_pairs(sigs, bands=16,
+                                              num_hashes=64).collect()}
+        assert probed == explicit and len(explicit) > 0
+
+
+class TestClusterConvergenceTelemetry:
+    def test_round_count_recorded_and_small(self, spark):
+        pairs = spark.createDataFrame(
+            [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+        dedup.near_dup_clusters(pairs)
+        # chain diameter 3 → converges by round 3; cadence-2 checking may
+        # run one extra no-op round, never more
+        assert 1 <= dedup.near_dup_clusters.last_rounds <= 6

@@ -165,6 +165,37 @@ def bench_dedup_minhash(spark):
     return _materialize(pairs)
 
 
+_CURATE_DETAIL = {}
+
+
+def bench_curate(spark):
+    """Flagship LLM use case END-TO-END (annotate → quality filter → exact
+    dedup → MinHash-LSH near-dup → deterministic sample → write): the
+    composed pipeline, not just its pieces, so cross-stage regressions
+    (e.g. a persist dropped between stages) surface here. Per-stage wall
+    seconds + survivor counts from the curation manifest are carried into
+    the bench JSON as `curate_stages`."""
+    import shutil
+    import tempfile
+
+    from fever_spark.jobs.curate import curate
+
+    out = tempfile.mkdtemp(prefix="fever_bench_curate_")
+    try:
+        man = curate(spark, f"{SF_DIR}/documents.parquet", out,
+                     min_quality=0.3, min_tokens=3, near_dup_threshold=0.7,
+                     sample_rate=0.9)
+        best = _CURATE_DETAIL.get("total_s")
+        total = sum(man["stage_seconds"].values())
+        if best is None or total < best:
+            _CURATE_DETAIL.update(
+                total_s=total, stages=man["stage_seconds"],
+                counts=man["counts"])
+        return man["counts"]["written"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def bench_grouped_sums(spark):
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     agg = (li.groupBy("l_returnflag", "l_linestatus")
@@ -182,6 +213,7 @@ BENCHES = {
     "cms_topk": bench_cms_topk,
     "dedup_minhash": bench_dedup_minhash,
     "grouped_sums": bench_grouped_sums,
+    "curate": bench_curate,
 }
 
 
@@ -263,6 +295,8 @@ def main(argv=None):
     if "sketch_pipeline" in timings:
         result["pages_per_sec"] = round(N_PAGES / timings["sketch_pipeline"], 1)
         result["n_pages"] = N_PAGES
+    if "curate" in timings and _CURATE_DETAIL:
+        result["curate_stages"] = _CURATE_DETAIL
     print(json.dumps(result))
     spark.stop()
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
@@ -51,6 +52,16 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
            contamination_ngram: int = 8) -> dict:
     docs = spark.read.parquet(input_path)
     counts = {"input": docs.count()}
+    # wall seconds per pipeline stage (stage = work up to its survivor
+    # count), recorded in the manifest so the composed pipeline — not just
+    # its pieces — is benchmarkable (bench.py's curate entry reads this)
+    stage_seconds = {}
+    _t = time.time()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t
+        stage_seconds[stage] = round(time.time() - _t, 3)
+        _t = time.time()
 
     annotated = docs.select(
         "*",
@@ -74,6 +85,7 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
                                        curation.redact_pii(F.col(text_col)))
     filtered = filtered.persist(StorageLevel.MEMORY_AND_DISK)
     counts["after_quality_filter"] = filtered.count()
+    _mark("quality_filter")
 
     if paragraph_dedup:
         # docs reduced to zero CONTENT paragraphs are fully-duplicated
@@ -84,10 +96,12 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
                     .filter(F.trim(F.col(text_col)) != "")
                     .persist(StorageLevel.MEMORY_AND_DISK))
         counts["after_paragraph_dedup"] = filtered.count()
+        _mark("paragraph_dedup")
 
     exact = dedup.exact_dedup(filtered, text_col, id_col) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     counts["after_exact_dedup"] = exact.count()
+    _mark("exact_dedup")
 
     pairs = dedup.minhash_near_duplicates(
         exact, text_col, id_col, threshold=near_dup_threshold) \
@@ -95,29 +109,41 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
     neardup = dedup.dedup_keep_canonical(exact, pairs, id_col) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     counts["after_near_dup"] = neardup.count()
+    _mark("near_dup")
 
     if benchmark_path:
-        # Bloom screen keeps only hit_ngrams == 0 docs — zero-FN semantics
-        # make that a SAFE drop-side decision (no contaminated doc survives;
-        # rare FPs only over-drop, counted in the manifest delta)
+        # Two-stage discipline (the documented FP-removal contract of
+        # curation.py): the Bloom screen's zero-FN semantics mean
+        # hit_ngrams == 0 is a SAFE keep — those docs skip the verify
+        # entirely; the (tiny) flagged subset goes through the EXACT
+        # n-gram join and only docs with real shared n-grams are dropped,
+        # so Bloom false positives never over-drop clean documents.
         bench = spark.read.parquet(benchmark_path)
         bf = curation.build_benchmark_bloom(bench, text_col,
                                             n=contamination_ngram)
         bc = spark.sparkContext.broadcast(bf.to_bytes())
-        clean_ids = (curation.contamination_screen(
+        flagged_ids = (curation.contamination_screen(
             neardup, bc, contamination_ngram, text_col, id_col)
-            .filter(F.col("hit_ngrams") == 0).select(id_col))
-        neardup = neardup.join(clean_ids, id_col, "left_semi") \
+            .filter(F.col("hit_ngrams") > 0).select(id_col))
+        flagged_docs = neardup.join(flagged_ids, id_col, "left_semi")
+        counts["contamination_flagged"] = flagged_docs.count()
+        confirmed_ids = (curation.contamination_exact(
+            flagged_docs, bench, contamination_ngram, text_col, id_col)
+            .filter(F.col("contaminated_ngrams") > 0).select(id_col))
+        neardup = neardup.join(confirmed_ids, id_col, "left_anti") \
             .persist(StorageLevel.MEMORY_AND_DISK)
         counts["after_contamination_screen"] = neardup.count()
+        _mark("contamination")
 
     out = (sampling.deterministic_sample(neardup, id_col, sample_rate, seed)
            if sample_rate < 1.0 else neardup)
     out.write.mode("overwrite").parquet(output_path)
     counts["written"] = spark.read.parquet(output_path).count()
+    _mark("sample_and_write")
 
     manifest = {
         "input": input_path, "output": output_path, "counts": counts,
+        "stage_seconds": stage_seconds,
         "params": {"min_quality": min_quality, "langs": langs,
                    "min_tokens": min_tokens, "max_tokens": max_tokens,
                    "near_dup_threshold": near_dup_threshold,

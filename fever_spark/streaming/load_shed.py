@@ -74,7 +74,18 @@ class LoadSheddingSink:
     seed: int = 0
     ingested_rows: int = 0
     dropped_rows: int = 0
-    history: list[BatchRecord] = field(default_factory=list)
+    # keyed by batch_id; counters adjust INCREMENTALLY on insert/replace, so
+    # a long-running stream pays O(1) memory+work per batch in this
+    # driver-side sink, and keep_last bounds the per-batch records the way
+    # fever bounds its metrics buffers (cumulative counters never truncate)
+    records: dict[int, BatchRecord] = field(default_factory=dict)
+    keep_last: int = 10_000
+
+    @property
+    def history(self) -> list[BatchRecord]:
+        """Per-batch records, oldest first (bounded to the last
+        ``keep_last`` batches; cumulative counters cover all batches)."""
+        return [self.records[b] for b in sorted(self.records)]
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # one materialization for all three uses (arrived count, kept count,
@@ -98,10 +109,20 @@ class LoadSheddingSink:
             # at-least-once replays re-deliver the same batch_id: replace the
             # old record instead of double-counting (idempotent accounting,
             # same discipline as StreamingSketchAccumulator's replay dedupe)
-            self.history = [r for r in self.history
-                            if r.batch_id != batch_id] + [rec]
-            self.ingested_rows = sum(r.kept for r in self.history)
-            self.dropped_rows = sum(r.dropped for r in self.history)
+            old = self.records.pop(batch_id, None)
+            if old is not None:
+                self.ingested_rows -= old.kept
+                self.dropped_rows -= old.dropped
+            self.records[batch_id] = rec
+            self.ingested_rows += rec.kept
+            self.dropped_rows += rec.dropped
+            if len(self.records) > self.keep_last:
+                # evict oldest records only — a replayed batch older than
+                # the window would re-add its counts, but Structured
+                # Streaming replays only the LAST uncommitted batch
+                for b in sorted(self.records)[:len(self.records)
+                                              - self.keep_last]:
+                    del self.records[b]
             if kept:
                 self.downstream(kept_df, batch_id)
         finally:
@@ -112,7 +133,7 @@ class LoadSheddingSink:
         """fever metrics-submitter shape: cumulative counters."""
         return {"ingested_rows": self.ingested_rows,
                 "dropped_rows": self.dropped_rows,
-                "batches": len(self.history)}
+                "batches": len(self.records)}
 
 
 def admission_controlled_file_stream(spark, path: str, schema,

@@ -101,3 +101,45 @@ def test_curate_repetition_gate_drops_degenerate(spark, tmp_path):
             .select("doc_id").collect()}
     assert kept == {2}
     assert man["counts"]["after_quality_filter"] == 1
+
+
+def test_contamination_fp_does_not_overdrop(spark, tmp_path):
+    """Round-3 ADVICE fix: flagged docs go through the EXACT verify pass,
+    so a Bloom false positive cannot drop a clean document. Forced with a
+    degenerate filter (capacity 1, high fpp → FP-rich) over a corpus that
+    shares NO 8-gram with the benchmark: every flag is a FP, and the
+    verify must keep every doc."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{k}" for k in range(300)]
+    rows = [(i, " ".join(rng.choice(vocab, size=20, replace=False)),
+             "en", "web") for i in range(30)]
+    corpus = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string, "
+                                "source string").write.parquet(corpus)
+    bench_dir = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(999, " ".join(f"bench{k}" for k in range(40)), "en", "web")],
+        "doc_id long, text string, lang string, source string") \
+        .write.parquet(bench_dir)
+
+    from unittest import mock
+    from fever_spark.sketch.bloom import BloomFilter
+    from fever_spark.operators import curation
+
+    real_build = curation.build_benchmark_bloom
+
+    def fp_rich_bloom(benchmark, text_col="text", n=8, fpp=1e-6,
+                      capacity=None):
+        # undersized filter: same build path, but saturated → many FPs
+        return real_build(benchmark, text_col, n=n, fpp=0.5, capacity=1)
+
+    with mock.patch.object(curation, "build_benchmark_bloom",
+                           side_effect=fp_rich_bloom):
+        man = curate(spark, corpus, str(tmp_path / "out"),
+                     min_quality=0.0, min_tokens=1,
+                     benchmark_path=bench_dir, contamination_ngram=8)
+    c = man["counts"]
+    assert c["contamination_flagged"] > 0      # the FPs really happened
+    assert c["after_contamination_screen"] == c["after_near_dup"]  # none dropped

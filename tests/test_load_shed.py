@@ -110,3 +110,38 @@ class TestReviewRegressions:
         # with 50k rows and threshold>=1/1e6 some rows may or may not land
         # in bucket 0 — the invariant is accounting, not a kept minimum
         assert rec.kept + rec.dropped == 50_000
+
+
+class TestBoundedAccounting:
+    """Round-3 ADVICE fix: per-batch records are a bounded dict keyed by
+    batch_id with O(1) incremental counters — not an ever-growing list
+    re-summed every batch."""
+
+    def _mini(self, spark, n):
+        return spark.range(n).toDF("v")
+
+    def test_counters_incremental_and_replay_idempotent(self, spark):
+        from fever_spark.streaming.load_shed import LoadSheddingSink
+
+        seen = []
+        shed = LoadSheddingSink(max_rows_per_batch=50,
+                                downstream=lambda df, b: seen.append(b))
+        shed(self._mini(spark, 30), 0)
+        shed(self._mini(spark, 200), 1)
+        ing1, drop1 = shed.ingested_rows, shed.dropped_rows
+        shed(self._mini(spark, 200), 1)   # at-least-once replay
+        assert (shed.ingested_rows, shed.dropped_rows) == (ing1, drop1)
+        assert shed.metrics["batches"] == 2
+        assert shed.ingested_rows + shed.dropped_rows == 230
+
+    def test_history_bounded_counters_cumulative(self, spark):
+        from fever_spark.streaming.load_shed import LoadSheddingSink
+
+        shed = LoadSheddingSink(max_rows_per_batch=100,
+                                downstream=lambda df, b: None,
+                                keep_last=3)
+        for b in range(6):
+            shed(self._mini(spark, 10), b)
+        assert len(shed.records) == 3                 # bounded
+        assert [r.batch_id for r in shed.history] == [3, 4, 5]
+        assert shed.ingested_rows == 60               # counters never truncate

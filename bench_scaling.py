@@ -192,8 +192,29 @@ def main():
     print(json.dumps(report))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(f"""# BENCH/BASELINE — measured scaling evidence
+    # measurement history: every run appends its summary, and the per-run
+    # report renders ALL known (N, 4N) datapoints — so measuring the
+    # documented 8/32 config doesn't erase the 2/8 evidence or vice versa.
+    # BENCH/BASELINE.md is the hand-maintained cross-run analysis; this
+    # harness writes BENCH/scaling_last_run.md (full template) + history.
+    hist_path = os.path.join(REPO, "BENCH", "scaling_history.jsonl")
+    with open(hist_path, "a") as f:
+        f.write(json.dumps(report) + "\n")
+    history = []
+    with open(hist_path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                history.append(json.loads(line))
+    hist_rows = "\n".join(
+        f"| {h['timestamp']} | local[{h['n']}]→local[{h['four_n']}] | "
+        f"{h['n_pages']:,} | {h['job_pages_per_sec_n']:,.0f} | "
+        f"{h['job_pages_per_sec_4n']:,.0f} | {h['raw_efficiency']:.3f} | "
+        f"{h['normalized_efficiency']:.3f} | "
+        f"{h.get('normalized_cpu_ratio', float('nan')):.3f} |"
+        for h in history)
+    with open(os.path.join(REPO, "BENCH", "scaling_last_run.md"), "w") as f:
+        f.write(f"""# Scaling harness — last run report
 
 **Criterion** (BASELINE.json north_rule): >= 0.8 throughput scaling
 efficiency from N to 4N executors. No real cluster exists in this sandbox;
@@ -266,6 +287,12 @@ resources this single-VM measurement cannot add.
 
 Measured {report['timestamp']}. Reproduce: `python bench_scaling.py`
 (env: FEVER_SCALING_N, FEVER_SCALING_RUNS, FEVER_BENCH_PAGES).
+
+## Measurement history (all recorded runs, BENCH/scaling_history.jsonl)
+
+| measured (UTC) | levels | pages | pages/s @N | pages/s @4N | raw eff | norm eff | norm cpu |
+|---|---|---|---|---|---|---|---|
+{hist_rows}
 
 ## Raw per-round records
 

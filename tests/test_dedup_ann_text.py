@@ -400,3 +400,21 @@ class TestClusterConvergenceTelemetry:
         # chain diameter 3 → converges by round 3; cadence-2 checking may
         # run one extra no-op round, never more
         assert 1 <= dedup.near_dup_clusters.last_rounds <= 6
+
+
+class TestLSHPlansLazily:
+    def test_no_job_runs_before_banding_action(self, spark, planted):
+        """minhash_near_duplicates with its own num_hashes threaded through
+        must construct the WHOLE pair plan lazily — the old code ran a
+        first() job (evaluating the signature UDF on a partition) just to
+        learn the signature length it already knew."""
+        sc = spark.sparkContext
+        group = "lsh-lazy-check"
+        sc.setJobGroup(group, "plan construction must run no jobs")
+        try:
+            pairs = dedup.minhash_near_duplicates(planted, threshold=0.5)
+            jobs = sc.statusTracker().getJobIdsForGroup(group)
+            assert list(jobs) == [], f"plan construction ran jobs {jobs}"
+        finally:
+            sc.setJobGroup(None, None)
+        assert pairs.count() > 0  # the plan itself still works

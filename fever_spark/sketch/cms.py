@@ -19,7 +19,14 @@ import numpy as np
 from fever_spark.hashing import double_hash64
 from fever_spark.sketch.base import KIND_CMS, Sketch, canonical_seed, register
 
-_HEADER = struct.Struct("<IIqq")  # depth d, width w, seed (signed 64), total N
+_HEADER = struct.Struct("<IIqqB")  # depth d, width w, seed (signed 64), total N, cell dtype code
+
+# On-wire cell dtype: a partition-local partial over ~15k rows holds counts
+# ≤ 15k, so shipping the dense d×w table as int64 wastes 4-8x bytes AND
+# dominates the merge stage in zlib time (dense int64 tables compress
+# slowly and poorly). The payload narrows to the smallest unsigned dtype
+# that holds table.max(); in-memory stays int64. Codes = itemsize.
+_DTYPE_BY_CODE = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.int64}
 
 
 @register(KIND_CMS, "cms")
@@ -37,6 +44,11 @@ class CountMinSketch(Sketch):
         self.table = (_table if _table is not None
                       else np.zeros((self.depth, self.width), dtype=np.int64))
         self.total = int(_total)
+
+    def max_state_bytes(self) -> int:
+        """In-memory footprint is the full int64 table regardless of the
+        narrowed on-wire dtype _payload_bytes ships."""
+        return _HEADER.size + self.depth * self.width * 8
 
     @property
     def epsilon(self) -> float:
@@ -106,27 +118,44 @@ class CountMinSketch(Sketch):
         from fever_spark.sketch.base import payload_of
 
         payloads = [payload_of(s) for s in states]
-        d, w, seed, _ = _HEADER.unpack_from(payloads[0], 0)
+        d, w, seed, _, _ = _HEADER.unpack_from(payloads[0], 0)
         total = 0
         views = []
         for pl in payloads:
-            d2, w2, seed2, t = _HEADER.unpack_from(pl, 0)
+            d2, w2, seed2, t, code = _HEADER.unpack_from(pl, 0)
             if (d2, w2, seed2) != (d, w, seed):
                 raise ValueError(
                     "cannot merge CMS with different (depth, width, seed): "
                     f"{(d, w, seed)} vs {(d2, w2, seed2)}")
             total += t
-            views.append(np.frombuffer(pl, dtype=np.int64, offset=_HEADER.size,
-                                       count=d * w))
+            views.append(np.frombuffer(pl, dtype=_DTYPE_BY_CODE[code],
+                                       offset=_HEADER.size, count=d * w))
+        # np.sum promotes the mixed-width views through one int64 stack
         table = np.sum(views, axis=0, dtype=np.int64).reshape(d, w)
         return cls(seed=seed, _table=table, _total=total, depth=d, width=w)
 
+    def _wire_dtype(self):
+        if self.table.min(initial=0) < 0:  # negative weights: stay int64
+            return np.int64
+        m = int(self.table.max(initial=0))
+        if m < (1 << 8):
+            return np.uint8
+        if m < (1 << 16):
+            return np.uint16
+        if m < (1 << 32):
+            return np.uint32
+        return np.int64
+
     def _payload_bytes(self) -> bytes:
-        return (_HEADER.pack(self.depth, self.width, self.seed, self.total)
-                + self.table.tobytes())
+        dt = self._wire_dtype()
+        return (_HEADER.pack(self.depth, self.width, self.seed, self.total,
+                             np.dtype(dt).itemsize)
+                + np.ascontiguousarray(self.table, dtype=dt).tobytes())
 
     @classmethod
     def _from_payload(cls, buf: memoryview) -> "CountMinSketch":
-        d, w, seed, total = _HEADER.unpack_from(buf, 0)
-        table = np.frombuffer(buf[_HEADER.size:], dtype=np.int64).reshape(d, w).copy()
+        d, w, seed, total, code = _HEADER.unpack_from(buf, 0)
+        table = (np.frombuffer(buf[_HEADER.size:],
+                               dtype=_DTYPE_BY_CODE[code])
+                 .reshape(d, w).astype(np.int64))
         return cls(seed=seed, _table=table, _total=total, depth=d, width=w)

@@ -490,9 +490,13 @@ class TestSeedSerde:
 
 class TestMaxStateBytes:
     def test_dense_sketches_equal_fresh_payload(self):
-        for sk in (HyperLogLog(p=12), CountMinSketch(epsilon=1e-3, delta=1e-2),
-                   BloomFilter(capacity=10_000)):
+        for sk in (HyperLogLog(p=12), BloomFilter(capacity=10_000)):
             assert sk.max_state_bytes() == len(sk._payload_bytes())
+        # CMS ships a NARROWED on-wire dtype; its in-memory bound is the
+        # full int64 table
+        cms = CountMinSketch(epsilon=1e-3, delta=1e-2)
+        assert cms.max_state_bytes() >= cms.depth * cms.width * 8
+        assert len(cms._payload_bytes()) < cms.max_state_bytes()
 
     def test_kmv_provisions_saturated_state(self):
         from fever_spark.sketch import KMVSketch
@@ -569,3 +573,41 @@ class TestQuantileMergeMany:
         x.update(np.arange(10.0)); y.update(np.arange(10.0))
         with pytest.raises(ValueError):
             merge_many([x.to_bytes(), y.to_bytes()])
+
+
+class TestCMSWireDtype:
+    """CMS payload narrows cells to the smallest dtype holding the max
+    count (round 3): estimates must be identical through serde and through
+    mixed-width merges."""
+
+    def test_roundtrip_each_width(self):
+        rng = np.random.default_rng(4)
+        for n, expect_bytes in ((100, 1), (300, 2), (70_000, 4)):
+            s = CountMinSketch(epsilon=1e-2, delta=1e-2)
+            vals = rng.integers(0, 50, size=n)  # hot keys force tall cells
+            s.update(vals)
+            blob = s.to_bytes()
+            rt = sketch_from_bytes(blob)
+            assert np.array_equal(rt.table, s.table)
+            assert rt.total == s.total
+            probe = np.arange(50)
+            assert np.array_equal(rt.estimate(probe), s.estimate(probe))
+
+    def test_int64_path_for_negative_cells(self):
+        s = CountMinSketch(epsilon=1e-2, delta=1e-2)
+        s.update(np.array([1, 2, 3]), counts=np.array([-5, 3, 2]))
+        rt = sketch_from_bytes(s.to_bytes())
+        assert np.array_equal(rt.table, s.table)
+
+    def test_mixed_width_merge_many(self):
+        from fever_spark.sketch.base import merge_many
+
+        a = CountMinSketch(epsilon=1e-2, delta=1e-2)       # uint8 cells
+        a.update(np.arange(100))
+        b = CountMinSketch(epsilon=1e-2, delta=1e-2)       # uint16 cells
+        b.update(np.zeros(1000, dtype=np.int64))
+        merged = merge_many([a.to_bytes(), b.to_bytes()])
+        ref = a.copy() if hasattr(a, "copy") else None
+        expect = a.table + b.table
+        assert np.array_equal(merged.table, expect)
+        assert merged.total == a.total + b.total

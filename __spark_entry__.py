@@ -465,13 +465,16 @@ def q_bloom_sharded(spark, sf_dir):
         bloom_semi_join_sharded, build_sharded_ioc_states)
 
     docs = _read(spark, sf_dir, "documents")
-    iocs = docs.filter(F.col("source") == "web") \
+    # real member predicate at every SF (old source='web' matched nothing
+    # — vacuous 0-row gate, caught in round 3)
+    member = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    iocs = docs.filter(member) \
         .select(F.col("doc_id").cast("string").alias("ioc"))
     states = build_sharded_ioc_states(iocs, n_shards=8, fpp=1e-6)
     probes = docs.select("doc_id", "source",
                          F.col("doc_id").cast("string").alias("probe"))
     kept = bloom_semi_join_sharded(probes, states, "probe", n_shards=8)
-    return kept.filter(F.col("source") == "web").select("doc_id")
+    return kept.filter(member).select("doc_id")
 
 
 def q_bloom_zero_fn(spark, sf_dir):
@@ -482,8 +485,12 @@ def q_bloom_zero_fn(spark, sf_dir):
     # known non-members must stay within 3x the configured bound, and a
     # violation flips fpr_ok to 0 on EVERY row — breaking the hash.
     docs = _read(spark, sf_dir, "documents")
+    # member predicate matches real rows at every SF (the corpus sources
+    # are src0..src19; the old source = 'web' filter matched NOTHING, so
+    # this gate was vacuously green with 0 rows — caught in round 3)
+    member = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
     web_ids = np.array([r["doc_id"] for r in
-                        docs.filter(F.col("source") == "web")
+                        docs.filter(member)
                         .select("doc_id").collect()], dtype=np.int64)
     bf = BloomFilter(capacity=max(len(web_ids), 1), fpp=1e-6)
     if len(web_ids):
@@ -499,8 +506,7 @@ def q_bloom_zero_fn(spark, sf_dir):
     n = non_members.count()
     fp = non_members.filter(bloom_contains_col(fbc, F.col("probe"))).count()
     fpr_ok = int(fp <= max(3, 1e-3 * 3 * n))
-    return (docs.filter(bloom_contains_col(bc, F.col("doc_id"))
-                        & (F.col("source") == "web"))
+    return (docs.filter(bloom_contains_col(bc, F.col("doc_id")) & member)
             .select("doc_id", F.lit(fpr_ok).alias("fpr_ok")))
 
 
@@ -1086,10 +1092,12 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT unnest([0.1, 0.5, 0.9]) AS q) qs
         """,
         "q_bloom_zero_fn": """
-            SELECT doc_id, 1 AS fpr_ok FROM documents WHERE source = 'web'
+            SELECT doc_id, 1 AS fpr_ok FROM documents
+            WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
         """,
         "q_bloom_sharded": """
-            SELECT doc_id FROM documents WHERE source = 'web'
+            SELECT doc_id FROM documents
+            WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
         """,
         "q_exact_dedup": f"""
             SELECT s.doc_id, c.n_distinct_contents

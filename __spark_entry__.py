@@ -172,10 +172,14 @@ def q_semi_join(spark, sf_dir):
 
 
 def q_anti_join(spark, sf_dir):
-    # J2 blacklist anti-join, exact form
+    # J2 blacklist anti-join, exact form. The "blacklist" is customers
+    # holding a >300k order — a PARTIAL set at every SF (the old
+    # unfiltered form matched every customer at sf0.01, leaving a vacuous
+    # 0-row gate; caught in round 3 alongside the 'web' bloom gates).
     cust = _read(spark, sf_dir, "customer")
-    orders = _read(spark, sf_dir, "orders")
-    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    big = _read(spark, sf_dir, "orders") \
+        .filter(F.col("o_totalprice") > 300000)
+    return (cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
             .select("c_custkey"))
 
 
@@ -1001,7 +1005,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_anti_join": """
             SELECT c_custkey FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 300000)
         """,
         "q_pivot": """
             SELECT user_id,

@@ -380,6 +380,84 @@ def pack_documents(df: DataFrame, budget: int, id_col: str = "doc_id",
             .select(id_col, "n_tokens", "bin_id"))
 
 
+# ------------------------------------------------- corpus-frequency quality
+
+
+def build_token_cms(df: DataFrame, text_col: str = "text",
+                    epsilon: float = 1e-5, delta: float = 1e-3) -> bytes:
+    """Corpus-global token-frequency CMS, built distributed (explode →
+    partition-local partials → two-level salted merge) and returned as ONE
+    serialized state to broadcast. Tokens are prehashed JVM-side
+    (xxhash64), so token strings never cross the Arrow boundary and probes
+    must hash the same way (rare_token_stats does).
+
+    This is the "sketch as broadcast dimension" pattern at corpus scale:
+    one build pass over 10^12 docs, O(CMS) driver state, then any number
+    of zero-shuffle probe passes."""
+    from fever_spark.ops.build import SketchSpec, build_sketches
+    from fever_spark.ops.merge import two_level_merge
+
+    toks = (df.select(F.explode(_words(F.col(text_col))).alias("tok"))
+            .filter(F.col("tok") != ""))
+    merged = two_level_merge(
+        build_sketches(toks, [],
+                       [SketchSpec("tokfreq", "cms", "tok",
+                                   {"epsilon": epsilon, "delta": delta},
+                                   prehash=True)]), [])
+    row = merged.select("state").first()
+    if row is None:
+        from fever_spark.sketch.cms import CountMinSketch
+
+        return CountMinSketch(epsilon=epsilon, delta=delta).to_bytes()
+    return bytes(row["state"])
+
+
+def rare_token_stats(df: DataFrame, cms_bc, min_count: int = 5,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(id_col, n_tokens, rare_frac): per document, the fraction of tokens
+    whose CORPUS-WIDE frequency (from the broadcast token CMS) is below
+    ``min_count`` — the OCR-garbage / gibberish signal (C4/Gopher-family
+    quality rules need corpus-global state exactly here; per-doc stats
+    can't see that every token of a mojibake page is corpus-unique).
+
+    Direction of error is SAFE for filtering: CMS only overcounts, so a
+    genuinely common token can never read as rare — rare_frac is a lower
+    bound, and a drop rule `rare_frac > tau` never fires on clean text
+    because of sketch error.
+
+    One scan, no shuffle: tokens are hashed JVM-side into int64 arrays
+    (matching the prehash=True build), and the probe is one Arrow-batched
+    UDF doing a single vectorized CMS estimate per batch."""
+    from fever_spark.sketch.cms import CountMinSketch
+
+    @F.pandas_udf(T.DoubleType())
+    def rare_frac(hs: pd.Series) -> pd.Series:
+        sk = CountMinSketch.from_bytes(bytes(cms_bc.value))
+        lens = np.fromiter((len(a) for a in hs), dtype=np.int64,
+                           count=len(hs))
+        out = np.zeros(len(hs), dtype=np.float64)
+        if lens.sum() == 0:
+            return pd.Series(out)
+        flat = np.concatenate([np.asarray(a, dtype=np.int64)
+                               for a in hs if len(a)])
+        rare = (sk.estimate(flat) < min_count).astype(np.float64)
+        ends = np.cumsum(lens)
+        starts = np.concatenate(([0], ends[:-1]))[lens > 0]
+        sums = np.add.reduceat(rare, starts)
+        out[lens > 0] = sums / lens[lens > 0]
+        return pd.Series(np.round(out, 6))
+
+    rare_frac = rare_frac.asNondeterministic()  # guard pushdown double-eval
+    w = _words(F.col(text_col))
+    h = F.transform(F.filter(w, lambda t: t != ""),
+                    lambda t: F.xxhash64(t))
+    return df.select(
+        id_col,
+        F.size(h).alias("n_tokens"),
+        rare_frac(h).alias("rare_frac"))
+
+
 # ----------------------------------------------------------- semantic dedup
 
 

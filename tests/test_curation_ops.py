@@ -451,3 +451,62 @@ class TestPackDocumentsBoundaries:
             ref[f"id{i:03d}"] = acc // 30
             acc += n
         assert out == ref
+
+
+class TestRareTokenStats:
+    """Corpus-frequency gibberish detector: CMS built once, broadcast,
+    probed with zero shuffle. CMS only OVERcounts, so rare_frac is a lower
+    bound on the exact rare fraction — a drop rule can't fire on clean
+    text because of sketch error."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = []
+        common = "the quick brown fox jumps over the lazy dog again and again"
+        for i in range(40):                      # clean docs: common tokens
+            rows.append((i, common))
+        for i in range(40, 44):                  # gibberish: unique tokens
+            rows.append((i, " ".join(f"zx{i}q{j}w" for j in range(12))))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_gibberish_flagged_clean_not(self, spark, corpus):
+        from fever_spark.operators.curation import (build_token_cms,
+                                                    rare_token_stats)
+
+        bc = spark.sparkContext.broadcast(build_token_cms(corpus))
+        got = {r["doc_id"]: r for r in
+               rare_token_stats(corpus, bc, min_count=5).collect()}
+        for i in range(40):
+            assert got[i]["rare_frac"] == 0.0   # every token appears 40+ times
+        for i in range(40, 44):
+            assert got[i]["rare_frac"] == 1.0   # every token appears once
+            assert got[i]["n_tokens"] == 12
+
+    def test_never_exceeds_exact_rare_fraction(self, spark, corpus):
+        # CMS overcount direction: est >= true, so est<min_count ⊆ true<min_count
+        from pyspark.sql import functions as F2
+        from fever_spark.operators.curation import (build_token_cms,
+                                                    rare_token_stats)
+
+        bc = spark.sparkContext.broadcast(build_token_cms(corpus))
+        got = {r["doc_id"]: r["rare_frac"] for r in
+               rare_token_stats(corpus, bc, min_count=5).collect()}
+        freq = {r["tok"]: r["c"] for r in
+                corpus.select(F2.explode(F2.split(F2.lower(F2.trim("text")),
+                                                  r"\s+")).alias("tok"))
+                .groupBy("tok").agg(F2.count("*").alias("c")).collect()}
+        for r in corpus.collect():
+            toks = r["text"].lower().split()
+            exact = sum(freq[t] < 5 for t in toks) / len(toks)
+            assert got[r["doc_id"]] <= exact + 1e-9
+
+    def test_empty_and_whitespace_docs(self, spark):
+        from fever_spark.operators.curation import (build_token_cms,
+                                                    rare_token_stats)
+
+        df = spark.createDataFrame([(1, "real tokens here"), (2, "")],
+                                   "doc_id long, text string")
+        bc = spark.sparkContext.broadcast(build_token_cms(df))
+        got = {r["doc_id"]: r for r in
+               rare_token_stats(df, bc).collect()}
+        assert got[2]["n_tokens"] == 0 and got[2]["rare_frac"] == 0.0

@@ -193,6 +193,18 @@ sections.append(("bloom_match wall-time, profiled (round-1 'unexplained 46.8s')"
     "1M pages (~250k pages/s), BELOW sketch_pipeline as expected for a "
     "probe-only pass.", "bench r1: 46.8s  ->  bench r2 (warmed, best-of-3): 4.2s"))
 
+# preserve the hand-maintained tail (measured wall-time breakdowns, round
+# notes) across regenerations: everything from the marker down survives
+HAND_MARKER = "<!-- HAND-MAINTAINED BELOW: mkplans preserves this tail -->"
+tail = ""
+try:
+    with open("/root/repo/PLANS.md") as f:
+        old = f.read()
+    if HAND_MARKER in old:
+        tail = old[old.index(HAND_MARKER):]
+except FileNotFoundError:
+    pass
+
 with open("/root/repo/PLANS.md", "w") as f:
     f.write("# PLANS — physical-plan evidence for the scale claims\n\n")
     f.write("Captured from `.explain` on real plans (regenerate: "
@@ -200,5 +212,6 @@ with open("/root/repo/PLANS.md", "w") as f:
             "same properties in tests/test_spark_ops.py and tests/test_aggregators.py).\n\n")
     for title, desc, evidence in sections:
         f.write(f"## {title}\n\n{desc}\n\n```\n{evidence}\n```\n\n")
+    f.write(tail if tail else HAND_MARKER + "\n")
 print("written")
 spark.stop()

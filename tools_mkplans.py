@@ -163,6 +163,36 @@ sections.append(("Token packing: global prefix sum with NO single-task global so
     f"'Exchange SinglePartition'. SinglePartition in plan: {has_single}:",
     "\n".join(ex6c2)))
 
+# 6c3. rare-token corpus-frequency probe: zero shuffle on the probe side
+from fever_spark.operators.curation import build_token_cms, rare_token_stats
+_cms_bc = spark.sparkContext.broadcast(build_token_cms(docs))
+p6c3 = plan(rare_token_stats(docs, _cms_bc, min_count=3))
+arrow6c3 = sum("ArrowEvalPython" in l for l in p6c3.splitlines())
+exch6c3 = "Exchange" in p6c3
+scan6c3 = [l.strip()[:200] for l in p6c3.splitlines() if "FileScan" in l]
+sections.append(("Rare-token quality probe: broadcast CMS, one scan, ZERO shuffles",
+    f"rare_token_stats — token hashing is JVM codegen (int64 arrays cross "
+    f"Arrow, never token strings), the corpus CMS rides a broadcast; "
+    f"ArrowEvalPython nodes: {arrow6c3}, Exchange nodes present: "
+    f"{exch6c3}. ReadSchema prunes to (doc_id, text):",
+    "\n".join(scan6c3)))
+
+# 6c4. IVF quantizer sample: bounded TakeOrdered, no global sort
+from fever_spark.operators import ann as ANN
+_hs = F.xxhash64(F.col("embedding"), F.lit(5))
+_pool = emb.select(F.col("embedding"), _hs.alias("_h")).orderBy("_h").limit(64)
+p6c4 = plan(_pool)
+take_line = [l.strip()[:180] for l in p6c4.splitlines()
+             if "TakeOrdered" in l or "Sort" in l]
+sections.append(("IVF quantizer sample: bottom-k by hash = TakeOrdered, no global sort",
+    "train_ivf_centroids draws its k-means sample as the bottom-k rows by "
+    "xxhash64(vector) — Spark executes orderBy(h).limit(k) as "
+    "TakeOrderedAndProject (per-partition top-k + bounded driver merge), "
+    "never a full sort; a hash-threshold pre-filter bounds candidates to "
+    "~4x the sample when the corpus is large. Deterministic on ANY "
+    "partition layout (the limit() it replaced was first-partition-biased):",
+    "\n".join(take_line)))
+
 # 6d. sketch_pipeline stage breakdown (measured, round-2 session)
 sections.append(("sketch_pipeline wall-time breakdown (1M pages, local[32], warm workers)",
     "Measured best-of-3 per stage: BUILD of all three sketches = 1.5s "

@@ -290,6 +290,127 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     return reassembled.unionByName(lost).select(*df.columns)
 
 
+# --------------------------------------------------- exact substring dedup
+
+
+def substring_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 20) -> DataFrame:
+    """Exact duplicated-substring removal (the ExactSubstr pass of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better"):
+    any run of >= k whitespace tokens that appears more than once in the
+    corpus — across documents OR repeated within one — survives only at its
+    first occurrence (ordered by (doc id, position)); every other
+    occurrence is cut out of its document. Overlapping duplicated k-grams
+    coalesce into maximal spans, so a 500-token boilerplate block shared by
+    a million pages is removed whole, not k tokens at a time.
+
+    Returns df with `text_col` rewritten for affected documents (remaining
+    tokens joined by single spaces) plus a `removed_tokens` count;
+    untouched documents keep their original text byte-for-byte.
+
+    Shape (the suffix-array algorithm is inherently sequential; this is the
+    distributed equivalent built from bounded equi-shuffles):
+      1. tokenize JVM-side (`split(trim(text), '\\s+')`), hash each token
+         with codegen xxhash64 — Arrow ships int64 arrays, never strings;
+      2. O(n) rolling polynomial fingerprint per k-gram in numpy (prefix
+         sums with the precomputed modular inverse of the base — no
+         per-position loop);
+      3. ONE shuffle keyed by the 8-byte fingerprint: a row_number window
+         ordered by (doc id, position) marks every occurrence after the
+         first. Payload is (id, pos) pairs only; the corpus-wide hot
+         boilerplate fingerprint is the same skew story as
+         paragraph_dedup — one big group of 12-byte rows, AQE-splittable.
+      4. removal positions group back to their doc (second shuffle, ids
+         only) and a single Arrow batch pass rebuilds the text with a
+         difference-array interval union (O(tokens + spans), not
+         O(tokens x spans)). Unaffected docs never enter Python: they
+         rejoin via left_anti with their original bytes.
+
+    Fingerprint collisions (distinct k-grams, equal fingerprint) would
+    remove a non-duplicated span at ~n_grams^2 / 2^64 probability — the
+    same accepted tradeoff as the paragraph/exact dedup fingerprints.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    other_cols = [c for c in df.columns if c != text_col]
+    toks_expr = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    base = 0x100000001B3  # odd -> invertible mod 2^64
+    base_inv = pow(base, -1, 1 << 64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def roll(hashes: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for h in hashes:
+                h = (np.empty(0, dtype=np.int64) if h is None
+                     else np.asarray(h, dtype=np.int64)).view(np.uint64)
+                n = len(h)
+                if n < k:
+                    out.append(np.empty(0, dtype=np.int64))
+                    continue
+                # fp_j = sum_{i=0..k-1} h[j+i] * B^(k-1-i)  (mod 2^64),
+                # via S_j = sum_{i<j} h[i] * B^-i:
+                #   fp_j = (S_{j+k} - S_j) * B^(j+k-1)
+                powers = np.empty(n + k, dtype=np.uint64)
+                powers[0] = 1
+                np.multiply.accumulate(
+                    np.full(n + k - 1, base, dtype=np.uint64),
+                    out=powers[1:])
+                inv_powers = np.empty(n, dtype=np.uint64)
+                inv_powers[0] = 1
+                np.multiply.accumulate(
+                    np.full(n - 1, base_inv, dtype=np.uint64),
+                    out=inv_powers[1:])
+                s = np.zeros(n + 1, dtype=np.uint64)
+                np.cumsum(h * inv_powers, out=s[1:])
+                fps = (s[k:] - s[:-k]) * powers[k - 1:n]
+                out.append(fps.view(np.int64))
+        return pd.Series(out)
+
+    fps = (df.select(F.col(id_col).alias("_id"),
+                     F.transform(toks_expr,
+                                 lambda t: F.xxhash64(t)).alias("_h"))
+           .select("_id", F.posexplode(roll("_h")).alias("_pos", "_fp")))
+
+    from pyspark.sql import Window
+    w = Window.partitionBy("_fp").orderBy("_id", "_pos")
+    removals = (fps.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") > 1)
+                .groupBy("_id")
+                .agg(F.collect_list("_pos").alias("_rm")))
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("text", T.StringType()),
+        T.StructField("removed", T.LongType())]))
+    def strip_spans(toks: pd.Series, rms: pd.Series) -> pd.DataFrame:
+        texts, removed = [], []
+        for t, rm in zip(toks, rms):
+            t = list(t)
+            n = len(t)
+            starts = np.asarray(rm, dtype=np.int64)
+            delta = np.zeros(n + 1, dtype=np.int64)
+            np.add.at(delta, starts, 1)
+            np.add.at(delta, np.minimum(starts + k, n), -1)
+            covered = np.cumsum(delta[:n]) > 0
+            texts.append(" ".join(
+                tok for tok, c in zip(t, covered) if not c))
+            removed.append(int(covered.sum()))
+        return pd.DataFrame({"text": texts, "removed": removed})
+
+    affected = (df.join(removals.withColumnRenamed("_id", id_col),
+                        id_col, "inner")
+                .withColumn("_out", strip_spans(toks_expr, F.col("_rm")))
+                .select(*other_cols,
+                        F.col("_out.text").alias(text_col),
+                        F.col("_out.removed").alias("removed_tokens")))
+    untouched = (df.join(removals.withColumnRenamed("_id", id_col)
+                         .select(id_col), id_col, "left_anti")
+                 .withColumn("removed_tokens", F.lit(0).cast("long")))
+    return affected.unionByName(untouched).select(
+        *df.columns, "removed_tokens")
+
+
 # ------------------------------------------------------------ token packing
 
 

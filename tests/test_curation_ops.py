@@ -510,3 +510,109 @@ class TestRareTokenStats:
         got = {r["doc_id"]: r for r in
                rare_token_stats(df, bc).collect()}
         assert got[2]["n_tokens"] == 0 and got[2]["rare_frac"] == 0.0
+
+class TestSubstringDedup:
+    """ExactSubstr span removal (Lee et al. 2022 shape): duplicated runs of
+    >= k tokens survive only at their first (doc_id, pos) occurrence."""
+
+    @staticmethod
+    def _reference(docs, k):
+        """O(n·k) single-machine reference with the exact semantics."""
+        from collections import defaultdict
+
+        toks = {i: t.strip().split() for i, t in docs}
+        occ = defaultdict(list)
+        for i, _ in docs:
+            ts = toks[i]
+            for p in range(len(ts) - k + 1):
+                occ[tuple(ts[p:p + k])].append((i, p))
+        cov = defaultdict(set)
+        for lst in occ.values():
+            for (i, p) in sorted(lst)[1:]:
+                cov[i].update(range(p, p + k))
+        out = {}
+        for i, t in docs:
+            c = cov.get(i)
+            if not c:
+                out[i] = (t, 0)
+            else:
+                ts = toks[i]
+                out[i] = (" ".join(w for j, w in enumerate(ts)
+                                   if j not in c), len(c))
+        return out
+
+    def test_boilerplate_suffix_removed_except_first(self, spark):
+        boiler = "all rights reserved contact us for licensing terms"
+        rows = [(i, " ".join(f"w{i}x{j}" for j in range(20))
+                 + (" " + boiler if i % 3 == 0 else "")) for i in range(12)]
+        out = {r["doc_id"]: r for r in CUR.substring_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            k=8).collect()}
+        assert out[0]["text"].endswith(boiler)
+        assert out[0]["removed_tokens"] == 0
+        for i in (3, 6, 9):
+            assert boiler not in out[i]["text"]
+            assert out[i]["removed_tokens"] == 8
+        for i in (1, 2, 4, 5):
+            assert out[i]["removed_tokens"] == 0
+            assert out[i]["text"] == rows[i][1]   # untouched byte-for-byte
+
+    def test_within_doc_period_repeat_coalesces(self, spark):
+        # 24 tokens with period 8: every gram at pos >= 8 repeats an
+        # earlier one -> tokens 8..23 removed as ONE coalesced span.
+        text = ("alpha beta gamma delta eps zeta eta theta " * 3).strip()
+        [r] = CUR.substring_dedup(
+            spark.createDataFrame([(1, text)], "doc_id long, text string"),
+            k=8).collect()
+        assert r["text"] == "alpha beta gamma delta eps zeta eta theta"
+        assert r["removed_tokens"] == 16
+
+    def test_short_and_empty_docs_pass_through(self, spark):
+        df = spark.createDataFrame(
+            [(1, "tiny doc"), (2, ""), (3, "tiny doc")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in CUR.substring_dedup(df, k=8).collect()}
+        assert len(out) == 3
+        for i in (1, 2, 3):
+            assert out[i]["removed_tokens"] == 0
+        assert out[3]["text"] == "tiny doc"   # shorter than k: not a dup run
+
+    def test_matches_reference_on_random_corpus_with_planted_spans(
+            self, spark):
+        import random
+
+        rng = random.Random(7)
+        vocab = [f"tok{v}" for v in range(40)]
+        docs = []
+        for i in range(40):
+            docs.append((i, " ".join(rng.choice(vocab)
+                                     for _ in range(rng.randint(15, 50)))))
+        # plant: splice spans of doc 2*j into doc 2*j+1
+        planted = []
+        for j in range(10):
+            src = docs[2 * j][1].split()
+            dst = docs[2 * j + 1][1].split()
+            p = rng.randint(0, max(len(src) - 7, 0))
+            span = src[p:p + 7]
+            q = rng.randint(0, len(dst))
+            planted.append((2 * j + 1,
+                            " ".join(dst[:q] + span + dst[q:])))
+        docs = dict(docs)
+        docs.update(dict(planted))
+        docs = sorted(docs.items())
+        expect = self._reference(docs, k=5)
+        got = {r["doc_id"]: (r["text"], r["removed_tokens"])
+               for r in CUR.substring_dedup(
+                   spark.createDataFrame(docs, "doc_id long, text string"),
+                   k=5).collect()}
+        assert got == expect
+        assert sum(v[1] for v in got.values()) > 0   # non-vacuous
+
+    def test_other_columns_pass_through(self, spark):
+        df = spark.createDataFrame(
+            [(1, "en", "one two three four five six"),
+             (2, "de", "one two three four five six")],
+            "doc_id long, lang string, text string")
+        out = {r["doc_id"]: r for r in CUR.substring_dedup(df, k=6).collect()}
+        assert out[1]["lang"] == "en" and out[2]["lang"] == "de"
+        assert out[2]["text"] == "" and out[2]["removed_tokens"] == 6

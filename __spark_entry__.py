@@ -646,11 +646,6 @@ def brute_topk_ids(emb, qvec):
     return ann.brute_force_topk(emb, qvec, k=10).select("vec_id")
 
 
-def q_token_count(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
-    return docs.select("doc_id", TXT.token_count(F.col("text")).alias("n_tokens"))
-
-
 def q_lang_id(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return (docs.select(TXT.lang_id(F.col("text")).alias("lang_guess"))
@@ -658,10 +653,16 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_quality_filter(spark, sf_dir):
-    # quality scoring as a filter: docs passing the C4-ish gates
+    # per-doc text signals in ONE gate: BPE-ish token count (formerly its
+    # own q_token_count entry — folded here to stay under the driver's
+    # 50-entry cap) plus the C4-ish quality gate as a 0/1 flag for EVERY
+    # doc, so both the scorer and the tokenizer are hash-checked per row.
     docs = _read(spark, sf_dir, "documents")
-    return (docs.withColumn("q", TXT.quality_score(F.col("text")))
-            .filter(F.col("q") >= 0.7).select("doc_id"))
+    return docs.select(
+        "doc_id",
+        TXT.token_count(F.col("text")).alias("n_tokens"),
+        (TXT.quality_score(F.col("text")) >= 0.7)
+        .cast("int").alias("passes_quality"))
 
 
 # --------------------------------------------------------------------------
@@ -758,6 +759,31 @@ def q_paragraph_dedup(spark, sf_dir):
                  F.lit("\n\nsubscribe to our newsletter today\nshared promo "),
                  (F.col("doc_id") % 7).cast("string")).alias("text"))
     return CUR.paragraph_dedup(docs, id_col="doc_id", text_col="text")
+
+
+_BOILER = ("all rights reserved contact us for more information "
+           "about licensing and terms")  # 12 tokens
+
+
+def q_substring_dedup(spark, sf_dir):
+    """ExactSubstr span dedup (Lee et al. 2022): duplicated runs of >= k
+    tokens survive only at their first (doc_id, pos) occurrence, cut as
+    coalesced maximal spans. The gate PLANTS a 12-token boilerplate suffix
+    on every 7th doc (boundary k-grams differ per doc, so exactly the
+    boilerplate region is duplicated); the oracle reimplements the whole
+    contract in DuckDB over the gram STRINGS — any drift in tokenization,
+    first-occurrence ordering, interval coalescing, or reassembly breaks
+    the per-row text/count hash. Natural duplicate spans in the corpus are
+    covered identically on both sides."""
+    from fever_spark.operators import curation as CUR
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" " + _BOILER)))
+        .otherwise(F.col("text")).alias("text"))
+    return CUR.substring_dedup(docs, k=8) \
+        .select("doc_id", "text", "removed_tokens")
 
 
 def q_pack_bins(spark, sf_dir):
@@ -880,7 +906,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_neardup": q_embedding_neardup,
         "q_ann_topk": q_ann_topk,
         "q_ann_ivf": q_ann_ivf,
-        "q_token_count": q_token_count,
         "q_lang_id": q_lang_id,
         "q_quality_filter": q_quality_filter,
         "q_bloom_match_fever_events": q_bloom_match_fever_events,
@@ -889,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination": q_contamination,
         "q_semantic_dedup": q_semantic_dedup,
         "q_paragraph_dedup": q_paragraph_dedup,
+        "q_substring_dedup": q_substring_dedup,
         "q_url_dedup": q_url_dedup,
         "q_multi_join_topk": q_multi_join_topk,
         "q_pack_bins": q_pack_bins,
@@ -1232,11 +1258,6 @@ def oracle_sql() -> dict[str, str]:
               FROM corpus)
             ORDER BY c DESC, vec_id LIMIT 10
         """,
-        "q_token_count": f"""
-            SELECT doc_id,
-                   len(regexp_extract_all(text, '{tok}')) AS n_tokens
-            FROM documents
-        """,
         "q_lang_id": """
             WITH scored AS (
               SELECT text,
@@ -1262,9 +1283,10 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT lang_guess, count(*) AS n FROM scored GROUP BY lang_guess
         """,
-        "q_quality_filter": """
+        "q_quality_filter": f"""
             WITH q AS (
               SELECT doc_id,
+                     len(regexp_extract_all(text, '{tok}')) AS n_tokens,
                      len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE
                        / greatest(length(text), 1) AS alpha_frac,
                      len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE
@@ -1273,8 +1295,9 @@ def oracle_sql() -> dict[str, str]:
                           ELSE len(string_split_regex(trim(text), '\\s+')) END AS words,
                      length(text) AS n
               FROM documents)
-            SELECT doc_id FROM (
-              SELECT doc_id,
+            SELECT doc_id, n_tokens,
+                   (score >= 0.7)::INT AS passes_quality FROM (
+              SELECT doc_id, n_tokens,
                 round(least(
                   alpha_frac * 0.4
                   + (CASE WHEN n BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.2
@@ -1282,7 +1305,7 @@ def oracle_sql() -> dict[str, str]:
                           BETWEEN 3 AND 12 THEN 1.0 ELSE 0.4 END) * 0.2
                   + (CASE WHEN punct_frac <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2,
                   1.0), 4) AS score
-              FROM q) WHERE score >= 0.7
+              FROM q)
         """,
         "q_repetition_stats": r"""
             WITH toks AS (
@@ -1446,6 +1469,48 @@ def oracle_sql() -> dict[str, str]:
             FROM planted d LEFT JOIN (
               SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
               FROM k WHERE rn = 1 GROUP BY doc_id) s USING (doc_id)
+        """,
+        "q_substring_dedup": f"""
+            WITH src AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || ' {_BOILER}'
+                          ELSE text END AS text
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM src
+            ), grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(t) - 7),
+                       i -> {{'pos': i - 1,
+                             'g': array_to_string(t[i:i+7], ' ')}})) AS u
+              FROM toks
+            ), rem AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, u.pos AS pos,
+                       row_number() OVER (PARTITION BY u.g
+                                          ORDER BY doc_id, u.pos) AS rn
+                FROM grams) WHERE rn > 1
+            ), cov AS (
+              SELECT doc_id, list(DISTINCT idx) AS covered FROM (
+                SELECT doc_id,
+                       unnest(generate_series(pos, pos + 7)) AS idx
+                FROM rem) GROUP BY doc_id
+            )
+            SELECT k.doc_id,
+                   CASE WHEN c.doc_id IS NULL THEN k.text
+                        ELSE coalesce(array_to_string(
+                          list_transform(
+                            list_filter(generate_series(1, len(k.t)),
+                                        i -> NOT list_contains(c.covered,
+                                                               i - 1)),
+                            i -> k.t[i]), ' '), '') END AS text,
+                   (CASE WHEN c.doc_id IS NULL THEN 0
+                         ELSE len(c.covered) END)::BIGINT AS removed_tokens
+            FROM toks k LEFT JOIN cov c USING (doc_id)
         """,
         "q_semantic_dedup": """
             WITH corpus AS (

@@ -49,7 +49,8 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
            paragraph_dedup: bool = False,
            max_dup_word_frac: float | None = None,
            benchmark_path: str | None = None,
-           contamination_ngram: int = 8) -> dict:
+           contamination_ngram: int = 8,
+           substring_dedup_k: int | None = None) -> dict:
     docs = spark.read.parquet(input_path)
     counts = {"input": docs.count()}
     # wall seconds per pipeline stage (stage = work up to its survivor
@@ -103,6 +104,20 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
     counts["after_exact_dedup"] = exact.count()
     _mark("exact_dedup")
 
+    if substring_dedup_k:
+        # ExactSubstr span removal (Lee et al. 2022) between exact and
+        # near-dup: shared boilerplate runs >= k tokens are cut before
+        # MinHash, so near-dup similarity reflects the docs' own content
+        # rather than their common chrome. Docs cut to nothing are
+        # fully-duplicated text — drop them like the paragraph pass does.
+        exact = (curation.substring_dedup(exact, id_col, text_col,
+                                          k=substring_dedup_k)
+                 .filter(F.trim(F.col(text_col)) != "")
+                 .drop("removed_tokens")
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+        counts["after_substring_dedup"] = exact.count()
+        _mark("substring_dedup")
+
     pairs = dedup.minhash_near_duplicates(
         exact, text_col, id_col, threshold=near_dup_threshold) \
         .select("id_a", "id_b")
@@ -152,7 +167,8 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
                    "paragraph_dedup": paragraph_dedup,
                    "max_dup_word_frac": max_dup_word_frac,
                    "benchmark": benchmark_path,
-                   "contamination_ngram": contamination_ngram},
+                   "contamination_ngram": contamination_ngram,
+                   "substring_dedup_k": substring_dedup_k},
     }
     tmp = os.path.join(output_path, "_curation_manifest.json.tmp")
     final = os.path.join(output_path, "_curation_manifest.json")

@@ -143,3 +143,29 @@ def test_contamination_fp_does_not_overdrop(spark, tmp_path):
     c = man["counts"]
     assert c["contamination_flagged"] > 0      # the FPs really happened
     assert c["after_contamination_screen"] == c["after_near_dup"]  # none dropped
+
+
+def test_curate_substring_dedup_stage(spark, tmp_path):
+    """ExactSubstr stage: shared >=k-token boilerplate is cut everywhere
+    but its first occurrence; a doc that IS only boilerplate drops out."""
+    boiler = ("this site uses cookies accept our terms and privacy "
+              "policy before you continue reading")  # 14 tokens
+    rows = [(i, " ".join(f"doc{i}tok{j}" for j in range(20))
+             + " " + boiler, "en") for i in range(6)]
+    rows.append((50, boiler, "en"))     # pure boilerplate doc
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.parquet(src)
+
+    out = str(tmp_path / "out")
+    man = curate(spark, src, out, min_quality=0.0, min_tokens=1,
+                 substring_dedup_k=8)
+    c = man["counts"]
+    assert c["after_exact_dedup"] == 7
+    assert c["after_substring_dedup"] == 6          # pure-boiler doc gone
+    texts = {r["doc_id"]: r["text"]
+             for r in spark.read.parquet(out).collect()}
+    assert 50 not in texts
+    carriers = [i for i, t in texts.items() if boiler in t]
+    assert len(carriers) == 1                        # first occurrence only
+    assert man["params"]["substring_dedup_k"] == 8

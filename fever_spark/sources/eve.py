@@ -205,3 +205,70 @@ def multi_forward(df: DataFrame, outputs: dict[str, tuple[list[str], str]]) -> d
         part.write.mode("overwrite").json(path)
         written[name] = part.count()
     return written
+
+
+# S9: per-event-type collections (the Mongo slurper analog)
+
+MONGO_TYPES = ["alert", "dns", "fileinfo", "flow", "http", "smtp", "ssh",
+               "stats", "tls", "misc"]  # slurper_mongodb.go:14-19
+
+# capped-collection space fractions, slurper_mongodb.go:22-35
+MAXCOLLSIZEFRACTIONS = {
+    "dns": 0.25, "http": 0.2, "flow": 0.25, "smtp": 0.05, "ssh": 0.05,
+    "alert": 0.05, "tls": 0.05, "stats": 0.02, "misc": 0.03,
+    "fileinfo": 0.05,
+}
+
+
+def per_type_collections(df: DataFrame, base_path: str,
+                         type_col: str = "event_type",
+                         max_size_bytes: int | None = None) -> dict[str, int]:
+    """S9 Mongo per-type collections as ONE partitioned write.
+
+    The reference dispatches each event to a per-type worker writing its
+    own collection, with unknown types routed to ``misc``
+    (slurper_mongodb.go:276-287) and each collection CAPPED at a fraction
+    of the total space budget (slurper_mongodb.go:22-35, capped mongo
+    collections drop oldest documents). Spark-first shape: a single
+    ``partitionBy(type)`` pass — the writer splits rows by type inside
+    every task, so N collections cost one scan, not N filtered scans
+    (contrast multi_forward, whose outputs may OVERLAP and therefore need
+    per-output filters). The capped-collection analog enforces each
+    type's size fraction AFTER the write by deleting that collection's
+    oldest files first — same drop-oldest semantics, expressed as
+    retention over immutable parquet parts instead of an in-place ring.
+
+    Returns rows written per collection (one aggregation over the written
+    parquet footers, not a count per type).
+    """
+    import os
+
+    coll = F.when(F.col(type_col).isin(MONGO_TYPES), F.col(type_col)) \
+        .otherwise(F.lit("misc")).alias("_collection")
+    (df.withColumn("_collection", coll)
+     .write.mode("overwrite").partitionBy("_collection")
+     .parquet(base_path))
+
+    spark = df.sparkSession
+    written = {r["_collection"]: r["n"] for r in
+               spark.read.parquet(base_path)
+               .groupBy("_collection").agg(F.count(F.lit(1)).alias("n"))
+               .collect()}
+
+    if max_size_bytes is not None:
+        for t, frac in MAXCOLLSIZEFRACTIONS.items():
+            cdir = os.path.join(base_path, f"_collection={t}")
+            if not os.path.isdir(cdir):
+                continue
+            cap = int(max_size_bytes * frac)
+            parts = sorted(
+                (os.path.join(cdir, f) for f in os.listdir(cdir)
+                 if f.endswith(".parquet")),
+                key=os.path.getmtime)
+            total = sum(os.path.getsize(p) for p in parts)
+            for p in parts:  # oldest first, keep at least the newest part
+                if total <= cap or p == parts[-1]:
+                    break
+                total -= os.path.getsize(p)
+                os.remove(p)
+    return written

@@ -168,3 +168,49 @@ class TestMalformedInput:
         alerts = bloom_match_events(ev, bc).collect()
         assert len(alerts) >= 1
         assert all(a["ioc"] == "evil.example" for a in alerts)
+
+
+class TestPerTypeCollections:
+    """S9: one partitionBy pass -> one collection dir per event type,
+    unknown types routed to misc, capped-collection retention."""
+
+    def test_split_and_misc_routing(self, spark, tmp_path):
+        from fever_spark.sources.eve import per_type_collections
+
+        df = spark.createDataFrame(
+            [("dns", 1), ("dns", 2), ("http", 3), ("weird_proto", 4),
+             ("flow", 5)], "event_type string, payload long")
+        base = str(tmp_path / "colls")
+        written = per_type_collections(df, base)
+        assert written == {"dns": 2, "http": 1, "flow": 1, "misc": 1}
+        import os
+        assert sorted(d for d in os.listdir(base)
+                      if d.startswith("_collection=")) == [
+            "_collection=dns", "_collection=flow",
+            "_collection=http", "_collection=misc"]
+        # misc carries the unknown-typed row (reference: TypeDispatch
+        # fallback, slurper_mongodb.go:276-287)
+        misc = spark.read.parquet(base).filter(
+            F.col("_collection") == "misc").collect()
+        assert [r["payload"] for r in misc] == [4]
+
+    def test_capped_retention_drops_oldest_keeps_newest(self, spark,
+                                                        tmp_path):
+        import os
+        from fever_spark.sources.eve import per_type_collections
+
+        df = spark.createDataFrame(
+            [("dns", i) for i in range(200)],
+            "event_type string, payload long")
+        base = str(tmp_path / "capped")
+        # cap so small that dns's 0.25 fraction can't hold all its parts:
+        # the call itself must delete oldest-first but always keep the
+        # newest part (capped collections never go empty)
+        written = per_type_collections(df.repartition(4), base,
+                                       max_size_bytes=4)
+        assert written["dns"] == 200   # counts reflect the full write
+        cdir = os.path.join(base, "_collection=dns")
+        left = [p for p in os.listdir(cdir) if p.endswith(".parquet")]
+        assert len(left) == 1          # all but the newest part dropped
+        remaining = spark.read.parquet(base).count()
+        assert 0 < remaining < 200

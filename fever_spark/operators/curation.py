@@ -379,6 +379,13 @@ def substring_dedup(df: DataFrame, id_col: str = "doc_id",
                 .filter(F.col("_rn") > 1)
                 .groupBy("_id")
                 .agg(F.collect_list("_pos").alias("_rm")))
+    # removals feeds BOTH branches below. The roll-UDF subtree does not
+    # canonicalize (Python UDFs defeat ReuseExchange), so without an
+    # explicit persist the entire fingerprint pass — the expensive stage —
+    # would execute twice, once per join. The persisted table is small:
+    # (id, positions) for affected docs only.
+    from pyspark import StorageLevel
+    removals = removals.persist(StorageLevel.MEMORY_AND_DISK)
 
     @F.pandas_udf(T.StructType([
         T.StructField("text", T.StringType()),

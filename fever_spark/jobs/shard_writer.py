@@ -1,0 +1,101 @@
+"""Training-shard writer: token-budget packing → one parquet shard per bin.
+
+The last mile of the curation pipeline: documents (usually the output of
+jobs/curate.py) are laid end to end in id order and cut into shards of
+``budget`` tokens (operators/curation.pack_documents — distributed prefix
+sum, never a single-task global sort), then written as ONE partitioned
+parquet dataset with a shard column, one file per shard, plus a manifest
+with per-shard document/token counts.
+
+Scale shape: the packer's two bounded aggregations + one id-keyed join to
+bring shard ids back onto the full rows + one `repartition(shard)` write
+pass (each task writes whole shards — no tiny-file explosion from every
+task touching every shard). Reference analog: fever's chunked bulk writer
+(db/slurper_postgres.go:164-236 COPY every 50k rows) — same batching
+discipline, expressed as token-budgeted partitions instead of row counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fever_spark.operators.curation import pack_documents
+
+__all__ = ["write_training_shards"]
+
+
+def write_training_shards(spark: SparkSession, input_path: str,
+                          output_path: str, budget: int,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          token_col: str | None = None,
+                          n_buckets: int = 64) -> dict:
+    """Pack documents into token-budget shards and write them.
+
+    Returns the manifest (also written to ``_shards_manifest.json``):
+    total docs/tokens, shard count, per-shard doc and token counts, and
+    the ids of shards holding a single over-budget document (a doc larger
+    than ``budget`` gets its own shard span — flagged, never split).
+    """
+    docs = spark.read.parquet(input_path)
+    assign = pack_documents(docs, budget, id_col=id_col,
+                            token_col=token_col, text_col=text_col,
+                            n_buckets=n_buckets)
+
+    out = (docs.join(assign.withColumnRenamed("bin_id", "shard"),
+                     id_col)
+           .repartition(F.col("shard")))
+    out.write.mode("overwrite").partitionBy("shard").parquet(output_path)
+
+    per_shard = (spark.read.parquet(output_path)
+                 .groupBy("shard")
+                 .agg(F.count(F.lit(1)).alias("docs"),
+                      F.sum("n_tokens").alias("tokens"))
+                 .orderBy("shard").collect())
+    oversized = [int(r["shard"]) for r in per_shard
+                 if r["docs"] == 1 and r["tokens"] > budget]
+    manifest = {
+        "input": input_path, "output": output_path,
+        "budget_tokens": int(budget),
+        "n_shards": len(per_shard),
+        "total_docs": int(sum(r["docs"] for r in per_shard)),
+        "total_tokens": int(sum(r["tokens"] for r in per_shard)),
+        "shards": [{"shard": int(r["shard"]), "docs": int(r["docs"]),
+                    "tokens": int(r["tokens"])} for r in per_shard],
+        "oversized_single_doc_shards": oversized,
+    }
+    tmp = os.path.join(output_path, "_shards_manifest.json.tmp")
+    final = os.path.join(output_path, "_shards_manifest.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, final)
+    return manifest
+
+
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+
+    from fever_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--budget", type=int, required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--token-col", default=None)
+    ap.add_argument("--n-buckets", type=int, default=64)
+    args = ap.parse_args(argv)
+    spark = get_spark(app_name="fever_spark_shard_writer")
+    man = write_training_shards(spark, args.input, args.output, args.budget,
+                                id_col=args.id_col, text_col=args.text_col,
+                                token_col=args.token_col,
+                                n_buckets=args.n_buckets)
+    print(json.dumps({k: v for k, v in man.items() if k != "shards"}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""Training-shard writer: pack_documents assignments become one parquet
+shard per bin with a manifest; totals conserve, oversized docs flagged."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from fever_spark.jobs.shard_writer import write_training_shards
+
+
+def test_shards_written_with_manifest(spark, tmp_path):
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(10))) for i in range(20)]
+    rows.append((100, " ".join(["big"] * 150)))   # over-budget single doc
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(src)
+
+    out = str(tmp_path / "shards")
+    man = write_training_shards(spark, src, out, budget=50, n_buckets=4)
+
+    assert man["total_docs"] == 21
+    assert man["total_tokens"] == 20 * 10 + 150
+    assert man["n_shards"] >= 5
+    # shard dirs exist, one file per shard (repartition(shard) write)
+    for s in man["shards"]:
+        d = os.path.join(out, f"shard={s['shard']}")
+        parts = [p for p in os.listdir(d) if p.endswith(".parquet")]
+        assert len(parts) == 1
+    # the 150-token doc occupies its own shard span and is flagged
+    assert man["oversized_single_doc_shards"]
+    big = spark.read.parquet(out).filter(F.col("doc_id") == 100).collect()
+    assert len(big) == 1
+
+    # id-order contiguity: docs in shard s all precede docs in shard s+1
+    df = spark.read.parquet(out).select("doc_id", "shard").collect()
+    by_shard = {}
+    for r in df:
+        by_shard.setdefault(r["shard"], []).append(r["doc_id"])
+    shards = sorted(by_shard)
+    for a, b in zip(shards, shards[1:]):
+        assert max(by_shard[a]) < min(by_shard[b])
+
+
+def test_token_col_passthrough(spark, tmp_path):
+    src = str(tmp_path / "src2")
+    spark.createDataFrame(
+        [(i, "ignored text", 25) for i in range(8)],
+        "doc_id long, text string, my_tokens long").write.parquet(src)
+    out = str(tmp_path / "shards2")
+    man = write_training_shards(spark, src, out, budget=50,
+                                token_col="my_tokens", n_buckets=2)
+    assert man["total_tokens"] == 200
+    assert man["n_shards"] == 4            # 2 docs x 25 tokens per shard
+    for s in man["shards"]:
+        assert s["docs"] == 2 and s["tokens"] == 50

@@ -196,6 +196,17 @@ def bench_curate(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def bench_substring_dedup(spark):
+    """ExactSubstr span removal over the sf documents: the rolling-
+    fingerprint pass + 8-byte window shuffle + affected-doc rebuild."""
+    from fever_spark.operators.curation import substring_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = substring_dedup(docs, k=8)
+    return _materialize(out.groupBy((F.col("removed_tokens") > 0)
+                                    .alias("affected")).count())
+
+
 def bench_grouped_sums(spark):
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     agg = (li.groupBy("l_returnflag", "l_linestatus")
@@ -212,6 +223,7 @@ BENCHES = {
     "hll_events": bench_hll_events,
     "cms_topk": bench_cms_topk,
     "dedup_minhash": bench_dedup_minhash,
+    "substring_dedup": bench_substring_dedup,
     "grouped_sums": bench_grouped_sums,
     "curate": bench_curate,
 }

@@ -380,12 +380,14 @@ def substring_dedup(df: DataFrame, id_col: str = "doc_id",
                 .groupBy("_id")
                 .agg(F.collect_list("_pos").alias("_rm")))
     # removals feeds BOTH branches below. The roll-UDF subtree does not
-    # canonicalize (Python UDFs defeat ReuseExchange), so without an
-    # explicit persist the entire fingerprint pass — the expensive stage —
-    # would execute twice, once per join. The persisted table is small:
-    # (id, positions) for affected docs only.
-    from pyspark import StorageLevel
-    removals = removals.persist(StorageLevel.MEMORY_AND_DISK)
+    # canonicalize (Python UDFs defeat ReuseExchange), so without
+    # materializing it the entire fingerprint pass — the expensive stage —
+    # would execute twice, once per join. localCheckpoint (lazy) rather
+    # than persist: the checkpointed RDD is ContextCleaner-managed, so
+    # repeated operator invocations don't accumulate CacheManager entries
+    # that nothing ever unpersists. The table is small: (id, positions)
+    # for affected docs only.
+    removals = removals.localCheckpoint(eager=False)
 
     @F.pandas_udf(T.StructType([
         T.StructField("text", T.StringType()),

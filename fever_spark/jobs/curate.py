@@ -6,6 +6,8 @@ the library's first-class operators —
     → PII redaction (optional, chained codegen regexp)
     → paragraph dedup (optional, cross-doc boilerplate removal)
     → exact dedup (normalized-content fingerprint)
+    → ExactSubstr span dedup (optional: duplicated runs of >= k tokens cut
+      everywhere but their first occurrence)
     → near-dup dedup (MinHash-LSH pairs → connected components → keep the
       canonical doc per cluster)
     → contamination screen (optional: drop docs sharing word n-grams with a
@@ -18,7 +20,7 @@ Run: spark-submit --py-files fever_spark.zip -m fever_spark.jobs.curate \
        [--langs en,de] [--min-tokens 10] [--max-tokens 100000]
        [--near-dup-threshold 0.7] [--sample-rate 1.0] [--redact-pii]
        [--paragraph-dedup] [--max-dup-word-frac 0.7]
-       [--benchmark /data/benchmark]
+       [--benchmark /data/benchmark] [--substring-dedup-k 20]
 
 Scale shape: annotate/filter are one codegen'd pass; exact dedup is one
 hash-shuffle; LSH is signature UDF + banded equi-join (ids only); cluster
@@ -64,6 +66,17 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
         stage_seconds[stage] = round(time.time() - _t, 3)
         _t = time.time()
 
+    # every persisted intermediate is tracked and unpersisted at the end —
+    # stages that REASSIGN a name (paragraph/substring dedup shadow their
+    # input frame) must not leak the shadowed cache entry for the app's
+    # lifetime when curate() runs repeatedly in one session
+    persisted = []
+
+    def _persist(df):
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(df)
+        return df
+
     annotated = docs.select(
         "*",
         TXT.lang_id(F.col(text_col)).alias("_lang"),
@@ -84,7 +97,7 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
         # same pass as the filter — redaction is a codegen'd projection
         filtered = filtered.withColumn(text_col,
                                        curation.redact_pii(F.col(text_col)))
-    filtered = filtered.persist(StorageLevel.MEMORY_AND_DISK)
+    filtered = _persist(filtered)
     counts["after_quality_filter"] = filtered.count()
     _mark("quality_filter")
 
@@ -93,14 +106,13 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
         # boilerplate — drop them here, or an empty canonical doc would
         # survive exact dedup into the output (trim: blank paragraphs are
         # dedup-exempt structure, so such docs reassemble to whitespace)
-        filtered = (curation.paragraph_dedup(filtered, id_col, text_col)
-                    .filter(F.trim(F.col(text_col)) != "")
-                    .persist(StorageLevel.MEMORY_AND_DISK))
+        filtered = _persist(
+            curation.paragraph_dedup(filtered, id_col, text_col)
+            .filter(F.trim(F.col(text_col)) != ""))
         counts["after_paragraph_dedup"] = filtered.count()
         _mark("paragraph_dedup")
 
-    exact = dedup.exact_dedup(filtered, text_col, id_col) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    exact = _persist(dedup.exact_dedup(filtered, text_col, id_col))
     counts["after_exact_dedup"] = exact.count()
     _mark("exact_dedup")
 
@@ -110,19 +122,18 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
         # MinHash, so near-dup similarity reflects the docs' own content
         # rather than their common chrome. Docs cut to nothing are
         # fully-duplicated text — drop them like the paragraph pass does.
-        exact = (curation.substring_dedup(exact, id_col, text_col,
-                                          k=substring_dedup_k)
-                 .filter(F.trim(F.col(text_col)) != "")
-                 .drop("removed_tokens")
-                 .persist(StorageLevel.MEMORY_AND_DISK))
+        exact = _persist(
+            curation.substring_dedup(exact, id_col, text_col,
+                                     k=substring_dedup_k)
+            .filter(F.trim(F.col(text_col)) != "")
+            .drop("removed_tokens"))
         counts["after_substring_dedup"] = exact.count()
         _mark("substring_dedup")
 
     pairs = dedup.minhash_near_duplicates(
         exact, text_col, id_col, threshold=near_dup_threshold) \
         .select("id_a", "id_b")
-    neardup = dedup.dedup_keep_canonical(exact, pairs, id_col) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    neardup = _persist(dedup.dedup_keep_canonical(exact, pairs, id_col))
     counts["after_near_dup"] = neardup.count()
     _mark("near_dup")
 
@@ -145,8 +156,7 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
         confirmed_ids = (curation.contamination_exact(
             flagged_docs, bench, contamination_ngram, text_col, id_col)
             .filter(F.col("contaminated_ngrams") > 0).select(id_col))
-        neardup = neardup.join(confirmed_ids, id_col, "left_anti") \
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        neardup = _persist(neardup.join(confirmed_ids, id_col, "left_anti"))
         counts["after_contamination_screen"] = neardup.count()
         _mark("contamination")
 
@@ -175,7 +185,7 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
     os.replace(tmp, final)
-    for df in (filtered, exact, neardup):
+    for df in persisted:
         df.unpersist()
     return manifest
 
@@ -201,6 +211,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--benchmark", default=None,
                     help="parquet path of an eval corpus to screen against")
     ap.add_argument("--contamination-ngram", type=int, default=8)
+    ap.add_argument("--substring-dedup-k", type=int, default=None,
+                    help="enable ExactSubstr span removal of duplicated "
+                         "runs of >= k tokens")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -215,7 +228,8 @@ def main(argv: list[str] | None = None) -> None:
         redact_pii=args.redact_pii, paragraph_dedup=args.paragraph_dedup,
         max_dup_word_frac=args.max_dup_word_frac,
         benchmark_path=args.benchmark,
-        contamination_ngram=args.contamination_ngram)
+        contamination_ngram=args.contamination_ngram,
+        substring_dedup_k=args.substring_dedup_k)
     print(json.dumps(manifest))
     spark.stop()
 

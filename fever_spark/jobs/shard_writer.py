@@ -37,15 +37,20 @@ def write_training_shards(spark: SparkSession, input_path: str,
 
     Returns the manifest (also written to ``_shards_manifest.json``):
     total docs/tokens, shard count, per-shard doc and token counts, and
-    the ids of shards holding a single over-budget document (a doc larger
-    than ``budget`` gets its own shard span — flagged, never split).
+    the ids of shards containing an over-budget document (a doc larger
+    than ``budget`` is never split; its shard simply runs long —
+    flagged so a loader can decide to truncate or skip).
     """
     docs = spark.read.parquet(input_path)
     assign = pack_documents(docs, budget, id_col=id_col,
                             token_col=token_col, text_col=text_col,
                             n_buckets=n_buckets)
 
-    out = (docs.join(assign.withColumnRenamed("bin_id", "shard"),
+    # curate() output (the usual input) already carries n_tokens — drop it
+    # in favor of the packer's count so the join never emits a duplicate
+    # column (parquet refuses to write one)
+    base = docs.drop("n_tokens") if "n_tokens" in docs.columns else docs
+    out = (base.join(assign.withColumnRenamed("bin_id", "shard"),
                      id_col)
            .repartition(F.col("shard")))
     out.write.mode("overwrite").partitionBy("shard").parquet(output_path)
@@ -55,8 +60,13 @@ def write_training_shards(spark: SparkSession, input_path: str,
                  .agg(F.count(F.lit(1)).alias("docs"),
                       F.sum("n_tokens").alias("tokens"))
                  .orderBy("shard").collect())
-    oversized = [int(r["shard"]) for r in per_shard
-                 if r["docs"] == 1 and r["tokens"] > budget]
+    # a doc alone larger than the budget spans its shard regardless of
+    # where it starts — flag by the doc's own size, not by shard occupancy
+    # (a shard can legitimately hold small docs plus one oversized tail)
+    oversized = sorted({int(r["shard"]) for r in
+                        (spark.read.parquet(output_path)
+                         .filter(F.col("n_tokens") > budget)
+                         .select("shard").distinct().collect())})
     manifest = {
         "input": input_path, "output": output_path,
         "budget_tokens": int(budget),
@@ -65,7 +75,7 @@ def write_training_shards(spark: SparkSession, input_path: str,
         "total_tokens": int(sum(r["tokens"] for r in per_shard)),
         "shards": [{"shard": int(r["shard"]), "docs": int(r["docs"]),
                     "tokens": int(r["tokens"])} for r in per_shard],
-        "oversized_single_doc_shards": oversized,
+        "overbudget_doc_shards": oversized,
     }
     tmp = os.path.join(output_path, "_shards_manifest.json.tmp")
     final = os.path.join(output_path, "_shards_manifest.json")

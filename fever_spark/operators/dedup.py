@@ -199,14 +199,15 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             shingle_size: int = 3) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pairs at est_jaccard >= threshold.
 
-    Signatures are persisted (memory-and-disk) because the candidate stage
-    references them three times (banding + both re-attach joins); at
-    100-TB scale this persist is the signature checkpoint you'd write to
-    parquet. The caller may unpersist after consuming the pairs."""
-    from pyspark import StorageLevel
-
+    Signatures are materialized once (lazy localCheckpoint, memory-and-
+    disk) because the candidate stage references them three times (banding
+    + both re-attach joins); at 100-TB scale this is the signature
+    checkpoint you'd write to parquet. localCheckpoint rather than persist
+    so the cached table is ContextCleaner-managed — long-lived sessions
+    calling this repeatedly (curate, bench reps) must not accumulate
+    CacheManager entries that nothing ever unpersists."""
     sigs = (minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
-            .persist(StorageLevel.MEMORY_AND_DISK))
+            .localCheckpoint(eager=False))
     pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
     return pairs.filter(F.col("est_jaccard") >= threshold)
 

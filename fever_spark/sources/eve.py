@@ -222,7 +222,8 @@ MAXCOLLSIZEFRACTIONS = {
 
 def per_type_collections(df: DataFrame, base_path: str,
                          type_col: str = "event_type",
-                         max_size_bytes: int | None = None) -> dict[str, int]:
+                         max_size_bytes: int | None = None,
+                         mode: str = "overwrite") -> dict[str, int]:
     """S9 Mongo per-type collections as ONE partitioned write.
 
     The reference dispatches each event to a per-type worker writing its
@@ -238,15 +239,23 @@ def per_type_collections(df: DataFrame, base_path: str,
     oldest files first — same drop-oldest semantics, expressed as
     retention over immutable parquet parts instead of an in-place ring.
 
-    Returns rows written per collection (one aggregation over the written
-    parquet footers, not a count per type).
+    "Oldest" is file mtime, i.e. WRITE order: genuine age ordering under
+    ``mode="append"`` (the capped-collection usage — each micro-batch or
+    day accretes new parts, the cap evicts prior generations first).
+    Under the default ``mode="overwrite"`` every part comes from the same
+    job, so the cap merely bounds collection size and which rows go is
+    arbitrary — don't combine overwrite with a cap expecting age
+    semantics.
+
+    Returns rows present per collection after the write (one aggregation
+    over the written parquet footers, not a count per type).
     """
     import os
 
     coll = F.when(F.col(type_col).isin(MONGO_TYPES), F.col(type_col)) \
         .otherwise(F.lit("misc")).alias("_collection")
     (df.withColumn("_collection", coll)
-     .write.mode("overwrite").partitionBy("_collection")
+     .write.mode(mode).partitionBy("_collection")
      .parquet(base_path))
 
     spark = df.sparkSession

@@ -130,8 +130,12 @@ def bloom_stream_dedup(stream: DataFrame, fingerprint_col=None,
     fp = (F.xxhash64(text_col) if fingerprint_col is None
           else (F.col(fingerprint_col) if isinstance(fingerprint_col, str)
                 else fingerprint_col))
+    # rehash the fingerprint for bucketing: a caller-supplied fingerprint
+    # may be structured (sequential ids, common low-bit factors), which
+    # pmod alone would turn into skewed buckets
     keyed = (stream.withColumn(_FP, fp)
-             .withColumn(_BUCKET, F.pmod(F.col(_FP), F.lit(n_buckets))))
+             .withColumn(_BUCKET,
+                         F.pmod(F.xxhash64(F.col(_FP)), F.lit(n_buckets))))
     out_schema = T.StructType(
         [f for f in keyed.schema.fields if f.name != _BUCKET])
     timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None

@@ -214,3 +214,35 @@ class TestPerTypeCollections:
         assert len(left) == 1          # all but the newest part dropped
         remaining = spark.read.parquet(base).count()
         assert 0 < remaining < 200
+
+    def test_append_mode_cap_evicts_prior_generation_first(self, spark,
+                                                           tmp_path):
+        import os
+        import time
+        from fever_spark.sources.eve import per_type_collections
+
+        base = str(tmp_path / "gen")
+        gen1 = spark.createDataFrame(
+            [("dns", i) for i in range(50)], "event_type string, payload long")
+        per_type_collections(gen1.coalesce(1), base, mode="append")
+        cdir = os.path.join(base, "_collection=dns")
+        first_parts = {p for p in os.listdir(cdir) if p.endswith(".parquet")}
+        # ensure a strictly later mtime for generation 2
+        past = time.time() - 100
+        for p in first_parts:
+            os.utime(os.path.join(cdir, p), (past, past))
+
+        gen2 = spark.createDataFrame(
+            [("dns", 1000 + i) for i in range(50)],
+            "event_type string, payload long")
+        size_one_gen = sum(os.path.getsize(os.path.join(cdir, p))
+                           for p in first_parts)
+        # cap dns's fraction to ~one generation: the OLDER generation's
+        # parts must be evicted, the new ones kept
+        per_type_collections(gen2.coalesce(1), base, mode="append",
+                             max_size_bytes=int(size_one_gen / 0.25) + 8)
+        left = {p for p in os.listdir(cdir) if p.endswith(".parquet")}
+        assert not (left & first_parts)     # generation 1 evicted
+        payloads = {r["payload"] for r in
+                    spark.read.parquet(base).collect()}
+        assert payloads and min(payloads) >= 1000   # newest generation kept

@@ -27,7 +27,7 @@ def test_shards_written_with_manifest(spark, tmp_path):
         parts = [p for p in os.listdir(d) if p.endswith(".parquet")]
         assert len(parts) == 1
     # the 150-token doc occupies its own shard span and is flagged
-    assert man["oversized_single_doc_shards"]
+    assert man["overbudget_doc_shards"]
     big = spark.read.parquet(out).filter(F.col("doc_id") == 100).collect()
     assert len(big) == 1
 
@@ -53,3 +53,29 @@ def test_token_col_passthrough(spark, tmp_path):
     assert man["n_shards"] == 4            # 2 docs x 25 tokens per shard
     for s in man["shards"]:
         assert s["docs"] == 2 and s["tokens"] == 50
+
+
+def test_curate_output_with_n_tokens_column(spark, tmp_path):
+    """Regression: curate() output carries n_tokens; the join must not
+    produce a duplicate column (parquet refuses to write one)."""
+    src = str(tmp_path / "src3")
+    spark.createDataFrame(
+        [(i, " ".join(["w"] * 10), 10) for i in range(6)],
+        "doc_id long, text string, n_tokens long").write.parquet(src)
+    out = str(tmp_path / "shards3")
+    man = write_training_shards(spark, src, out, budget=30, n_buckets=2)
+    assert man["total_docs"] == 6 and man["total_tokens"] == 60
+    assert man["n_shards"] == 2
+
+
+def test_overbudget_doc_flagged_even_with_small_neighbors(spark, tmp_path):
+    """Regression: an over-budget doc sharing its shard with preceding
+    small docs must still be flagged (not only single-doc shards)."""
+    src = str(tmp_path / "src4")
+    spark.createDataFrame(
+        [(1, " ".join(["a"] * 10)),        # starts shard 0
+         (2, " ".join(["b"] * 150))],      # 150 > budget, starts IN shard 0
+        "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "shards4")
+    man = write_training_shards(spark, src, out, budget=50, n_buckets=1)
+    assert 0 in man["overbudget_doc_shards"]

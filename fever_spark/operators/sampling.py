@@ -37,3 +37,45 @@ def stratified_take(df: DataFrame, strata_cols: list[str], n: int,
     w = Window.partitionBy(*strata_cols).orderBy(F.col(order_col))
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= n).drop("_rn"))
+
+
+def _unit_uniform(col, seed: int):
+    """Deterministic uniform in [0, 1): top 53 bits of xxhash64(key, seed)
+    as a double mantissa — the same value on any partition layout."""
+    return (F.shiftrightunsigned(F.xxhash64(col, F.lit(seed)), 11)
+            / F.lit(float(1 << 53)))
+
+
+def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
+                    rate: float = 1.0, seed: int = 0) -> DataFrame:
+    """Source-mixing Bernoulli sample: keep each row with probability
+    min(1, rate * weight), decided by the deterministic key hash — the
+    standard way to apply per-source up/down-weighting factors (e.g.
+    wiki x3, CommonCrawl x0.3) in one pass over a mixed corpus. Rows with
+    rate * weight >= 1 always survive; null or non-positive weights never
+    do (loudly documented rather than silently kept). Repartition-stable
+    and splittable by seed, like deterministic_sample. Zero shuffle."""
+    u = _unit_uniform(F.col(key_col), seed)
+    p = F.least(F.lit(1.0), F.lit(float(rate)) * F.col(weight_col))
+    # explicit positive-weight guard: Spark's least() SKIPS nulls, so
+    # least(1.0, rate * NULL) is 1.0 — without the filter a null weight
+    # would be silently kept with probability 1
+    return df.filter((F.col(weight_col) > 0) & (u < p))
+
+
+def weighted_take(df: DataFrame, key_col: str, weight_col: str, k: int,
+                  seed: int = 0) -> DataFrame:
+    """Exact-size weighted sample without replacement (Efraimidis &
+    Spirakis 2006): rank every row by u^(1/w) with u the deterministic
+    key-hash uniform, take the global top k. Inclusion probability is
+    proportional to weight; the result is identical on any partition
+    layout. Plan shape is TakeOrderedAndProject — per-partition top-k
+    merged on the driver, never a global sort. Null / non-positive
+    weights are excluded."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    ranked = (df.filter(F.col(weight_col) > 0)
+              .withColumn("_es_rank",
+                          F.pow(_unit_uniform(F.col(key_col), seed),
+                                F.lit(1.0) / F.col(weight_col))))
+    return ranked.orderBy(F.desc("_es_rank")).limit(k).drop("_es_rank")

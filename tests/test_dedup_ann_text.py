@@ -418,3 +418,84 @@ class TestLSHPlansLazily:
         finally:
             sc.setJobGroup(None, None)
         assert pairs.count() > 0  # the plan itself still works
+
+
+class TestWeightedSampling:
+    """Source-mixing weighted Bernoulli + Efraimidis-Spirakis exact-k."""
+
+    def _mix(self, spark):
+        rows = [(i, "wiki" if i < 400 else "cc",
+                 3.0 if i < 400 else 0.25) for i in range(2000)]
+        return spark.createDataFrame(rows, "doc_id long, src string, w double")
+
+    def test_weighted_sample_rates_follow_weights(self, spark):
+        from fever_spark.operators.sampling import weighted_sample
+
+        df = self._mix(spark)
+        kept = weighted_sample(df, "doc_id", "w", rate=0.2).groupBy("src") \
+            .count().collect()
+        got = {r["src"]: r["count"] for r in kept}
+        # wiki: rate*w = 0.6 expected 240 of 400; cc: 0.05 expected 80 of 1600
+        assert 190 <= got["wiki"] <= 290
+        assert 50 <= got["cc"] <= 115
+
+    def test_weighted_sample_weight_ge_one_always_kept(self, spark):
+        from fever_spark.operators.sampling import weighted_sample
+
+        df = self._mix(spark).withColumn("w", F.lit(10.0))
+        assert weighted_sample(df, "doc_id", "w", rate=0.2).count() == 2000
+
+    def test_weighted_sample_null_or_zero_weight_dropped(self, spark):
+        from fever_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 0.0), (2, -1.0), (3, None), (4, 5.0)],
+            "doc_id long, w double")
+        kept = [r["doc_id"] for r in
+                weighted_sample(df, "doc_id", "w", rate=1.0).collect()]
+        assert kept == [4]
+
+    def test_weighted_sample_repartition_stable(self, spark):
+        from fever_spark.operators.sampling import weighted_sample
+
+        df = self._mix(spark)
+        a = {r["doc_id"] for r in
+             weighted_sample(df, "doc_id", "w", rate=0.2).collect()}
+        b = {r["doc_id"] for r in
+             weighted_sample(df.repartition(13), "doc_id", "w",
+                             rate=0.2).collect()}
+        assert a == b
+
+    def test_weighted_take_exact_k_and_stable(self, spark):
+        from fever_spark.operators.sampling import weighted_take
+
+        df = self._mix(spark)
+        a = sorted(r["doc_id"] for r in
+                   weighted_take(df, "doc_id", "w", k=100).collect())
+        b = sorted(r["doc_id"] for r in
+                   weighted_take(df.repartition(7), "doc_id", "w",
+                                 k=100).collect())
+        assert len(a) == 100 and a == b
+        # inclusion tracks weight: wiki (w=3, 20% of corpus) should win a
+        # clear majority of the 100 slots over cc (w=0.25, 80% of corpus)
+        n_wiki = sum(1 for i in a if i < 400)
+        assert n_wiki > 60
+
+    def test_weighted_take_heavy_row_always_first(self, spark):
+        from fever_spark.operators.sampling import weighted_take
+
+        df = spark.createDataFrame(
+            [(i, 1e-6) for i in range(500)] + [(999, 1e6)],
+            "doc_id long, w double")
+        got = [r["doc_id"] for r in weighted_take(df, "doc_id", "w", k=5)
+               .collect()]
+        assert 999 in got
+
+    def test_weighted_take_plan_is_take_ordered(self, spark):
+        from fever_spark.operators.sampling import weighted_take
+
+        df = self._mix(spark)
+        p = weighted_take(df, "doc_id", "w", k=10) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in p
+        assert "Exchange rangepartitioning" not in p   # no global sort

@@ -52,7 +52,8 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
            max_dup_word_frac: float | None = None,
            benchmark_path: str | None = None,
            contamination_ngram: int = 8,
-           substring_dedup_k: int | None = None) -> dict:
+           substring_dedup_k: int | None = None,
+           workdir: str | None = None) -> dict:
     docs = spark.read.parquet(input_path)
     counts = {"input": docs.count()}
     # wall seconds per pipeline stage (stage = work up to its survivor
@@ -77,44 +78,105 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
         persisted.append(df)
         return df
 
-    annotated = docs.select(
-        "*",
-        TXT.lang_id(F.col(text_col)).alias("_lang"),
-        TXT.quality_score(F.col(text_col)).alias("quality"),
-        TXT.whitespace_token_count(F.col(text_col)).alias("n_tokens"))
-    cond = ((F.col("quality") >= min_quality)
-            & (F.col("n_tokens") >= min_tokens)
-            & (F.col("n_tokens") <= max_tokens))
-    if langs:
-        # prefer a trusted lang column when the corpus carries one
-        lang_col = F.col("lang") if "lang" in docs.columns else F.col("_lang")
-        cond = cond & lang_col.isin(list(langs))
-    if max_dup_word_frac is not None:
-        cond = cond & (curation.duplicate_word_fraction(F.col(text_col))
-                       <= max_dup_word_frac)
-    filtered = annotated.filter(cond).drop("_lang")
-    if redact_pii:
-        # same pass as the filter — redaction is a codegen'd projection
-        filtered = filtered.withColumn(text_col,
-                                       curation.redact_pii(F.col(text_col)))
-    filtered = _persist(filtered)
-    counts["after_quality_filter"] = filtered.count()
-    _mark("quality_filter")
+    # stage-level resume: with `workdir` set, every stage boundary is
+    # materialized to workdir/NN_name + an atomic done-marker carrying a
+    # hash of all pipeline-shaping params. A re-run with the same params
+    # loads completed stages instead of recomputing them (crash recovery
+    # for long corpus runs — the curation analog of sketch_job's chunk
+    # lineage). Any param change invalidates everything (coarse by
+    # design: stage-level resume is for crashes, not param sweeps), with
+    # one deliberate exception — sample_rate/seed only shape the final
+    # non-checkpointed sample_and_write stage, so re-sampling an already
+    # curated corpus reuses all the expensive stages.
+    resumed: list[str] = []
+    resume_key = None
+    if workdir:
+        import hashlib
+        payload = json.dumps(
+            {"input": input_path, "text_col": text_col, "id_col": id_col,
+             "min_quality": min_quality, "langs": langs,
+             "min_tokens": min_tokens, "max_tokens": max_tokens,
+             "near_dup_threshold": near_dup_threshold,
+             "redact_pii": redact_pii, "paragraph_dedup": paragraph_dedup,
+             "max_dup_word_frac": max_dup_word_frac,
+             "benchmark_path": benchmark_path,
+             "contamination_ngram": contamination_ngram,
+             "substring_dedup_k": substring_dedup_k}, sort_keys=True)
+        resume_key = hashlib.sha256(payload.encode()).hexdigest()[:16]
+        os.makedirs(workdir, exist_ok=True)
+
+    def _stage(n, name, count_key, build):
+        nonlocal _t
+        sdir = marker = None
+        if workdir:
+            sdir = os.path.join(workdir, f"{n:02d}_{name}")
+            marker = os.path.join(sdir, "_stage_done.json")
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    info = json.load(f)
+                if info.get("key") == resume_key:
+                    counts.update(info["counts"])
+                    stage_seconds[name] = 0.0
+                    resumed.append(name)
+                    _t = time.time()
+                    return spark.read.parquet(sdir)
+                # params changed: fall through and recompute (the write
+                # below wipes the stale marker with the directory)
+        df, extra = build()
+        if workdir:
+            df.write.mode("overwrite").parquet(sdir)
+            df = spark.read.parquet(sdir)
+        else:
+            df = _persist(df)
+        stage_counts = {**extra, count_key: df.count()}
+        counts.update(stage_counts)
+        if workdir:
+            with open(marker + ".tmp", "w") as f:
+                json.dump({"key": resume_key, "counts": stage_counts}, f)
+            os.replace(marker + ".tmp", marker)
+        _mark(name)
+        return df
+
+    def _build_quality():
+        annotated = docs.select(
+            "*",
+            TXT.lang_id(F.col(text_col)).alias("_lang"),
+            TXT.quality_score(F.col(text_col)).alias("quality"),
+            TXT.whitespace_token_count(F.col(text_col)).alias("n_tokens"))
+        cond = ((F.col("quality") >= min_quality)
+                & (F.col("n_tokens") >= min_tokens)
+                & (F.col("n_tokens") <= max_tokens))
+        if langs:
+            # prefer a trusted lang column when the corpus carries one
+            lang_col = (F.col("lang") if "lang" in docs.columns
+                        else F.col("_lang"))
+            cond = cond & lang_col.isin(list(langs))
+        if max_dup_word_frac is not None:
+            cond = cond & (curation.duplicate_word_fraction(F.col(text_col))
+                           <= max_dup_word_frac)
+        out = annotated.filter(cond).drop("_lang")
+        if redact_pii:
+            # same pass as the filter — redaction is a codegen'd projection
+            out = out.withColumn(text_col,
+                                 curation.redact_pii(F.col(text_col)))
+        return out, {}
+
+    filtered = _stage(1, "quality_filter", "after_quality_filter",
+                      _build_quality)
 
     if paragraph_dedup:
         # docs reduced to zero CONTENT paragraphs are fully-duplicated
         # boilerplate — drop them here, or an empty canonical doc would
         # survive exact dedup into the output (trim: blank paragraphs are
         # dedup-exempt structure, so such docs reassemble to whitespace)
-        filtered = _persist(
-            curation.paragraph_dedup(filtered, id_col, text_col)
-            .filter(F.trim(F.col(text_col)) != ""))
-        counts["after_paragraph_dedup"] = filtered.count()
-        _mark("paragraph_dedup")
+        filtered = _stage(
+            2, "paragraph_dedup", "after_paragraph_dedup",
+            lambda: (curation.paragraph_dedup(filtered, id_col, text_col)
+                     .filter(F.trim(F.col(text_col)) != ""), {}))
 
-    exact = _persist(dedup.exact_dedup(filtered, text_col, id_col))
-    counts["after_exact_dedup"] = exact.count()
-    _mark("exact_dedup")
+    exact = _stage(3, "exact_dedup", "after_exact_dedup",
+                   lambda: (dedup.exact_dedup(filtered, text_col, id_col),
+                            {}))
 
     if substring_dedup_k:
         # ExactSubstr span removal (Lee et al. 2022) between exact and
@@ -122,20 +184,20 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
         # MinHash, so near-dup similarity reflects the docs' own content
         # rather than their common chrome. Docs cut to nothing are
         # fully-duplicated text — drop them like the paragraph pass does.
-        exact = _persist(
-            curation.substring_dedup(exact, id_col, text_col,
-                                     k=substring_dedup_k)
-            .filter(F.trim(F.col(text_col)) != "")
-            .drop("removed_tokens"))
-        counts["after_substring_dedup"] = exact.count()
-        _mark("substring_dedup")
+        exact = _stage(
+            4, "substring_dedup", "after_substring_dedup",
+            lambda: (curation.substring_dedup(exact, id_col, text_col,
+                                              k=substring_dedup_k)
+                     .filter(F.trim(F.col(text_col)) != "")
+                     .drop("removed_tokens"), {}))
 
-    pairs = dedup.minhash_near_duplicates(
-        exact, text_col, id_col, threshold=near_dup_threshold) \
-        .select("id_a", "id_b")
-    neardup = _persist(dedup.dedup_keep_canonical(exact, pairs, id_col))
-    counts["after_near_dup"] = neardup.count()
-    _mark("near_dup")
+    def _build_near_dup():
+        pairs = dedup.minhash_near_duplicates(
+            exact, text_col, id_col, threshold=near_dup_threshold) \
+            .select("id_a", "id_b")
+        return dedup.dedup_keep_canonical(exact, pairs, id_col), {}
+
+    neardup = _stage(5, "near_dup", "after_near_dup", _build_near_dup)
 
     if benchmark_path:
         # Two-stage discipline (the documented FP-removal contract of
@@ -144,21 +206,24 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
         # entirely; the (tiny) flagged subset goes through the EXACT
         # n-gram join and only docs with real shared n-grams are dropped,
         # so Bloom false positives never over-drop clean documents.
-        bench = spark.read.parquet(benchmark_path)
-        bf = curation.build_benchmark_bloom(bench, text_col,
-                                            n=contamination_ngram)
-        bc = spark.sparkContext.broadcast(bf.to_bytes())
-        flagged_ids = (curation.contamination_screen(
-            neardup, bc, contamination_ngram, text_col, id_col)
-            .filter(F.col("hit_ngrams") > 0).select(id_col))
-        flagged_docs = neardup.join(flagged_ids, id_col, "left_semi")
-        counts["contamination_flagged"] = flagged_docs.count()
-        confirmed_ids = (curation.contamination_exact(
-            flagged_docs, bench, contamination_ngram, text_col, id_col)
-            .filter(F.col("contaminated_ngrams") > 0).select(id_col))
-        neardup = _persist(neardup.join(confirmed_ids, id_col, "left_anti"))
-        counts["after_contamination_screen"] = neardup.count()
-        _mark("contamination")
+        def _build_contamination():
+            bench = spark.read.parquet(benchmark_path)
+            bf = curation.build_benchmark_bloom(bench, text_col,
+                                                n=contamination_ngram)
+            bc = spark.sparkContext.broadcast(bf.to_bytes())
+            flagged_ids = (curation.contamination_screen(
+                neardup, bc, contamination_ngram, text_col, id_col)
+                .filter(F.col("hit_ngrams") > 0).select(id_col))
+            flagged_docs = neardup.join(flagged_ids, id_col, "left_semi")
+            n_flagged = flagged_docs.count()
+            confirmed_ids = (curation.contamination_exact(
+                flagged_docs, bench, contamination_ngram, text_col, id_col)
+                .filter(F.col("contaminated_ngrams") > 0).select(id_col))
+            return (neardup.join(confirmed_ids, id_col, "left_anti"),
+                    {"contamination_flagged": n_flagged})
+
+        neardup = _stage(6, "contamination", "after_contamination_screen",
+                         _build_contamination)
 
     out = (sampling.deterministic_sample(neardup, id_col, sample_rate, seed)
            if sample_rate < 1.0 else neardup)
@@ -179,6 +244,8 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
                    "benchmark": benchmark_path,
                    "contamination_ngram": contamination_ngram,
                    "substring_dedup_k": substring_dedup_k},
+        "workdir": workdir,
+        "resumed_stages": resumed,
     }
     tmp = os.path.join(output_path, "_curation_manifest.json.tmp")
     final = os.path.join(output_path, "_curation_manifest.json")
@@ -214,6 +281,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--substring-dedup-k", type=int, default=None,
                     help="enable ExactSubstr span removal of duplicated "
                          "runs of >= k tokens")
+    ap.add_argument("--workdir", default=None,
+                    help="stage-checkpoint dir: completed stages are "
+                         "reloaded on re-run (crash recovery)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -229,7 +299,8 @@ def main(argv: list[str] | None = None) -> None:
         max_dup_word_frac=args.max_dup_word_frac,
         benchmark_path=args.benchmark,
         contamination_ngram=args.contamination_ngram,
-        substring_dedup_k=args.substring_dedup_k)
+        substring_dedup_k=args.substring_dedup_k,
+        workdir=args.workdir)
     print(json.dumps(manifest))
     spark.stop()
 

@@ -169,3 +169,69 @@ def test_curate_substring_dedup_stage(spark, tmp_path):
     carriers = [i for i, t in texts.items() if boiler in t]
     assert len(carriers) == 1                        # first occurrence only
     assert man["params"]["substring_dedup_k"] == 8
+
+
+class TestCurateResume:
+    """Stage-level resume: with a workdir, completed stages are loaded on
+    re-run instead of recomputed; param changes invalidate them."""
+
+    def _corpus(self, spark, tmp_path):
+        rows = [(i, " ".join(f"c{i}w{j}" for j in range(20)), "en")
+                for i in range(30)]
+        rows.append((100, rows[0][1], "en"))     # exact dup
+        src = str(tmp_path / "src")
+        spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+            .write.parquet(src)
+        return src
+
+    def test_second_run_resumes_all_stages(self, spark, tmp_path):
+        src = self._corpus(spark, tmp_path)
+        wd = str(tmp_path / "wd")
+        kw = dict(min_quality=0.0, min_tokens=1, workdir=wd)
+        m1 = curate(spark, src, str(tmp_path / "o1"), **kw)
+        assert m1["resumed_stages"] == []
+        m2 = curate(spark, src, str(tmp_path / "o2"), **kw)
+        assert m2["resumed_stages"] == ["quality_filter", "exact_dedup",
+                                        "near_dup"]
+        assert m2["counts"] == m1["counts"]
+        # resumed output identical
+        a = {r["doc_id"] for r in
+             spark.read.parquet(str(tmp_path / "o1")).collect()}
+        b = {r["doc_id"] for r in
+             spark.read.parquet(str(tmp_path / "o2")).collect()}
+        assert a == b
+
+    def test_param_change_invalidates(self, spark, tmp_path):
+        src = self._corpus(spark, tmp_path)
+        wd = str(tmp_path / "wd2")
+        curate(spark, src, str(tmp_path / "o1"), min_quality=0.0,
+               min_tokens=1, workdir=wd)
+        m2 = curate(spark, src, str(tmp_path / "o2"), min_quality=0.0,
+                    min_tokens=2, workdir=wd)   # different pipeline params
+        assert m2["resumed_stages"] == []
+
+    def test_sample_rate_change_still_resumes(self, spark, tmp_path):
+        """sample_rate shapes only the final non-checkpointed stage —
+        re-sampling an already-curated corpus reuses every stage."""
+        src = self._corpus(spark, tmp_path)
+        wd = str(tmp_path / "wd3")
+        m1 = curate(spark, src, str(tmp_path / "o1"), min_quality=0.0,
+                    min_tokens=1, workdir=wd, sample_rate=1.0)
+        m2 = curate(spark, src, str(tmp_path / "o2"), min_quality=0.0,
+                    min_tokens=1, workdir=wd, sample_rate=0.5)
+        assert len(m2["resumed_stages"]) == 3
+        assert m2["counts"]["written"] < m1["counts"]["written"]
+
+    def test_partial_workdir_resumes_prefix_only(self, spark, tmp_path):
+        """Crash simulation: only stage 1's marker exists -> stage 1 loads,
+        later stages recompute."""
+        import shutil
+        src = self._corpus(spark, tmp_path)
+        wd = str(tmp_path / "wd4")
+        kw = dict(min_quality=0.0, min_tokens=1, workdir=wd)
+        curate(spark, src, str(tmp_path / "o1"), **kw)
+        shutil.rmtree(f"{wd}/03_exact_dedup")
+        shutil.rmtree(f"{wd}/05_near_dup")
+        m = curate(spark, src, str(tmp_path / "o2"), **kw)
+        assert m["resumed_stages"] == ["quality_filter"]
+        assert m["counts"]["written"] == 30

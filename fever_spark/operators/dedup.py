@@ -480,3 +480,74 @@ def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
     losers = clusters.filter(F.col("id") != F.col("cluster_id")) \
         .select(F.col("id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+# ------------------------------------------------ incremental (cross-corpus)
+
+
+def corpus_fingerprint_bloom(df: DataFrame, text_col: str = "text",
+                             capacity: int | None = None,
+                             fpp: float = 1e-6) -> bytes:
+    """Serialize a Bloom filter over a corpus's normalized-content
+    fingerprints — the compact "what have we already ingested" state for
+    incremental dedup. Built DISTRIBUTED through the standard sketch
+    pipeline (partition-local states → two-level salted merge), so the
+    reference corpus is scanned once and only O(bloom_bytes) ever reaches
+    the driver. Fingerprints are hashed JVM-side (prehash discipline:
+    int64 crosses Arrow, never text)."""
+    from fever_spark.ops.build import SketchSpec, build_sketches
+    from fever_spark.ops.merge import two_level_merge
+    from fever_spark.sketch.bloom import BloomFilter
+
+    if capacity is None:
+        capacity = max(df.count(), 100)
+    fps = df.select(fingerprint(F.col(text_col)).alias("_fp"))
+    merged = two_level_merge(
+        build_sketches(fps, [], [SketchSpec("seen", "bloom", "_fp",
+                                            {"capacity": int(capacity),
+                                             "fpp": fpp})]), [])
+    row = merged.select("state").first()
+    if row is None:
+        return BloomFilter(capacity=int(capacity), fpp=fpp).to_bytes()
+    return bytes(row["state"])
+
+
+def incremental_exact_dedup(new_df: DataFrame, seen_bloom_bc,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            exact_check: DataFrame | None = None) -> DataFrame:
+    """Incremental-ingestion dedup: keep only rows of ``new_df`` whose
+    content was NOT in the already-ingested corpus, using fever's
+    screen-then-verify discipline (bloom_handler.go semantics applied to
+    ingestion instead of IOC matching):
+
+    1. Bloom screen against the broadcast ``corpus_fingerprint_bloom``
+       state — zero false negatives, so a fingerprint the filter rejects
+       is GUARANTEED unseen: those rows pass with no join at all. At
+       corpus scale this is the whole win: the new batch never shuffles
+       against the 10^12-row history, it probes ~bytes of broadcast state.
+    2. Bloom false positives (rate ``fpp``) would wrongly drop new
+       documents; pass ``exact_check`` = a (fingerprint) frame of the true
+       corpus fingerprints (column `_fp`) to resolve ONLY the flagged
+       rows with an exact anti-join — the flagged subset is
+       new_batch x fpp + true_dups, tiny by construction.
+
+    Also dedups WITHIN the new batch (first occurrence by id), so output
+    is ingestion-safe: appending it to the corpus keeps the corpus exact-
+    duplicate-free."""
+    from fever_spark.ops.estimate import bloom_contains_col
+
+    fp = fingerprint(F.col(text_col))
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col))
+    batch_first = (new_df.withColumn("_fp", fp)
+                   .withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") == 1).drop("_rn"))
+    flagged = bloom_contains_col(seen_bloom_bc, F.col("_fp"))
+    if exact_check is None:
+        # screen-only: FP-rate over-drop accepted (documented)
+        return batch_first.filter(~flagged).drop("_fp")
+    clean = batch_first.filter(~flagged)
+    suspect = (batch_first.filter(flagged)
+               .join(exact_check.select(F.col("_fp")).distinct(),
+                     "_fp", "left_anti"))
+    return clean.unionByName(suspect).drop("_fp")

@@ -499,3 +499,66 @@ class TestWeightedSampling:
             ._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in p
         assert "Exchange rangepartitioning" not in p   # no global sort
+
+
+class TestIncrementalDedup:
+    """Cross-corpus ingestion dedup: Bloom screen (zero FN) + exact verify
+    of the flagged subset (no FP over-drop)."""
+
+    def _frames(self, spark):
+        old = spark.createDataFrame(
+            [(i, f"seen document number {i} with stable content")
+             for i in range(200)], "doc_id long, text string")
+        new = spark.createDataFrame(
+            # 30 true dups of old (different ids), 50 genuinely new,
+            # 2 within-batch copies of one new doc
+            [(1000 + i, f"seen document number {i} with stable content")
+             for i in range(30)]
+            + [(2000 + i, f"fresh page {i} never seen before")
+               for i in range(50)]
+            + [(3000, "fresh page 0 never seen before"),
+               (3001, "brand new unique text"),
+               (3002, "brand new unique text")],
+            "doc_id long, text string")
+        return old, new
+
+    def test_screen_plus_verify_keeps_exactly_the_new(self, spark):
+        from fever_spark.operators.dedup import (
+            corpus_fingerprint_bloom, incremental_exact_dedup)
+        from fever_spark.functions.text import fingerprint
+
+        old, new = self._frames(spark)
+        bc = spark.sparkContext.broadcast(
+            corpus_fingerprint_bloom(old, fpp=1e-6))
+        exact = old.select(fingerprint(F.col("text")).alias("_fp"))
+        kept = incremental_exact_dedup(new, bc, exact_check=exact)
+        ids = {r["doc_id"] for r in kept.collect()}
+        # every true dup of old dropped (zero FN)
+        assert not (ids & set(range(1000, 1030)))
+        # all genuinely-new docs kept (exact verify kills Bloom FPs)
+        assert set(range(2000, 2050)) <= ids
+        # within-batch dedup: 3000 dups 2000's content; 3002 dups 3001
+        assert 3000 not in ids and 3001 in ids and 3002 not in ids
+
+    def test_screen_only_never_passes_a_dup(self, spark):
+        from fever_spark.operators.dedup import (
+            corpus_fingerprint_bloom, incremental_exact_dedup)
+
+        old, new = self._frames(spark)
+        bc = spark.sparkContext.broadcast(
+            corpus_fingerprint_bloom(old, fpp=1e-6))
+        ids = {r["doc_id"] for r in
+               incremental_exact_dedup(new, bc).collect()}
+        assert not (ids & set(range(1000, 1030)))   # guaranteed direction
+
+    def test_empty_reference_corpus(self, spark):
+        from fever_spark.operators.dedup import (
+            corpus_fingerprint_bloom, incremental_exact_dedup)
+
+        old, new = self._frames(spark)
+        empty = old.filter(F.lit(False))
+        bc = spark.sparkContext.broadcast(
+            corpus_fingerprint_bloom(empty, fpp=1e-6))
+        kept = incremental_exact_dedup(new, bc)
+        # nothing screened out except within-batch dups
+        assert kept.count() == new.count() - 2

@@ -562,3 +562,57 @@ class TestIncrementalDedup:
         kept = incremental_exact_dedup(new, bc)
         # nothing screened out except within-batch dups
         assert kept.count() == new.count() - 2
+
+    def test_oracle_replica_equals_plain_anti_join(self, spark, sf_med):
+        """The Bloom-screen + exact-verify path must produce EXACTLY the
+        result of the semantic spec — first-per-fingerprint within the
+        batch, anti-joined against the corpus fingerprints — computed
+        independently by DuckDB. Any screen leak (FN) or unverified FP
+        drop breaks set equality."""
+        import duckdb
+
+        from fever_spark.operators.dedup import (
+            corpus_fingerprint_bloom, incremental_exact_dedup)
+        from fever_spark.functions.text import fingerprint
+
+        old = spark.read.parquet(f"{sf_med}/documents.parquet")
+        new = (old.limit(60)
+               .select((F.col("doc_id") + 50_000).alias("doc_id"), "text")
+               .unionByName(spark.range(80_000, 80_040).select(
+                   F.col("id").alias("doc_id"),
+                   F.concat(F.lit("unseen crawl text "),
+                            F.col("id")).alias("text"))))
+        bc = spark.sparkContext.broadcast(
+            corpus_fingerprint_bloom(old, fpp=1e-6))
+        exact = old.select(fingerprint(F.col("text")).alias("_fp"))
+        got = sorted(r["doc_id"] for r in
+                     incremental_exact_dedup(new, bc, exact_check=exact)
+                     .collect())
+
+        con = duckdb.connect()
+        old_pd = old.select("doc_id", "text").toPandas()
+        new_pd = new.toPandas()
+        con.register("old_t", old_pd)
+        con.register("new_t", new_pd)
+        # fingerprint normalization reimplemented independently:
+        # lower/trim/ws-collapse, then equality via the STRING itself
+        # (the hash is an implementation detail; the semantics are
+        # content equality)
+        expect = sorted(r[0] for r in con.execute("""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS c
+              FROM new_t),
+            first_in_batch AS (
+              SELECT doc_id, c FROM (
+                SELECT doc_id, c,
+                       row_number() OVER (PARTITION BY c ORDER BY doc_id) rn
+                FROM norm) WHERE rn = 1),
+            corpus AS (
+              SELECT DISTINCT
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS c
+              FROM old_t)
+            SELECT doc_id FROM first_in_batch
+            WHERE c NOT IN (SELECT c FROM corpus)
+        """).fetchall())
+        assert got == expect

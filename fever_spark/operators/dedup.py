@@ -168,14 +168,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     # 128-long signature arrays (~1 KB/doc) stay out of the bands×docs
     # explode and the equi-join shuffle (~50x fewer candidate-shuffle bytes);
     # signatures are re-attached once per SURVIVING pair below
-    banded = signatures.select(
-        id_col,
-        F.posexplode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.xxhash64(F.concat_ws(
-                ",", F.transform(
-                    F.slice("minhash", b * rows_per_band + 1, rows_per_band),
-                    lambda x: x.cast("string")))))).alias("band", "band_hash"))
+    banded = _band_hashes(signatures, id_col, bands, rows_per_band)
 
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
@@ -191,6 +184,21 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b",
                     minhash_jaccard(F.col("sig_a"), F.col("sig_b"))
                     .alias("est_jaccard")))
+
+
+def _band_hashes(signatures: DataFrame, id_col: str, bands: int,
+                 rows_per_band: int) -> DataFrame:
+    """(id, band, band_hash) — the ids-only LSH band explode, shared by the
+    within-corpus and cross-corpus candidate joins (band hashes must be
+    bit-identical between them for incremental LSH to work)."""
+    return signatures.select(
+        id_col,
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.xxhash64(F.concat_ws(
+                ",", F.transform(
+                    F.slice("minhash", b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string")))))).alias("band", "band_hash"))
 
 
 def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
@@ -551,3 +559,50 @@ def incremental_exact_dedup(new_df: DataFrame, seen_bloom_bc,
                .join(exact_check.select(F.col("_fp")).distinct(),
                      "_fp", "left_anti"))
     return clean.unionByName(suspect).drop("_fp")
+
+
+def incremental_near_duplicates(new_df: DataFrame,
+                                old_signatures: DataFrame,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                threshold: float = 0.7,
+                                num_hashes: int = 128, bands: int = 32,
+                                shingle_size: int = 3,
+                                seed: int = 0) -> DataFrame:
+    """Near-dup pairs BETWEEN a new batch and the already-ingested corpus:
+    (new_id, old_id, est_jaccard >= threshold). The corpus side is its
+    persisted signature table (``minhash_signatures(old)`` written to
+    parquet at ingestion time — the reusable index), so incremental
+    near-dup never re-reads or re-signs the history; it bands the new
+    batch and equi-joins band hashes against the corpus's banded
+    signatures. Signature params (num_hashes, shingle_size, seed) MUST
+    match the ones the corpus index was built with — band hashes are only
+    comparable when the underlying permutations are.
+
+    Scale shape: same ids-only discipline as lsh_candidate_pairs — the
+    band join ships (id, band, hash8) rows; full signatures re-attach
+    only to surviving candidates. The corpus banding is recomputed from
+    the signature table (cheap codegen over arrays), never from text.
+    """
+    bands = min(bands, num_hashes)
+    rows_per_band = max(1, num_hashes // bands)
+    new_sigs = minhash_signatures(new_df, text_col, id_col, num_hashes,
+                                  shingle_size, seed) \
+        .localCheckpoint(eager=False)
+
+    a = _band_hashes(new_sigs, id_col, bands, rows_per_band) \
+        .withColumnRenamed(id_col, "new_id")
+    b = _band_hashes(old_signatures, id_col, bands, rows_per_band) \
+        .withColumnRenamed(id_col, "old_id")
+    cand = (a.join(b, ["band", "band_hash"])
+            .select("new_id", "old_id")
+            .dropDuplicates(["new_id", "old_id"]))
+    sig_new = new_sigs.select(F.col(id_col).alias("new_id"),
+                              F.col("minhash").alias("sig_new"))
+    sig_old = old_signatures.select(F.col(id_col).alias("old_id"),
+                                    F.col("minhash").alias("sig_old"))
+    return (cand.join(sig_new, "new_id").join(sig_old, "old_id")
+            .select("new_id", "old_id",
+                    minhash_jaccard(F.col("sig_new"), F.col("sig_old"))
+                    .alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold))

@@ -616,3 +616,59 @@ class TestIncrementalDedup:
             WHERE c NOT IN (SELECT c FROM corpus)
         """).fetchall())
         assert got == expect
+
+    def test_incremental_near_dup_finds_cross_corpus_pairs(self, spark):
+        from fever_spark.operators.dedup import (incremental_near_duplicates,
+                                                 minhash_signatures)
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        vocab = [f"v{k}" for k in range(500)]
+        old_rows = [(i, "start " + " ".join(
+            rng.choice(vocab, size=30, replace=False)) + " stop")
+            for i in range(40)]
+        old = spark.createDataFrame(old_rows, "doc_id long, text string")
+        old_index = minhash_signatures(old)
+
+        # new batch: near-dups of old docs 0..4 (one token swapped) +
+        # genuinely new random docs
+        near = []
+        for i in range(5):
+            toks = old_rows[i][1].split()
+            toks[7] = "mutated"
+            near.append((900 + i, " ".join(toks)))
+        fresh = [(950 + i, "start " + " ".join(
+            rng.choice(vocab, size=30, replace=False)) + " stop")
+            for i in range(10)]
+        new = spark.createDataFrame(near + fresh, "doc_id long, text string")
+
+        pairs = incremental_near_duplicates(new, old_index, threshold=0.5)
+        got = {(r["new_id"], r["old_id"]) for r in pairs.collect()}
+        for i in range(5):
+            assert (900 + i, i) in got, f"missed near-dup pair {i}"
+        # fresh docs (disjoint random draws) should not pair with old
+        fresh_hits = [p for p in got if p[0] >= 950]
+        assert not fresh_hits
+
+    def test_incremental_near_dup_matches_batch_union_result(self, spark):
+        """Cross-frame banding must be bit-compatible with the within-frame
+        path: pairs across (new, old) == the (new_id, old_id) pairs a full
+        union re-dedup would find."""
+        from fever_spark.operators.dedup import (incremental_near_duplicates,
+                                                 minhash_near_duplicates,
+                                                 minhash_signatures)
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        old = spark.createDataFrame(
+            [(1, base), (2, "totally different words entirely here today")],
+            "doc_id long, text string")
+        new = spark.createDataFrame(
+            [(100, base + " lambda")], "doc_id long, text string")
+        inc = {(r["new_id"], r["old_id"]) for r in
+               incremental_near_duplicates(
+                   new, minhash_signatures(old), threshold=0.5).collect()}
+        full = minhash_near_duplicates(old.unionByName(new), threshold=0.5)
+        cross = {(max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]))
+                 for r in full.collect()
+                 if (r["id_a"] >= 100) != (r["id_b"] >= 100)}
+        assert inc == cross and (100, 1) in inc

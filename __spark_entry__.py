@@ -162,25 +162,57 @@ def q_rollup(spark, sf_dir):
             .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
 
 
-def q_semi_join(spark, sf_dir):
-    # J1-style semi-join, exact form (bloom is its approximation)
+def q_semi_anti_join(spark, sf_dir):
+    # J1 semi-join + J2 blacklist anti-join in ONE gate (folded to stay
+    # under the driver's 50-entry cap; both exact forms, bloom is their
+    # approximation). 'semi' rows: orders of BUILDING customers; 'anti'
+    # rows: customers holding no >300k order — a PARTIAL set at every SF
+    # (the unfiltered form was a vacuous 0-row gate, caught in round 3).
     orders = _read(spark, sf_dir, "orders")
-    cust = _read(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING")
-    return (orders.join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
-            .select("o_orderkey"))
-
-
-def q_anti_join(spark, sf_dir):
-    # J2 blacklist anti-join, exact form. The "blacklist" is customers
-    # holding a >300k order — a PARTIAL set at every SF (the old
-    # unfiltered form matched every customer at sf0.01, leaving a vacuous
-    # 0-row gate; caught in round 3 alongside the 'web' bloom gates).
     cust = _read(spark, sf_dir, "customer")
-    big = _read(spark, sf_dir, "orders") \
-        .filter(F.col("o_totalprice") > 300000)
-    return (cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
-            .select("c_custkey"))
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    semi = (orders.join(building, orders.o_custkey == building.c_custkey,
+                        "left_semi")
+            .select(F.lit("semi").alias("kind"),
+                    F.col("o_orderkey").alias("key")))
+    big = orders.filter(F.col("o_totalprice") > 300000)
+    anti = (cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+            .select(F.lit("anti").alias("kind"),
+                    F.col("c_custkey").alias("key")))
+    return semi.unionByName(anti)
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental-ingestion dedup gate: a planted new batch (re-crawled
+    duplicates of every 5th doc, fresh synthetic docs for every 3rd id,
+    plus within-batch copies for every 9th) is screened against the
+    corpus's broadcast fingerprint Bloom and exact-verified. The oracle
+    is the SEMANTIC spec computed independently by DuckDB — first doc per
+    normalized content within the batch, anti-joined against the
+    corpus's normalized contents — so a Bloom screen leak (false
+    negative) or an unverified false-positive drop breaks the row hash."""
+    from fever_spark.functions.text import fingerprint
+    from fever_spark.operators.dedup import (corpus_fingerprint_bloom,
+                                             incremental_exact_dedup)
+
+    old = _read(spark, sf_dir, "documents")
+    new = (old.filter(F.col("doc_id") % 5 == 0)
+           .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+           .unionByName(
+               old.filter(F.col("doc_id") % 3 == 0).select(
+                   (F.col("doc_id") + 200000).alias("doc_id"),
+                   F.concat(F.lit("fresh crawl page "),
+                            F.col("doc_id").cast("string")).alias("text")))
+           .unionByName(
+               old.filter(F.col("doc_id") % 9 == 0).select(
+                   (F.col("doc_id") + 300000).alias("doc_id"),
+                   F.concat(F.lit("fresh crawl page "),
+                            F.col("doc_id").cast("string")).alias("text"))))
+    bc = spark.sparkContext.broadcast(
+        corpus_fingerprint_bloom(old, fpp=1e-6))
+    exact = old.select(fingerprint(F.col("text")).alias("_fp"))
+    return incremental_exact_dedup(new, bc, exact_check=exact) \
+        .select("doc_id")
 
 
 def q_pivot(spark, sf_dir):
@@ -879,8 +911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_rank": q_window_rank,
         "q_flow_context_batch": q_flow_context_batch,
         "q_rollup": q_rollup,
-        "q_semi_join": q_semi_join,
-        "q_anti_join": q_anti_join,
+        "q_semi_anti_join": q_semi_anti_join,
+        "q_incremental_dedup": q_incremental_dedup,
         "q_pivot": q_pivot,
         "q_session_window": q_session_window,
         "q_json_extract": q_json_extract,
@@ -1023,17 +1055,43 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 2) AS sum_qty
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
-        "q_semi_join": """
-            SELECT o_orderkey FROM orders
+        "q_semi_anti_join": """
+            SELECT 'semi' AS kind, o_orderkey AS key FROM orders
             WHERE EXISTS (SELECT 1 FROM customer
                           WHERE c_custkey = o_custkey
                             AND c_mktsegment = 'BUILDING')
-        """,
-        "q_anti_join": """
-            SELECT c_custkey FROM customer
+            UNION ALL
+            SELECT 'anti' AS kind, c_custkey AS key FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders
                               WHERE o_custkey = c_custkey
                                 AND o_totalprice > 300000)
+        """,
+        "q_incremental_dedup": """
+            WITH new_batch AS (
+              SELECT doc_id + 100000 AS doc_id, text
+              FROM documents WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id + 200000, 'fresh crawl page ' || doc_id
+              FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id + 300000, 'fresh crawl page ' || doc_id
+              FROM documents WHERE doc_id % 9 = 0
+            ), norm AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS c
+              FROM new_batch
+            ), first_in_batch AS (
+              SELECT doc_id, c FROM (
+                SELECT doc_id, c, row_number()
+                       OVER (PARTITION BY c ORDER BY doc_id) AS rn
+                FROM norm) WHERE rn = 1
+            ), corpus AS (
+              SELECT DISTINCT
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS c
+              FROM documents
+            )
+            SELECT doc_id FROM first_in_batch
+            WHERE c NOT IN (SELECT c FROM corpus)
         """,
         "q_pivot": """
             SELECT user_id,

@@ -663,3 +663,26 @@ class TestPackSequences:
             CUR.pack_sequences(df, seq_len=0, budget=10)
         with pytest.raises(ValueError):
             CUR.pack_sequences(df, seq_len=100, budget=10)
+
+
+class TestSubstringDedupProperties:
+    """Randomized semantics check: for any corpus and any k, the
+    distributed operator must equal the single-machine reference."""
+
+    from hypothesis import given, settings, strategies as st
+
+    corpus_strategy = st.lists(
+        st.lists(st.sampled_from([f"w{v}" for v in range(12)]),
+                 min_size=0, max_size=25).map(" ".join),
+        min_size=1, max_size=14)
+
+    @settings(max_examples=8, deadline=None)
+    @given(texts=corpus_strategy, k=st.integers(min_value=2, max_value=6))
+    def test_matches_reference(self, spark, texts, k):
+        docs = list(enumerate(texts))
+        expect = TestSubstringDedup._reference(docs, k)
+        got = {r["doc_id"]: (r["text"], r["removed_tokens"])
+               for r in CUR.substring_dedup(
+                   spark.createDataFrame(docs, "doc_id long, text string"),
+                   k=k).collect()}
+        assert got == expect

@@ -9,8 +9,10 @@ language ID, quality scoring, token counting, document fingerprinting.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Tiny high-frequency stopword marker sets per latin-script language.
 # Word-boundary regexes over lowered text; counts vote for the language.
@@ -119,3 +121,36 @@ def stopword_fraction(text: Column, lang: str = "en") -> Column:
                 for w in _STOPWORDS[lang][1:]),
                F.regexp_count(lowered, F.lit(rf"\b{_STOPWORDS[lang][0]}\b")))
     return hits / words
+
+
+def strip_control_chars(text: Column) -> Column:
+    """Remove C0/C1 control characters (keeping \\t \\n \\r — they are
+    document structure), DEL, and the zero-width family
+    (ZWSP/ZWNJ/ZWJ/BOM) — the standard pre-tokenization cleanup for
+    crawled text. Pure codegen regexp_replace, zero Python."""
+    return F.regexp_replace(
+        text,
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
+        "\u200B-\u200D\uFEFF]", "")
+
+
+def nfc_normalize(text: Column) -> Column:
+    """Unicode NFC normalization (composed form) — é as one codepoint, not
+    e + combining accent, so fingerprints/dedup/token counts agree across
+    sources that encode the same text differently. Spark has no built-in
+    normalizer; this is an Arrow-batched pandas pass using pandas'
+    C-level str.normalize."""
+
+    @F.pandas_udf(T.StringType())
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFC")
+
+    return nfc(text)
+
+
+def normalize_text(text: Column) -> Column:
+    """The corpus-ingestion normalization pass: NFC then control-char and
+    zero-width strip. Run BEFORE any fingerprinting/dedup so byte-level
+    encoding variance can't split identical contents into distinct
+    fingerprints."""
+    return strip_control_chars(nfc_normalize(text))

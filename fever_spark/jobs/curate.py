@@ -53,7 +53,8 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
            benchmark_path: str | None = None,
            contamination_ngram: int = 8,
            substring_dedup_k: int | None = None,
-           workdir: str | None = None) -> dict:
+           workdir: str | None = None,
+           normalize: bool = False) -> dict:
     docs = spark.read.parquet(input_path)
     counts = {"input": docs.count()}
     # wall seconds per pipeline stage (stage = work up to its survivor
@@ -101,7 +102,8 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
              "max_dup_word_frac": max_dup_word_frac,
              "benchmark_path": benchmark_path,
              "contamination_ngram": contamination_ngram,
-             "substring_dedup_k": substring_dedup_k}, sort_keys=True)
+             "substring_dedup_k": substring_dedup_k,
+             "normalize": normalize}, sort_keys=True)
         resume_key = hashlib.sha256(payload.encode()).hexdigest()[:16]
         os.makedirs(workdir, exist_ok=True)
 
@@ -138,7 +140,14 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
         return df
 
     def _build_quality():
-        annotated = docs.select(
+        base = docs
+        if normalize:
+            # unicode NFC + control/zero-width strip BEFORE anything
+            # fingerprints or tokenizes, so encoding variance can't split
+            # identical contents into distinct dedup keys
+            base = docs.withColumn(text_col,
+                                   TXT.normalize_text(F.col(text_col)))
+        annotated = base.select(
             "*",
             TXT.lang_id(F.col(text_col)).alias("_lang"),
             TXT.quality_score(F.col(text_col)).alias("quality"),
@@ -148,7 +157,7 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
                 & (F.col("n_tokens") <= max_tokens))
         if langs:
             # prefer a trusted lang column when the corpus carries one
-            lang_col = (F.col("lang") if "lang" in docs.columns
+            lang_col = (F.col("lang") if "lang" in base.columns
                         else F.col("_lang"))
             cond = cond & lang_col.isin(list(langs))
         if max_dup_word_frac is not None:
@@ -243,7 +252,8 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
                    "max_dup_word_frac": max_dup_word_frac,
                    "benchmark": benchmark_path,
                    "contamination_ngram": contamination_ngram,
-                   "substring_dedup_k": substring_dedup_k},
+                   "substring_dedup_k": substring_dedup_k,
+                   "normalize": normalize},
         "workdir": workdir,
         "resumed_stages": resumed,
     }
@@ -284,6 +294,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--workdir", default=None,
                     help="stage-checkpoint dir: completed stages are "
                          "reloaded on re-run (crash recovery)")
+    ap.add_argument("--normalize", action="store_true",
+                    help="unicode NFC + control-char strip before any "
+                         "fingerprinting")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -300,7 +313,7 @@ def main(argv: list[str] | None = None) -> None:
         benchmark_path=args.benchmark,
         contamination_ngram=args.contamination_ngram,
         substring_dedup_k=args.substring_dedup_k,
-        workdir=args.workdir)
+        workdir=args.workdir, normalize=args.normalize)
     print(json.dumps(manifest))
     spark.stop()
 

@@ -500,9 +500,13 @@ def corpus_fingerprint_bloom(df: DataFrame, text_col: str = "text",
     fingerprints — the compact "what have we already ingested" state for
     incremental dedup. Built DISTRIBUTED through the standard sketch
     pipeline (partition-local states → two-level salted merge), so the
-    reference corpus is scanned once and only O(bloom_bytes) ever reaches
-    the driver. Fingerprints are hashed JVM-side (prehash discipline:
-    int64 crosses Arrow, never text)."""
+    reference corpus is scanned once per pass and only O(bloom_bytes)
+    ever reaches the driver. Fingerprints are hashed JVM-side (prehash
+    discipline: int64 crosses Arrow, never text).
+
+    PASS ``capacity`` at scale: omitting it sizes the filter with a
+    ``count()`` — a second full scan of the corpus before the build. At
+    ingestion time the row count is already in the pipeline manifest."""
     from fever_spark.ops.build import SketchSpec, build_sketches
     from fever_spark.ops.merge import two_level_merge
     from fever_spark.sketch.bloom import BloomFilter

@@ -235,3 +235,19 @@ class TestCurateResume:
         m = curate(spark, src, str(tmp_path / "o2"), **kw)
         assert m["resumed_stages"] == ["quality_filter"]
         assert m["counts"]["written"] == 30
+
+
+def test_curate_normalize_unifies_encoding_variants(spark, tmp_path):
+    """NFC normalization before fingerprinting: the same text in composed
+    and decomposed unicode must exact-dedup to one doc."""
+    composed = "café culture " + " ".join(f"w{j}" for j in range(10))
+    decomposed = "café culture " + " ".join(f"w{j}" for j in range(10))
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, composed), (2, decomposed)],
+                          "doc_id long, text string").write.parquet(src)
+    man_raw = curate(spark, src, str(tmp_path / "raw"), min_quality=0.0,
+                     min_tokens=1)
+    man_norm = curate(spark, src, str(tmp_path / "norm"), min_quality=0.0,
+                      min_tokens=1, normalize=True)
+    assert man_raw["counts"]["after_exact_dedup"] == 2
+    assert man_norm["counts"]["after_exact_dedup"] == 1

@@ -686,3 +686,65 @@ class TestSubstringDedupProperties:
                    spark.createDataFrame(docs, "doc_id long, text string"),
                    k=k).collect()}
         assert got == expect
+
+
+class TestTextNormalization:
+    """NFC + control/zero-width strip, checked against DuckDB's
+    independent nfc_normalize + regexp implementation and Python's
+    unicodedata."""
+
+    SAMPLES = [
+        "café and café must converge",      # NFD vs NFC
+        "zero​width‌join‍er﻿",
+        "ctrl\x01chars\x07here\x00",
+        "keep\ttabs\nand\nnewlines\r",
+        "plain ascii stays identical",
+        "",
+    ]
+
+    def test_matches_python_unicodedata(self, spark):
+        import re
+        import unicodedata
+        from fever_spark.functions.text import normalize_text
+
+        df = spark.createDataFrame([(i, s) for i, s in
+                                    enumerate(self.SAMPLES)],
+                                   "i long, t string")
+        got = {r["i"]: r["n"] for r in
+               df.select("i", normalize_text(F.col("t")).alias("n"))
+               .collect()}
+        rx = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f"
+                        "​-‍﻿]")
+        for i, s in enumerate(self.SAMPLES):
+            expect = rx.sub("", unicodedata.normalize("NFC", s))
+            assert got[i] == expect, (i, got[i], expect)
+
+    def test_matches_duckdb_replica(self, spark):
+        import duckdb
+        import pandas as pd
+        from fever_spark.functions.text import normalize_text
+
+        df = spark.createDataFrame([(i, s) for i, s in
+                                    enumerate(self.SAMPLES)],
+                                   "i long, t string")
+        got = (df.select("i", normalize_text(F.col("t")).alias("n"))
+               .toPandas().sort_values("i")["n"].tolist())
+        con = duckdb.connect()
+        con.register("s", pd.DataFrame({"i": range(len(self.SAMPLES)),
+                                        "t": self.SAMPLES}))
+        expect = [r[0] for r in con.execute(r"""
+            SELECT regexp_replace(nfc_normalize(t),
+              '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]',
+              '', 'g') FROM s ORDER BY i""").fetchall()]
+        assert got == expect
+
+    def test_normalization_unifies_fingerprints(self, spark):
+        from fever_spark.functions.text import fingerprint, normalize_text
+
+        df = spark.createDataFrame(
+            [(1, "café au lait"), (2, "café au lait")],
+            "doc_id long, t string")
+        raw = df.select(fingerprint(F.col("t")).alias("f")).distinct().count()
+        norm = df.select(fingerprint(normalize_text(F.col("t")))
+                         .alias("f")).distinct().count()
+        assert raw == 2 and norm == 1

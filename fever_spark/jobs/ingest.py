@@ -1,0 +1,189 @@
+"""Incremental corpus ingestion: the operational complement of curate.
+
+curate() cleans a corpus at rest; ingest() KEEPS a corpus clean as new
+crawl batches arrive, without ever rescanning the history:
+
+  normalize (optional)
+    → exact screen: broadcast corpus-fingerprint Bloom (zero FN) + exact
+      verify of the flagged subset against the stored fingerprint table
+      (Bloom FPs never drop new docs)
+    → near-dup screen (optional): LSH-band the batch against the corpus's
+      persisted MinHash signature index
+    → append survivors to the corpus + update the three indexes
+      (fingerprints, signatures, Bloom).
+
+Idempotence by layout: every batch writes under its own
+``ingest=<batch_id>`` partition (corpus + both index tables) with
+overwrite semantics, so re-running a crashed batch REPLACES its own
+partitions instead of double-appending. Replay is additionally
+SELF-EXCLUDING: the Bloom state is kept as per-batch deltas
+(``bloom_deltas/<id>.bin``) plus a merged fast-path filter, and a
+replayed batch screens against history-minus-itself — otherwise a crash
+after the index update would make the replay screen out its own
+documents and empty the partition (data loss). The manifest line is
+written last and marks completion. Reference analog: fever's chunked
+at-least-once DB writes made idempotent by partition keying — the same
+upgrade sketch_job makes over the reference's lossy flush
+(db/slurper_postgres.go:164-236).
+
+Scale shape: the history is touched only through O(bloom_bytes)
+broadcast state, the fingerprint table (8 bytes/doc, anti-joined only
+against the fpp-sized flagged subset), and the signature index (banded
+via codegen, ids-only candidate join). The batch itself is scanned
+once per screen.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fever_spark.functions.text import fingerprint, normalize_text
+from fever_spark.operators.dedup import (corpus_fingerprint_bloom,
+                                         incremental_exact_dedup,
+                                         incremental_near_duplicates,
+                                         minhash_signatures)
+from fever_spark.sketch.bloom import BloomFilter
+
+__all__ = ["ingest"]
+
+
+def _part(base: str, batch_id: str) -> str:
+    return os.path.join(base, f"ingest={batch_id}")
+
+
+def ingest(spark: SparkSession, batch_path: str, corpus_dir: str,
+           state_dir: str, batch_id: str | None = None,
+           text_col: str = "text", id_col: str = "doc_id",
+           near_dup_threshold: float | None = None,
+           normalize: bool = False,
+           bloom_capacity: int = 1_000_000,
+           bloom_fpp: float = 1e-6,
+           num_hashes: int = 128, shingle_size: int = 3) -> dict:
+    """Ingest one batch. Returns (and logs) the manifest line."""
+    t0 = time.time()
+    if batch_id is None:
+        batch_id = os.path.basename(batch_path.rstrip("/")).replace("=", "_")
+    fp_dir = os.path.join(state_dir, "fingerprints")
+    sig_dir = os.path.join(state_dir, "signatures")
+    bloom_path = os.path.join(state_dir, "bloom.bin")
+    delta_dir = os.path.join(state_dir, "bloom_deltas")
+    os.makedirs(delta_dir, exist_ok=True)
+    own_delta = os.path.join(delta_dir, f"{batch_id}.bin")
+    replay = os.path.exists(own_delta)
+
+    batch = spark.read.parquet(batch_path)
+    if normalize:
+        batch = batch.withColumn(text_col,
+                                 normalize_text(F.col(text_col)))
+    counts = {"batch": batch.count()}
+
+    other_deltas = [os.path.join(delta_dir, f)
+                    for f in sorted(os.listdir(delta_dir))
+                    if f.endswith(".bin") and f != f"{batch_id}.bin"]
+    corpus_exists = bool(other_deltas)
+    if corpus_exists:
+        if replay:
+            # self-excluding screen: merge every OTHER batch's delta so a
+            # replayed batch never screens out its own documents
+            screen = BloomFilter.load(other_deltas[0])
+            for d in other_deltas[1:]:
+                screen = screen.merge(BloomFilter.load(d))
+        else:
+            screen = (BloomFilter.load(bloom_path)
+                      if os.path.exists(bloom_path)
+                      else BloomFilter(capacity=bloom_capacity,
+                                       fpp=bloom_fpp))
+        bc = spark.sparkContext.broadcast(screen.to_bytes())
+        exact = (spark.read.parquet(fp_dir)
+                 .filter(F.col("ingest") != batch_id).select("_fp"))
+        kept = incremental_exact_dedup(batch, bc, text_col, id_col,
+                                       exact_check=exact)
+    else:
+        # first batch (or a replay of it): only within-batch dedup applies
+        empty = BloomFilter(capacity=bloom_capacity, fpp=bloom_fpp)
+        bc = spark.sparkContext.broadcast(empty.to_bytes())
+        kept = incremental_exact_dedup(batch, bc, text_col, id_col)
+    # the survivor set is consumed by several passes below (near-dup,
+    # corpus write, fingerprint write, signature build)
+    kept = kept.localCheckpoint(eager=False)
+    counts["after_exact_screen"] = kept.count()
+
+    if near_dup_threshold is not None and corpus_exists \
+            and os.path.isdir(sig_dir):
+        old_sigs = (spark.read.parquet(sig_dir)
+                    .filter(F.col("ingest") != batch_id)
+                    .select(id_col, "minhash"))
+        hits = incremental_near_duplicates(
+            kept, old_sigs, text_col, id_col,
+            threshold=near_dup_threshold, num_hashes=num_hashes,
+            shingle_size=shingle_size).select("new_id").distinct() \
+            .withColumnRenamed("new_id", id_col)
+        kept = kept.join(hits, id_col, "left_anti") \
+            .localCheckpoint(eager=False)
+        counts["after_near_dup_screen"] = kept.count()
+
+    # idempotent batch partitions: a re-run overwrites its own slice
+    kept.write.mode("overwrite").parquet(_part(corpus_dir, batch_id))
+    kept.select(fingerprint(F.col(text_col)).alias("_fp")) \
+        .write.mode("overwrite").parquet(_part(fp_dir, batch_id))
+    minhash_signatures(kept, text_col, id_col, num_hashes, shingle_size) \
+        .write.mode("overwrite").parquet(_part(sig_dir, batch_id))
+
+    # Bloom state: a distributed-built filter over ONLY this batch's
+    # survivors becomes the batch's delta file; the merged fast-path
+    # filter is the union of the screen state and the delta (on replay
+    # the screen was rebuilt from the other deltas, so the union is
+    # exactly history-with-this-batch either way)
+    delta = BloomFilter.from_bytes(corpus_fingerprint_bloom(
+        spark.read.parquet(_part(corpus_dir, batch_id)), text_col,
+        capacity=bloom_capacity, fpp=bloom_fpp))
+    tmp = own_delta + ".tmp"
+    delta.save(tmp)
+    os.replace(tmp, own_delta)
+    merged = delta.merge(BloomFilter.from_bytes(bytes(bc.value)))
+    tmp = bloom_path + ".tmp"
+    merged.save(tmp)
+    os.replace(tmp, bloom_path)
+
+    manifest = {"batch_id": batch_id, "batch_path": batch_path,
+                "counts": counts,
+                "near_dup_threshold": near_dup_threshold,
+                "normalize": normalize,
+                "wall_s": round(time.time() - t0, 3),
+                "completed_utc": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+    with open(os.path.join(state_dir, "ingests.jsonl"), "a") as f:
+        f.write(json.dumps(manifest) + "\n")
+    return manifest
+
+
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+
+    from fever_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch", required=True)
+    ap.add_argument("--corpus", required=True)
+    ap.add_argument("--state", required=True)
+    ap.add_argument("--batch-id", default=None)
+    ap.add_argument("--near-dup-threshold", type=float, default=None)
+    ap.add_argument("--normalize", action="store_true")
+    ap.add_argument("--bloom-capacity", type=int, default=1_000_000)
+    args = ap.parse_args(argv)
+    spark = get_spark(app_name="fever_spark_ingest")
+    man = ingest(spark, args.batch, args.corpus, args.state,
+                 batch_id=args.batch_id,
+                 near_dup_threshold=args.near_dup_threshold,
+                 normalize=args.normalize,
+                 bloom_capacity=args.bloom_capacity)
+    print(json.dumps(man))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Incremental ingestion job: batches accrete into a clean corpus; dups
+and near-dups of ingested history are screened out; re-running a batch
+is idempotent."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from fever_spark.jobs.ingest import ingest
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(path)
+
+
+def _doc(i, salt=""):
+    return (i, f"document {i}{salt} " + " ".join(
+        f"tok{i}x{j}" for j in range(15)))
+
+
+class TestIngest:
+    def test_accretion_and_cross_batch_dedup(self, spark, tmp_path):
+        corpus = str(tmp_path / "corpus")
+        state = str(tmp_path / "state")
+        b1 = str(tmp_path / "b1")
+        _write_batch(spark, b1, [_doc(i) for i in range(20)])
+        m1 = ingest(spark, b1, corpus, state, batch_id="b1",
+                    bloom_capacity=10_000)
+        assert m1["counts"] == {"batch": 20, "after_exact_screen": 20}
+
+        # batch 2: 5 re-crawled dups (re-keyed) + 10 new docs
+        b2 = str(tmp_path / "b2")
+        _write_batch(spark, b2,
+                     [(1000 + i, _doc(i)[1]) for i in range(5)]
+                     + [_doc(100 + i) for i in range(10)])
+        m2 = ingest(spark, b2, corpus, state, batch_id="b2",
+                    bloom_capacity=10_000)
+        assert m2["counts"]["after_exact_screen"] == 10
+
+        got = spark.read.parquet(corpus)
+        assert got.count() == 30
+        assert {r["ingest"] for r in
+                got.select("ingest").distinct().collect()} == {"b1", "b2"}
+        # manifest log has both completions
+        lines = [json.loads(l) for l in
+                 open(os.path.join(state, "ingests.jsonl"))]
+        assert [l["batch_id"] for l in lines] == ["b1", "b2"]
+
+    def test_rerun_is_idempotent(self, spark, tmp_path):
+        corpus = str(tmp_path / "corpus")
+        state = str(tmp_path / "state")
+        b1 = str(tmp_path / "b1")
+        _write_batch(spark, b1, [_doc(i) for i in range(8)])
+        m1 = ingest(spark, b1, corpus, state, batch_id="b1",
+                    bloom_capacity=10_000)
+        # crash-replay: same batch id re-ingested. The screen is
+        # SELF-EXCLUDING (built from the other batches' Bloom deltas and
+        # the fingerprint partitions excluding ingest=b1), so the replay
+        # reproduces the original survivor set — same corpus slice, no
+        # loss, no double-append.
+        m2 = ingest(spark, b1, corpus, state, batch_id="b1",
+                    bloom_capacity=10_000)
+        assert m2["counts"] == m1["counts"]
+        assert spark.read.parquet(corpus).count() == 8
+
+    def test_near_dup_screen_against_history(self, spark, tmp_path):
+        corpus = str(tmp_path / "corpus")
+        state = str(tmp_path / "state")
+        b1 = str(tmp_path / "b1")
+        _write_batch(spark, b1, [_doc(i) for i in range(10)])
+        ingest(spark, b1, corpus, state, batch_id="b1",
+               bloom_capacity=10_000, near_dup_threshold=0.6)
+
+        # batch 2: near-dup of doc 3 (one token changed) + one new doc
+        toks = _doc(3)[1].split()
+        toks[5] = "mutated"
+        b2 = str(tmp_path / "b2")
+        _write_batch(spark, b2, [(500, " ".join(toks)), _doc(600)])
+        m = ingest(spark, b2, corpus, state, batch_id="b2",
+                   bloom_capacity=10_000, near_dup_threshold=0.6)
+        assert m["counts"]["after_exact_screen"] == 2
+        assert m["counts"]["after_near_dup_screen"] == 1
+        kept = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+        assert 600 in kept and 500 not in kept
+
+    def test_replay_mid_history_reproduces_original_slice(self, spark,
+                                                          tmp_path):
+        """Replaying b1 AFTER b2 exists: survivor partitions are disjoint
+        by construction, so the self-excluding screen (vs b2 only) must
+        reproduce b1's original survivors exactly."""
+        corpus = str(tmp_path / "corpus")
+        state = str(tmp_path / "state")
+        b1 = str(tmp_path / "b1")
+        b2 = str(tmp_path / "b2")
+        _write_batch(spark, b1, [_doc(i) for i in range(10)])
+        _write_batch(spark, b2,
+                     [(1000, _doc(0)[1])] + [_doc(50 + i) for i in range(5)])
+        ingest(spark, b1, corpus, state, batch_id="b1",
+               bloom_capacity=10_000)
+        ingest(spark, b2, corpus, state, batch_id="b2",
+               bloom_capacity=10_000)
+        before = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+        m = ingest(spark, b1, corpus, state, batch_id="b1",
+                   bloom_capacity=10_000)   # replay
+        after = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+        assert m["counts"]["after_exact_screen"] == 10
+        assert after == before and len(after) == 15

@@ -210,21 +210,29 @@ def bench_substring_dedup(spark):
 _INCR_SETUP = {}
 
 
-def bench_incremental_dedup(spark):
-    """Ingestion dedup throughput: new batch (20% re-crawled dups + fresh
-    docs) screened against the corpus fingerprint Bloom + exact verify.
-    Corpus-index build = ingestion-time cost, done once outside the timed
-    region (like the IOC-filter setup)."""
+def _incr_setup(spark):
+    """Corpus-index build = ingestion-time cost, built once in main()
+    BEFORE the timing loop (like _bloom_setup) so no rep — including a
+    single-rep run — pays for it."""
     from fever_spark.functions.text import fingerprint
-    from fever_spark.operators.dedup import (corpus_fingerprint_bloom,
-                                             incremental_exact_dedup)
+    from fever_spark.operators.dedup import corpus_fingerprint_bloom
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     if "bc" not in _INCR_SETUP:
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         _INCR_SETUP["bc"] = spark.sparkContext.broadcast(
             corpus_fingerprint_bloom(docs, fpp=1e-6))
         _INCR_SETUP["exact"] = docs.select(
             fingerprint(F.col("text")).alias("_fp"))
+    return _INCR_SETUP
+
+
+def bench_incremental_dedup(spark):
+    """Ingestion dedup throughput: new batch (20% re-crawled dups + fresh
+    docs) screened against the corpus fingerprint Bloom + exact verify."""
+    from fever_spark.operators.dedup import incremental_exact_dedup
+
+    _incr_setup(spark)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     new = (docs.filter(F.col("doc_id") % 5 == 0)
            .select((F.col("doc_id") + 500_000).alias("doc_id"), "text")
            .unionByName(docs.select(
@@ -286,6 +294,8 @@ def main(argv=None):
         _pages_projected(spark)  # cache materialization excluded from timings
     if "bloom_match" in args.queries:
         _bloom_setup(spark)  # filter load = startup cost, excluded
+    if "incremental_dedup" in args.queries:
+        _incr_setup(spark)  # corpus-index build = ingestion-time cost
     if not args.skip_warmup:
         spark.read.parquet(f"{SF_DIR}/events.parquet").count()  # JVM warmup
         # Python-worker warmup: first pandas-UDF stage pays worker fork +

@@ -149,8 +149,13 @@ def nfc_normalize(text: Column) -> Column:
 
 
 def normalize_text(text: Column) -> Column:
-    """The corpus-ingestion normalization pass: NFC then control-char and
-    zero-width strip. Run BEFORE any fingerprinting/dedup so byte-level
-    encoding variance can't split identical contents into distinct
-    fingerprints."""
-    return strip_control_chars(nfc_normalize(text))
+    """The corpus-ingestion normalization pass: control/zero-width strip,
+    THEN NFC. Order matters: a zero-width char between a base letter and
+    its combining mark blocks composition (U+200B is a starter), so
+    NFC-first would leave a decomposed residue after the strip and the
+    output would not be a normalization fixed point; stripping first lets
+    NFC compose across the removed char, and NFC itself never produces
+    control or zero-width characters. Run BEFORE any fingerprinting/dedup
+    so byte-level encoding variance can't split identical contents into
+    distinct fingerprints."""
+    return nfc_normalize(strip_control_chars(text))

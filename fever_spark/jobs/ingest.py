@@ -7,8 +7,9 @@ crawl batches arrive, without ever rescanning the history:
     → exact screen: broadcast corpus-fingerprint Bloom (zero FN) + exact
       verify of the flagged subset against the stored fingerprint table
       (Bloom FPs never drop new docs)
-    → near-dup screen (optional): LSH-band the batch against the corpus's
-      persisted MinHash signature index
+    → near-dup screen (optional): collapse near-dup clusters WITHIN the
+      batch (canonical doc kept), then LSH-band the survivors against the
+      corpus's persisted MinHash signature index
     → append survivors to the corpus + update the three indexes
       (fingerprints, signatures, Bloom).
 
@@ -44,8 +45,10 @@ from pyspark.sql import functions as F
 
 from fever_spark.functions.text import fingerprint, normalize_text
 from fever_spark.operators.dedup import (corpus_fingerprint_bloom,
+                                         dedup_keep_canonical,
                                          incremental_exact_dedup,
                                          incremental_near_duplicates,
+                                         minhash_near_duplicates,
                                          minhash_signatures)
 from fever_spark.sketch.bloom import BloomFilter
 
@@ -75,6 +78,52 @@ def ingest(spark: SparkSession, batch_path: str, corpus_dir: str,
     os.makedirs(delta_dir, exist_ok=True)
     own_delta = os.path.join(delta_dir, f"{batch_id}.bin")
     replay = os.path.exists(own_delta)
+
+    # state params are load-bearing across batches: a different Bloom
+    # (capacity, fpp) cannot merge with the stored deltas, and different
+    # signature params make band hashes incomparable (the near-dup screen
+    # would silently find nothing). Validate BEFORE any writes.
+    params_path = os.path.join(state_dir, "_params.json")
+    params = {"bloom_capacity": int(bloom_capacity),
+              "bloom_fpp": float(bloom_fpp),
+              "num_hashes": int(num_hashes),
+              "shingle_size": int(shingle_size),
+              "text_col": text_col, "id_col": id_col}
+    if os.path.exists(params_path):
+        with open(params_path) as f:
+            stored = json.load(f)
+        if stored != params:
+            raise ValueError(
+                "ingest state params differ from the ones this state dir "
+                f"was created with: stored={stored} given={params}; "
+                "re-index the corpus (new state dir) to change them")
+    else:
+        with open(params_path + ".tmp", "w") as f:
+            json.dump(params, f)
+        os.replace(params_path + ".tmp", params_path)
+
+    # the manifest line is the batch commit point: a batch with on-disk
+    # partitions or a Bloom delta but NO manifest line crashed mid-write,
+    # and new batches would screen against state that silently lacks (or
+    # partially contains) it. Force the operator to replay it first.
+    log_path = os.path.join(state_dir, "ingests.jsonl")
+    completed = set()
+    if os.path.exists(log_path):
+        with open(log_path) as f:
+            completed = {json.loads(line)["batch_id"] for line in f}
+    on_disk = set()
+    for base in (corpus_dir, fp_dir, sig_dir):
+        if os.path.isdir(base):
+            on_disk.update(d.split("=", 1)[1] for d in os.listdir(base)
+                           if d.startswith("ingest="))
+    on_disk.update(f[:-4] for f in os.listdir(delta_dir)
+                   if f.endswith(".bin"))
+    incomplete = on_disk - completed - {batch_id}
+    if incomplete:
+        raise RuntimeError(
+            f"state dir has incomplete ingests {sorted(incomplete)} "
+            "(partitions without a manifest line — a crashed run). "
+            "Replay those batch ids before ingesting new ones.")
 
     batch = spark.read.parquet(batch_path)
     if normalize:
@@ -113,6 +162,18 @@ def ingest(spark: SparkSession, batch_path: str, corpus_dir: str,
     kept = kept.localCheckpoint(eager=False)
     counts["after_exact_screen"] = kept.count()
 
+    if near_dup_threshold is not None:
+        # WITHIN-batch near-dups first (re-crawls of one page under two
+        # URLs arrive together): keep the canonical doc per cluster, or
+        # both copies would enter the corpus permanently — later batches
+        # are screened, the founding batch never was
+        batch_pairs = minhash_near_duplicates(
+            kept, text_col, id_col, threshold=near_dup_threshold,
+            num_hashes=num_hashes, shingle_size=shingle_size) \
+            .select("id_a", "id_b")
+        kept = dedup_keep_canonical(kept, batch_pairs, id_col) \
+            .localCheckpoint(eager=False)
+        counts["after_batch_near_dup"] = kept.count()
     if near_dup_threshold is not None and corpus_exists \
             and os.path.isdir(sig_dir):
         old_sigs = (spark.read.parquet(sig_dir)
@@ -157,7 +218,7 @@ def ingest(spark: SparkSession, batch_path: str, corpus_dir: str,
                 "wall_s": round(time.time() - t0, 3),
                 "completed_utc": time.strftime(
                     "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
-    with open(os.path.join(state_dir, "ingests.jsonl"), "a") as f:
+    with open(log_path, "a") as f:
         f.write(json.dumps(manifest) + "\n")
     return manifest
 

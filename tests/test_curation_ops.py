@@ -700,6 +700,9 @@ class TestTextNormalization:
         "keep\ttabs\nand\nnewlines\r",
         "plain ascii stays identical",
         "",
+        # ZWSP BETWEEN base letter and combining acute: strip must run
+        # BEFORE NFC or the output is a non-NFC decomposed residue
+        "cafe\u200b\u0301 trap",
     ]
 
     def test_matches_python_unicodedata(self, spark):
@@ -716,8 +719,10 @@ class TestTextNormalization:
         rx = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f"
                         "​-‍﻿]")
         for i, s in enumerate(self.SAMPLES):
-            expect = rx.sub("", unicodedata.normalize("NFC", s))
+            expect = unicodedata.normalize("NFC", rx.sub("", s))
             assert got[i] == expect, (i, got[i], expect)
+            # the output is a normalization FIXED POINT
+            assert unicodedata.normalize("NFC", got[i]) == got[i]
 
     def test_matches_duckdb_replica(self, spark):
         import duckdb
@@ -733,9 +738,9 @@ class TestTextNormalization:
         con.register("s", pd.DataFrame({"i": range(len(self.SAMPLES)),
                                         "t": self.SAMPLES}))
         expect = [r[0] for r in con.execute(r"""
-            SELECT regexp_replace(nfc_normalize(t),
+            SELECT nfc_normalize(regexp_replace(t,
               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]',
-              '', 'g') FROM s ORDER BY i""").fetchall()]
+              '', 'g')) FROM s ORDER BY i""").fetchall()]
         assert got == expect
 
     def test_normalization_unifies_fingerprints(self, spark):

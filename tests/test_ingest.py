@@ -107,3 +107,54 @@ class TestIngest:
         after = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
         assert m["counts"]["after_exact_screen"] == 10
         assert after == before and len(after) == 15
+
+    def test_within_batch_near_dups_collapse(self, spark, tmp_path):
+        corpus = str(tmp_path / "corpus")
+        state = str(tmp_path / "state")
+        toks = _doc(7)[1].split()
+        toks[4] = "variant"
+        b1 = str(tmp_path / "b1")
+        _write_batch(spark, b1, [_doc(7), (8, " ".join(toks)), _doc(9)])
+        m = ingest(spark, b1, corpus, state, batch_id="b1",
+                   bloom_capacity=10_000, near_dup_threshold=0.6)
+        assert m["counts"]["after_batch_near_dup"] == 2   # 7+8 collapse
+        kept = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+        assert kept == {7, 9}                             # canonical kept
+
+    def test_param_change_rejected_before_writes(self, spark, tmp_path):
+        import pytest
+        corpus = str(tmp_path / "corpus")
+        state = str(tmp_path / "state")
+        b1 = str(tmp_path / "b1")
+        _write_batch(spark, b1, [_doc(1)])
+        ingest(spark, b1, corpus, state, batch_id="b1",
+               bloom_capacity=10_000)
+        with pytest.raises(ValueError, match="state params differ"):
+            ingest(spark, b1, corpus, state, batch_id="b2",
+                   bloom_capacity=5_000)
+
+    def test_incomplete_batch_blocks_new_ingests(self, spark, tmp_path):
+        import pytest
+        corpus = str(tmp_path / "corpus")
+        state = str(tmp_path / "state")
+        b1 = str(tmp_path / "b1")
+        b2 = str(tmp_path / "b2")
+        _write_batch(spark, b1, [_doc(i) for i in range(5)])
+        _write_batch(spark, b2, [_doc(100)])
+        ingest(spark, b1, corpus, state, batch_id="b1",
+               bloom_capacity=10_000)
+        # simulate a crash: wipe b1's manifest line (state written, no
+        # commit record)
+        import os
+        os.remove(os.path.join(state, "ingests.jsonl"))
+        with pytest.raises(RuntimeError, match="incomplete ingests"):
+            ingest(spark, b2, corpus, state, batch_id="b2",
+                   bloom_capacity=10_000)
+        # replaying the incomplete batch heals the state...
+        m = ingest(spark, b1, corpus, state, batch_id="b1",
+                   bloom_capacity=10_000)
+        assert m["counts"]["after_exact_screen"] == 5
+        # ...and the new batch can proceed
+        ingest(spark, b2, corpus, state, batch_id="b2",
+               bloom_capacity=10_000)
+        assert spark.read.parquet(corpus).count() == 6

@@ -749,9 +749,23 @@ def q_pii_redact(spark, sf_dir):
                  F.lit(".7 ref 9123456"), F.col("doc_id").cast("string"),
                  F.lit(" end")).alias("text"))
     t = F.col("text")
+    # unicode normalization rides the same gate (extra column, no new
+    # driver entry): a DECOMPOSED accent + a zero-width space are planted
+    # so the strip-then-NFC pipeline has real work — the oracle rebuilds
+    # the marker from codepoints and applies DuckDB's own nfc_normalize,
+    # so composition order, the strip class, and strip-before-NFC
+    # sequencing are all hash-checked per row.
+    from fever_spark.functions.text import normalize_text
+    # " cafe" + ZWSP + COMBINING ACUTE: the zero-width space sits
+    # BETWEEN the base letter and its combining mark, so only
+    # strip-THEN-NFC yields the composed form; NFC-first leaves a
+    # decomposed residue
+    marker = F.concat(t, F.lit(" cafe"), F.lit("\u200b\u0301"),
+                      F.lit(" latte"))
     return planted.select("doc_id",
                           CUR.redact_pii(t).alias("redacted"),
-                          *CUR.pii_counts(t))
+                          *CUR.pii_counts(t),
+                          normalize_text(marker).alias("normalized"))
 
 
 def q_contamination(spark, sf_dir):
@@ -1411,7 +1425,11 @@ def oracle_sql() -> dict[str, str]:
               len(regexp_extract_all(regexp_replace(regexp_replace(text,
                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-                '\b\d{9,16}\b')) AS n_id_number
+                '\b\d{9,16}\b')) AS n_id_number,
+              nfc_normalize(regexp_replace(
+                text || ' cafe' || chr(8203) || chr(769) || ' latte',
+                '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]',
+                '', 'g')) AS normalized
             FROM planted
         """,
         "q_contamination": r"""

@@ -75,3 +75,43 @@ class TestStreamingBloomMatch:
                 .groupBy("match_type").agg(F.count(F.lit(1)).alias("n"))
                 .collect()}
         assert got == want and got
+
+
+class TestStreamingHeavyHitters:
+    """CMSTopK rides the generic foreachBatch accumulator: streaming
+    heavy-hitter reports match the exact counts over everything seen."""
+
+    def test_topk_accumulates_across_batches(self, spark, tmp_path):
+        import pandas as pd
+        from fever_spark.ops.build import SketchSpec
+        from fever_spark.streaming import StreamingSketchAccumulator
+
+        src = tmp_path / "src"
+        src.mkdir()
+
+        def write(name, hosts):
+            pd.DataFrame({"host": hosts}).to_json(
+                str(src / name), orient="records", lines=True)
+
+        # heavy hitter 'big.example' spread over batches + tail noise
+        write("b1.json", ["big.example"] * 50 + [f"t{i}.x" for i in range(20)])
+        acc = StreamingSketchAccumulator(
+            [], [SketchSpec("hh", "cmstopk", "host",
+                            {"epsilon": 1e-3, "delta": 1e-3, "track": 64})])
+        stream = spark.readStream.schema("host string").json(str(src))
+        q = (stream.writeStream.foreachBatch(acc.process_batch)
+             .option("checkpointLocation", str(tmp_path / "ck")).start())
+        try:
+            q.processAllAvailable()
+            write("b2.json", ["big.example"] * 40
+                  + ["second.example"] * 30 + [f"u{i}.y" for i in range(15)])
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        [sk] = [v for k, v in acc.sketches.items() if k[-1] == "hh"]
+        top = sk.heavy_hitters(2)
+        items = [t[0] for t in top]
+        assert items[0] == "big.example" and items[1] == "second.example"
+        # CMS overcounts only; exact totals are 90 and 30
+        assert top[0][1] >= 90 and top[1][1] >= 30
+        assert acc.batches_seen == 2

@@ -315,11 +315,12 @@ def substring_dedup(df: DataFrame, id_col: str = "doc_id",
       2. O(n) rolling polynomial fingerprint per k-gram in numpy (prefix
          sums with the precomputed modular inverse of the base — no
          per-position loop);
-      3. ONE shuffle keyed by the 8-byte fingerprint: a row_number window
-         ordered by (doc id, position) marks every occurrence after the
-         first. Payload is (id, pos) pairs only; the corpus-wide hot
-         boilerplate fingerprint is the same skew story as
-         paragraph_dedup — one big group of 12-byte rows, AQE-splittable.
+      3. first-occurrence survival via a map-side-combinable
+         min+count aggregation per fingerprint (never a window: window
+         partitions cannot be skew-split, and the corpus-wide boilerplate
+         fingerprint would pin one task) + an equi-join of the duplicated
+         firsts back onto the gram stream — broadcast when small,
+         AQE-skew-splittable when not. Payload is (id, pos) pairs only.
       4. removal positions group back to their doc (second shuffle, ids
          only) and a single Arrow batch pass rebuilds the text with a
          difference-array interval union (O(tokens + spans), not
@@ -373,10 +374,25 @@ def substring_dedup(df: DataFrame, id_col: str = "doc_id",
                                  lambda t: F.xxhash64(t)).alias("_h"))
            .select("_id", F.posexplode(roll("_h")).alias("_pos", "_fp")))
 
-    from pyspark.sql import Window
-    w = Window.partitionBy("_fp").orderBy("_id", "_pos")
-    removals = (fps.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") > 1)
+    # First-occurrence survival WITHOUT a window: a window partitioned by
+    # fingerprint cannot be skew-split (AQE splits joins, never window
+    # partitions), so the corpus-wide boilerplate fingerprint would pin
+    # one task with every occurrence. Instead: (a) per-fingerprint global
+    # min + count via an aggregation — partial aggregation collapses the
+    # hot key map-side to one row per task; (b) keep only DUPLICATED
+    # fingerprints (usually a small fraction of all grams); (c) re-join
+    # them to the gram stream — an equi-join AQE can broadcast when the
+    # duplicated set is small and skew-split when it is not — and mark
+    # every occurrence that is not the minimum. Semantics identical to
+    # row_number()==1 survival ordered by (doc id, position).
+    occ = F.struct(F.col("_id"), F.col("_pos"))
+    dup_firsts = (fps.groupBy("_fp")
+                  .agg(F.min(occ).alias("_first"),
+                       F.count(F.lit(1)).alias("_cnt"))
+                  .filter(F.col("_cnt") > 1)
+                  .select("_fp", "_first"))
+    removals = (fps.join(dup_firsts, "_fp")
+                .filter(occ != F.col("_first"))
                 .groupBy("_id")
                 .agg(F.collect_list("_pos").alias("_rm")))
     # removals feeds BOTH branches below. The roll-UDF subtree does not

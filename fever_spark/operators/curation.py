@@ -263,14 +263,23 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     paras = df.select(
         *other_cols,
         F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"))
-    from pyspark.sql import Window
     is_blank = F.trim(F.col("_para")) == ""
     blanks = paras.filter(is_blank)
-    w = Window.partitionBy(F.xxhash64("_para")).orderBy(id_col, "_pos")
-    kept = (paras.filter(~is_blank)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+    # first-occurrence survival without a window (windows can't be
+    # skew-split and would shuffle paragraph TEXT on the hot boilerplate
+    # fingerprint): min (id, pos) per fingerprint via a map-side-combined
+    # aggregation over an (fp, id, pos) projection, then a semi-join of
+    # the paragraph rows on the UNIQUE (id, pos) key — uniform, text
+    # never rides a skewed shuffle.
+    nb = paras.filter(~is_blank)
+    firsts = (nb.select(F.xxhash64("_para").alias("_pfp"),
+                        F.col(id_col), F.col("_pos"))
+              .groupBy("_pfp")
+              .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                  F.col("_pos").alias("p"))).alias("_f"))
+              .select(F.col("_f.i").alias(id_col),
+                      F.col("_f.p").alias("_pos")))
+    kept = (nb.join(firsts, [id_col, "_pos"], "left_semi")
             .unionByName(blanks))
     reassembled = (kept.groupBy(*other_cols)
                    .agg(F.array_join(

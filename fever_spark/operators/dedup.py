@@ -41,12 +41,21 @@ from fever_spark.hashing import hash64
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Keep the lowest-id row per normalized-content fingerprint."""
-    w = Window.partitionBy("_fp").orderBy(F.col(id_col))
-    return (df.withColumn("_fp", fingerprint(F.col(text_col)))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_fp", "_rn"))
+    """Keep the lowest-id row per normalized-content fingerprint.
+
+    No window: a fingerprint-partitioned window cannot be skew-split
+    (AQE splits joins, never window partitions) and would shuffle FULL
+    rows on the content key — a megadup content (empty docs, parked
+    pages) pins every copy on one task. Instead the survivor ids come
+    from a min-per-fingerprint aggregation over an (fp, id) projection —
+    partial aggregation collapses hot keys map-side — and the full rows
+    semi-join on the UNIQUE id key, which cannot skew. Assumes ids are
+    unique (duplicate ids would all survive the semi-join)."""
+    keep = (df.select(fingerprint(F.col(text_col)).alias("_fp"),
+                      F.col(id_col))
+            .groupBy("_fp").agg(F.min(id_col).alias(id_col))
+            .select(id_col))
+    return df.join(keep, id_col, "left_semi")
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
@@ -549,11 +558,14 @@ def incremental_exact_dedup(new_df: DataFrame, seen_bloom_bc,
     duplicate-free."""
     from fever_spark.ops.estimate import bloom_contains_col
 
-    fp = fingerprint(F.col(text_col))
-    w = Window.partitionBy("_fp").orderBy(F.col(id_col))
-    batch_first = (new_df.withColumn("_fp", fp)
-                   .withColumn("_rn", F.row_number().over(w))
-                   .filter(F.col("_rn") == 1).drop("_rn"))
+    # within-batch first occurrence WITHOUT a window (same skew argument
+    # as exact_dedup: min-agg is map-side combinable, the semi-join key
+    # is the unique id)
+    with_fp = new_df.withColumn("_fp", fingerprint(F.col(text_col)))
+    first_ids = (with_fp.select("_fp", id_col)
+                 .groupBy("_fp").agg(F.min(id_col).alias(id_col))
+                 .select(id_col))
+    batch_first = with_fp.join(first_ids, id_col, "left_semi")
     flagged = bloom_contains_col(seen_bloom_bc, F.col("_fp"))
     if exact_check is None:
         # screen-only: FP-rate over-drop accepted (documented)

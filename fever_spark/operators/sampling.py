@@ -33,7 +33,13 @@ def stratified_take(df: DataFrame, strata_cols: list[str], n: int,
     """Exactly min(n, stratum size) rows per stratum, deterministically the
     first n by `order_col` — the exact-quota companion to the hash sample
     (per-lang evaluation slices, balanced debugging samples). One shuffle
-    on the strata key; the window sort is per-stratum."""
+    on the strata key; the window sort is per-stratum.
+
+    Scale bound: the window carries the FULL stratum through one task
+    (window partitions are not AQE-splittable), so this is for
+    evaluation-sized quotas over bounded strata. For corpus-scale strata
+    use deterministic_sample / weighted_sample (rate-based, zero-shuffle)
+    or weighted_take (TakeOrdered) instead."""
     w = Window.partitionBy(*strata_cols).orderBy(F.col(order_col))
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= n).drop("_rn"))

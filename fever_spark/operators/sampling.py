@@ -85,3 +85,45 @@ def weighted_take(df: DataFrame, key_col: str, weight_col: str, k: int,
                           F.pow(_unit_uniform(F.col(key_col), seed),
                                 F.lit(1.0) / F.col(weight_col))))
     return ranked.orderBy(F.desc("_es_rank")).limit(k).drop("_es_rank")
+
+
+def capped_take_per_group(df: DataFrame, group_col: str, n: int,
+                          key_col: str, seed: int = 0,
+                          margin: float = 2.0) -> DataFrame:
+    """Exact per-group cap at corpus scale (the per-domain quota of web
+    pipelines: keep at most n uniformly-chosen docs per host). A plain
+    window would funnel a million-page domain through one task; instead:
+
+    1. per-group counts (map-side-combined aggregation, tiny result
+       relative to rows);
+    2. Bernoulli PRE-FILTER by the deterministic key hash at rate
+       ``margin * n / count`` — each oversized group shrinks to ~margin*n
+       expected survivors BEFORE any ordering, groups at-or-under the cap
+       pass whole;
+    3. exact rank over the pre-filtered set only — the window input per
+       group is now O(margin * n), bounded regardless of group size.
+
+    Selection is "the n smallest key hashes per group": uniform,
+    repartition-stable, and IDENTICAL to what the naive full window would
+    pick (the pre-filter keeps every hash below a rate threshold that is,
+    with probability ~1 for margin >= 2, above the true n-th smallest;
+    see the test asserting equality against the naive plan). In the
+    astronomically unlucky draw where a group's pre-filter keeps fewer
+    than min(n, count) rows, the result under-fills rather than biases —
+    detectable by the caller comparing output counts to min(n, count).
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gc"))
+    u = _unit_uniform(F.col(key_col), seed)
+    rate = F.least(F.lit(1.0), F.lit(margin * n) / F.col("_gc"))
+    pre = (df.join(counts, group_col)
+           .filter(u < rate))
+    # rank by the SAME uniform the pre-filter thresholds on (ordering by
+    # raw signed xxhash64 would rank the negative hashes first — exactly
+    # the rows the unsigned-derived pre-filter removed)
+    w = Window.partitionBy(group_col).orderBy(
+        _unit_uniform(F.col(key_col), seed), F.col(key_col))
+    return (pre.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .drop("_rn", "_gc"))

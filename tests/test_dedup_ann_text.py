@@ -672,3 +672,60 @@ class TestIncrementalDedup:
                  for r in full.collect()
                  if (r["id_a"] >= 100) != (r["id_b"] >= 100)}
         assert inc == cross and (100, 1) in inc
+
+
+class TestCappedTakePerGroup:
+    """Per-domain quota: bounded window input, selection identical to the
+    naive full window."""
+
+    def _corpus(self, spark):
+        rows = ([(i, "bighost") for i in range(500)]
+                + [(1000 + i, "midhost") for i in range(12)]
+                + [(2000 + i, "tinyhost") for i in range(3)])
+        return spark.createDataFrame(rows, "doc_id long, host string")
+
+    def test_exact_caps_and_naive_equivalence(self, spark):
+        from fever_spark.operators.sampling import (_unit_uniform,
+                                                    capped_take_per_group)
+        from pyspark.sql import Window
+
+        df = self._corpus(spark)
+        got = capped_take_per_group(df, "host", 10, "doc_id")
+        sizes = {r["host"]: r["count"] for r in
+                 got.groupBy("host").count().collect()}
+        assert sizes == {"bighost": 10, "midhost": 10, "tinyhost": 3}
+
+        # identical selection to the naive (unbounded-window) plan
+        w = Window.partitionBy("host").orderBy(
+            _unit_uniform(F.col("doc_id"), 0), F.col("doc_id"))
+        naive = {r["doc_id"] for r in
+                 df.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") <= 10).collect()}
+        assert {r["doc_id"] for r in got.collect()} == naive
+
+    def test_repartition_stable(self, spark):
+        from fever_spark.operators.sampling import capped_take_per_group
+
+        df = self._corpus(spark)
+        a = {r["doc_id"] for r in
+             capped_take_per_group(df, "host", 7, "doc_id").collect()}
+        b = {r["doc_id"] for r in
+             capped_take_per_group(df.repartition(13), "host", 7,
+                                   "doc_id").collect()}
+        assert a == b and len(a) == 7 + 7 + 3
+
+    def test_prefilter_bounds_window_input(self, spark):
+        """The pre-filter must shrink the oversized group before the
+        window — survivors of the join+filter stage are ~margin*n, not
+        the group size."""
+        from fever_spark.operators.sampling import (_unit_uniform,
+                                                    capped_take_per_group)
+
+        df = self._corpus(spark)
+        # reproduce the operator's pre-filter stage and measure it
+        counts = df.groupBy("host").agg(F.count(F.lit(1)).alias("_gc"))
+        rate = F.least(F.lit(1.0), F.lit(2.0 * 10) / F.col("_gc"))
+        pre_big = (df.join(counts, "host")
+                   .filter(_unit_uniform(F.col("doc_id"), 0) < rate)
+                   .filter(F.col("host") == "bighost").count())
+        assert pre_big < 60     # ~20 expected of 500, never the full group

@@ -243,21 +243,26 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     Returns df with `text_col` replaced (docs reduced to zero paragraphs
     keep an empty string; other columns pass through).
 
-    Shape: posexplode → window rank over xxhash64(paragraph) → filter →
-    re-assemble via sort_array(collect_list(struct(pos, para))). Two
-    shuffles, both bounded: one keyed by paragraph fingerprint (64-bit, so
-    the hot boilerplate key is ONE group — skew there means that group is
-    large, but its payload is (id, pos) pairs, not text, and AQE skew-split
-    handles it), one keyed by doc id for reassembly. Dedup is by 64-bit
-    content fingerprint, not the paragraph string, so the fingerprint
-    shuffle carries 8-byte keys; collisions are ~n²/2^65.
+    Shape: posexplode → min-(id,pos)-per-fingerprint aggregation →
+    semi-join on the unique (id, pos) key → re-assemble via
+    sort_array(collect_list(struct(pos, para))). No window: a
+    fingerprint-partitioned window cannot be skew-split (AQE splits
+    joins, never window partitions) and would shuffle paragraph TEXT on
+    the hot boilerplate fingerprint; the aggregation's partial combine
+    collapses that key map-side over a narrow (fp, id, pos) projection,
+    and text only rides the uniform (id, pos) semi-join and the doc-id
+    reassembly shuffle. Dedup is by 64-bit content fingerprint, not the
+    paragraph string; collisions are ~n²/2^65.
 
     Blank (empty / whitespace-only) paragraphs are EXEMPT from the dedup
     window: they are document structure (consecutive separators = a
     paragraph break), not content — deduping them would strip every blank
     line from all but the corpus-wide first document on reassembly. They
-    also never enter the window shuffle, which matters at scale: every ''
-    in the corpus shares ONE fingerprint, the single worst skew key.
+    also never enter the fingerprint aggregation, which matters at scale:
+    every '' in the corpus shares ONE fingerprint, the single worst skew
+    key. Same id contract as exact_dedup: unique, non-null (a NULL-id doc
+    would claim first occurrence in the min yet match nothing in the
+    semi-join, deleting the paragraph from every document).
     """
     other_cols = [c for c in df.columns if c != text_col]
     paras = df.select(
@@ -271,7 +276,9 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     # aggregation over an (fp, id, pos) projection, then a semi-join of
     # the paragraph rows on the UNIQUE (id, pos) key — uniform, text
     # never rides a skewed shuffle.
-    nb = paras.filter(~is_blank)
+    # nb feeds both the firsts aggregation and the semi-join probe;
+    # materialize so the corpus scan + paragraph explode run once
+    nb = paras.filter(~is_blank).localCheckpoint(eager=False)
     firsts = (nb.select(F.xxhash64("_para").alias("_pfp"),
                         F.col(id_col), F.col("_pos"))
               .groupBy("_pfp")
@@ -382,6 +389,12 @@ def substring_dedup(df: DataFrame, id_col: str = "doc_id",
                      F.transform(toks_expr,
                                  lambda t: F.xxhash64(t)).alias("_h"))
            .select("_id", F.posexplode(roll("_h")).alias("_pos", "_fp")))
+    # fps feeds BOTH the duplicated-firsts aggregation and the join probe;
+    # the roll-UDF subtree does not canonicalize, so without materializing
+    # it the tokenize+hash+rolling-fingerprint pass — the expensive stage —
+    # would run twice (measured ~1.9x on the bench). The checkpointed rows
+    # are (id, pos, fp): 20 bytes per gram, disk-spillable.
+    fps = fps.localCheckpoint(eager=False)
 
     # First-occurrence survival WITHOUT a window: a window partitioned by
     # fingerprint cannot be skew-split (AQE splits joins, never window

@@ -29,7 +29,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -49,8 +49,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     pages) pins every copy on one task. Instead the survivor ids come
     from a min-per-fingerprint aggregation over an (fp, id) projection —
     partial aggregation collapses hot keys map-side — and the full rows
-    semi-join on the UNIQUE id key, which cannot skew. Assumes ids are
-    unique (duplicate ids would all survive the semi-join)."""
+    semi-join on the UNIQUE id key, which cannot skew. CONTRACT: ids must
+    be unique and non-null — duplicate ids would all survive the
+    semi-join, and a content group whose ids are all NULL yields a NULL
+    min that matches nothing (the group would vanish instead of keeping
+    one row)."""
     keep = (df.select(fingerprint(F.col(text_col)).alias("_fp"),
                       F.col(id_col))
             .groupBy("_fp").agg(F.min(id_col).alias(id_col))
@@ -555,7 +558,7 @@ def incremental_exact_dedup(new_df: DataFrame, seen_bloom_bc,
 
     Also dedups WITHIN the new batch (first occurrence by id), so output
     is ingestion-safe: appending it to the corpus keeps the corpus exact-
-    duplicate-free."""
+    duplicate-free. Same id contract as exact_dedup: unique, non-null."""
     from fever_spark.ops.estimate import bloom_contains_col
 
     # within-batch first occurrence WITHOUT a window (same skew argument

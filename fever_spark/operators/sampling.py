@@ -105,19 +105,29 @@ def capped_take_per_group(df: DataFrame, group_col: str, n: int,
 
     Selection is "the n smallest key hashes per group": uniform,
     repartition-stable, and IDENTICAL to what the naive full window would
-    pick (the pre-filter keeps every hash below a rate threshold that is,
-    with probability ~1 for margin >= 2, above the true n-th smallest;
-    see the test asserting equality against the naive plan). In the
-    astronomically unlucky draw where a group's pre-filter keeps fewer
-    than min(n, count) rows, the result under-fills rather than biases —
-    detectable by the caller comparing output counts to min(n, count).
+    pick as long as the pre-filter keeps at least min(n, count) rows per
+    group. The expected survivor count per oversized group is
+    max(margin*n, n + 6*sqrt(n) + 12) — the additive floor matters for
+    SMALL n, where a bare margin*n would under-fill often (Poisson(2n)
+    < n happens 13.5% of the time at n=1); with the floor the miss
+    probability is < ~1e-8 per group, i.e. negligible across millions of
+    domains, and a miss under-fills rather than biases (detectable by
+    comparing output counts to min(n, count)). Rows with a NULL group
+    key form their own group, like the naive window would.
     """
     if n <= 0:
         raise ValueError("n must be positive")
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gc"))
     u = _unit_uniform(F.col(key_col), seed)
-    rate = F.least(F.lit(1.0), F.lit(margin * n) / F.col("_gc"))
-    pre = (df.join(counts, group_col)
+    expected = max(margin * n, n + 6.0 * (n ** 0.5) + 12.0)
+    rate = F.least(F.lit(1.0), F.lit(expected) / F.col("_gc"))
+    # eqNullSafe: an equality join would silently drop every NULL-group
+    # row (malformed hosts etc.); the naive window keeps them as a group
+    pre = (df.alias("l")
+           .join(counts.alias("r"),
+                 F.col(f"l.{group_col}").eqNullSafe(F.col(f"r.{group_col}")))
+           .select([F.col(f"l.{c}") for c in df.columns]
+                   + [F.col("r._gc")])
            .filter(u < rate))
     # rank by the SAME uniform the pre-filter thresholds on (ordering by
     # raw signed xxhash64 would rank the negative hashes first — exactly
@@ -126,4 +136,4 @@ def capped_take_per_group(df: DataFrame, group_col: str, n: int,
         _unit_uniform(F.col(key_col), seed), F.col(key_col))
     return (pre.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= n)
-            .drop("_rn", "_gc"))
+            .select(*df.columns))

@@ -729,3 +729,28 @@ class TestCappedTakePerGroup:
                    .filter(_unit_uniform(F.col("doc_id"), 0) < rate)
                    .filter(F.col("host") == "bighost").count())
         assert pre_big < 60     # ~20 expected of 500, never the full group
+
+    def test_null_group_rows_kept_as_own_group(self, spark):
+        from fever_spark.operators.sampling import capped_take_per_group
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, None), (4, None), (5, None)],
+            "doc_id long, host string")
+        got = capped_take_per_group(df, "host", 2, "doc_id")
+        assert got.columns == ["doc_id", "host"]      # schema order kept
+        null_kept = got.filter(F.col("host").isNull()).count()
+        assert null_kept == 2                          # capped, not dropped
+        assert got.filter(F.col("host") == "a").count() == 2
+
+    def test_small_n_never_underfills(self, spark):
+        """n=1 with a bare margin*1 pre-filter would drop ~13.5% of
+        oversized groups entirely; the additive floor must prevent it —
+        checked across many groups and seeds."""
+        from fever_spark.operators.sampling import capped_take_per_group
+
+        rows = [(g * 1000 + i, f"host{g}") for g in range(40)
+                for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, host string")
+        for seed in (0, 1, 2):
+            got = capped_take_per_group(df, "host", 1, "doc_id", seed=seed)
+            assert got.count() == 40, f"under-filled at seed={seed}"

@@ -145,3 +145,80 @@ def synth_media(n: int, seed: int = 99) -> pd.DataFrame:
         "payload": payloads,
         "meta": [None] * n,
     })
+
+
+def perceptual_hash(df: DataFrame, pixel_col: str | None = None,
+                    grid: int = 8) -> DataFrame:
+    """media_id + 64-bit average-hash (aHash). The hash MATH is real —
+    downsample grid, threshold at the mean, pack bits — and runs on
+    whichever pixel source exists: ``pixel_col`` (array<float> of
+    grid*grid luma values, the contract a real decoder fills) or, absent
+    that, a DETERMINISTIC FAKE grid derived from the payload digest
+    (stands in for decode; replace with real pixels when codecs exist).
+
+    Near-identical pixel grids → near-identical hashes (Hamming), which
+    is what phash_near_duplicates exploits. One Arrow pass, no shuffle.
+    """
+    n = grid * grid
+    if n > 64:
+        raise ValueError("grid*grid must fit in 64 bits")
+
+    def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            if pixel_col is not None:
+                src = pdf[pixel_col]
+                grids = [np.asarray(v, dtype=np.float64) for v in src]
+            else:
+                grids = [np.frombuffer(
+                    hashlib.shake_256(bytes(p)).digest(n), dtype=np.uint8)
+                    .astype(np.float64) for p in pdf["payload"]]
+            for g in grids:
+                bits = (g > g.mean()).astype(np.uint64)
+                h = np.uint64(0)
+                for b in bits:
+                    h = (h << np.uint64(1)) | b
+                out.append(np.int64(h.astype(np.int64)))
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "phash": out})
+
+    return df.mapInPandas(ahash, schema="media_id long, phash long")
+
+
+def phash_near_duplicates(hashes: DataFrame,
+                          max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance:
+    (id_a, id_b, hamming <= max_hamming). Pigeonhole banding, the same
+    guarantee as the SimHash text path: split the 64 bits into
+    ``max_hamming + 1`` bands — a pair differing in <= max_hamming bits
+    cannot touch every band, so it MUST agree exactly on at least one
+    (recall 1.0 by construction). Candidates come from an equi-join on
+    (band, band_value), verified with JVM bit_count(xor). Never an
+    all-pairs join.
+    """
+    if not (0 <= max_hamming <= 31):
+        raise ValueError("max_hamming must be in [0, 31] for 64-bit bands")
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+
+    def band(i):
+        e = F.shiftrightunsigned(F.col("phash"), width * i)
+        if width < 64:  # a full-width mask won't fit a signed int64 literal
+            e = e.bitwiseAND(F.lit((1 << width) - 1))
+        return e
+
+    banded = hashes.select(
+        "media_id", "phash",
+        F.posexplode(F.array(*[band(i) for i in range(n_bands)]))
+        .alias("band", "band_val"))
+    a = banded.select(F.col("media_id").alias("id_a"),
+                      F.col("phash").alias("h_a"), "band", "band_val")
+    b = banded.select(F.col("media_id").alias("id_b"),
+                      F.col("phash").alias("h_b"), "band", "band_val")
+    return (a.join(b, ["band", "band_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming",
+                        F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+            .dropDuplicates(["id_a", "id_b"]))

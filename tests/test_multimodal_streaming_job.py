@@ -173,3 +173,77 @@ class TestSketchJobResume:
                  pages.groupBy("lang").agg(F.countDistinct("url").alias("n")).collect()}
         for lang, n in exact.items():
             assert abs(est[lang] - n) / n <= 4 * 1.04 / (2 ** 6), lang
+
+
+class TestPerceptualHashDedup:
+    """aHash + Hamming-banded near-dup over the pixel-grid contract."""
+
+    def _pixels(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        base = rng.random(64)
+        near = base.copy()
+        near[13] = 1.0 - near[13]            # one cell flipped
+        rows = [(1, base.tolist()), (2, near.tolist())]
+        rows += [(10 + i, rng.random(64).tolist()) for i in range(20)]
+        return spark.createDataFrame(rows,
+                                     "media_id long, pixels array<double>")
+
+    def test_planted_near_pair_found_no_fp(self, spark):
+        from fever_spark.multimodal.binary import (perceptual_hash,
+                                                   phash_near_duplicates)
+
+        df = self._pixels(spark)
+        hashes = perceptual_hash(df, pixel_col="pixels")
+        pairs = phash_near_duplicates(hashes, max_hamming=4).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1, 2) in got
+        # random 64-cell grids differ in ~32 bits — none within 4
+        assert got == {(1, 2)}
+
+    def test_payload_fallback_is_deterministic(self, spark):
+        from fever_spark.multimodal.binary import perceptual_hash, synth_media
+
+        pdf = synth_media(20)
+        df = spark.createDataFrame(pdf[["media_id", "payload"]])
+        a = {r["media_id"]: r["phash"] for r in perceptual_hash(df).collect()}
+        b = {r["media_id"]: r["phash"] for r in
+             perceptual_hash(df.repartition(7)).collect()}
+        assert a == b and len(a) == 20
+
+    def test_pigeonhole_recall_at_exact_budget(self, spark):
+        """A pair at EXACTLY max_hamming distance, spread adversarially
+        one bit per band, must still be found (bands = max_hamming + 1
+        leaves one untouched band)."""
+        from fever_spark.multimodal.binary import phash_near_duplicates
+
+        h_a = 0
+        max_h = 6
+        width = 64 // (max_h + 1)
+        h_b = 0
+        for i in range(max_h):          # flip one bit in bands 0..5
+            h_b |= 1 << (i * width)
+        df = spark.createDataFrame([(1, h_a), (2, h_b)],
+                                   "media_id long, phash long")
+        pairs = phash_near_duplicates(df, max_hamming=max_h).collect()
+        assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == \
+            [(1, 2, max_h)]
+        # one bit beyond the budget: correctly rejected by the verify
+        df2 = spark.createDataFrame(
+            [(1, h_a), (2, h_b | (1 << 62))],
+            "media_id long, phash long")
+        assert phash_near_duplicates(df2, max_hamming=max_h).count() == 0
+
+    def test_identical_payloads_collide_exactly(self, spark):
+        from fever_spark.multimodal.binary import (perceptual_hash,
+                                                   phash_near_duplicates)
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"same-bytes")), (2, bytearray(b"same-bytes")),
+             (3, bytearray(b"other-bytes"))],
+            "media_id long, payload binary")
+        pairs = phash_near_duplicates(perceptual_hash(df),
+                                      max_hamming=0).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+        assert all(r["hamming"] == 0 for r in pairs)

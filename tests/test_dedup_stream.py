@@ -115,3 +115,30 @@ class TestExactStreamDedup:
             assert got == {1, 2, 4}
         finally:
             q.stop()
+
+
+class TestBloomDedupStateFn:
+    """Direct unit drive of the state function's TTL branch (the engine
+    fires it with hasTimedOut=True; processAllAvailable can't — see
+    session_collector_stream's docstring)."""
+
+    class _FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = True
+            self.removed = False
+
+        def remove(self):
+            self.removed = True
+
+    def test_timeout_removes_state_and_emits_nothing(self):
+        from pyspark.sql import types as T
+        from fever_spark.streaming.dedup_stream import _make_bloom_dedup_fn
+
+        schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                               T.StructField("_fp", T.LongType())])
+        fn = _make_bloom_dedup_fn(schema, capacity=100, fpp=1e-4,
+                                  ttl_ms=1000)
+        state = self._FakeState()
+        out = list(fn(("bucket",), iter([]), state))
+        assert out == [] and state.removed

@@ -1,0 +1,93 @@
+"""WARC reader: spec-driven record parsing (plain + multi-member gzip),
+response filtering, HTTP envelope stripping, pages-table conversion,
+malformed-record tolerance."""
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from fever_spark.sources.warc import (parse_warc_records, read_warc,
+                                      warc_to_pages)
+
+
+def _record(rtype, url, date, payload,
+            ctype=b"application/http; msgtype=response"):
+    head = (b"WARC/1.0\r\n"
+            b"WARC-Type: " + rtype + b"\r\n"
+            b"WARC-Target-URI: " + url + b"\r\n"
+            b"WARC-Date: " + date + b"\r\n"
+            b"Content-Type: " + ctype + b"\r\n"
+            b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+            b"\r\n")
+    return head + payload + b"\r\n\r\n"
+
+
+def _http(body: bytes) -> bytes:
+    return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body)
+
+
+def _archive():
+    return (
+        _record(b"request", b"http://a.example/x",
+                b"2026-02-01T00:00:00Z", b"GET /x HTTP/1.1")
+        + _record(b"response", b"http://a.example/x",
+                  b"2026-02-01T00:00:01Z",
+                  _http(b"<html><body>Alpha page body</body></html>"))
+        + _record(b"response", b"http://b.example/y",
+                  b"2026-02-01T00:00:02Z",
+                  _http(b"<html><body>Beta page body</body></html>"))
+    )
+
+
+class TestWarcParsing:
+    def test_record_level_parse(self):
+        recs = parse_warc_records(_archive())
+        assert [r["type"] for r in recs] == ["request", "response",
+                                             "response"]
+        assert recs[1]["url"] == "http://a.example/x"
+        assert recs[1]["payload"].startswith(b"HTTP/1.1 200")
+
+    def test_malformed_garbage_between_records_resyncs(self):
+        data = (_archive()[:40] + b"GARBAGE NO HEADER END"
+                + _record(b"response", b"http://c.example/z",
+                          b"2026-02-01T00:00:03Z", _http(b"<html>ok</html>")))
+        recs = parse_warc_records(data)
+        assert any(r["url"] == "http://c.example/z" for r in recs)
+
+    def test_truncated_tail_kept_records_survive(self):
+        full = _archive()
+        recs = parse_warc_records(full[: len(full) - 30])  # cut last record
+        assert len(recs) == 2                # request + first response
+
+
+class TestWarcSpark:
+    def _write(self, tmp_path, name, data):
+        p = tmp_path / name
+        p.write_bytes(data)
+        return str(tmp_path)
+
+    def test_plain_and_multimember_gzip(self, spark, tmp_path):
+        (tmp_path / "a.warc").write_bytes(_archive())
+        # multi-member gzip: each record its own member (the Common Crawl
+        # layout)
+        members = b"".join(gzip.compress(r) for r in [
+            _record(b"response", b"http://g.example/1",
+                    b"2026-02-02T00:00:00Z", _http(b"<html>one</html>")),
+            _record(b"response", b"http://g.example/2",
+                    b"2026-02-02T00:00:01Z", _http(b"<html>two</html>")),
+        ])
+        (tmp_path / "b.warc.gz").write_bytes(members)
+        df = read_warc(spark, str(tmp_path))
+        rows = {r["url"]: r for r in df.collect()}
+        assert set(rows) == {"http://a.example/x", "http://b.example/y",
+                             "http://g.example/1", "http://g.example/2"}
+        assert bytes(rows["http://a.example/x"]["html"]).startswith(b"<html>")
+        assert rows["http://g.example/2"]["warc_ts"] is not None
+
+    def test_warc_to_pages_extracts_text(self, spark, tmp_path):
+        (tmp_path / "a.warc").write_bytes(_archive())
+        pages = warc_to_pages(read_warc(spark, str(tmp_path)))
+        assert pages.columns == ["url", "warc_ts", "html", "text"]
+        got = {r["url"]: r["text"] for r in pages.collect()}
+        assert "Alpha page body" in got["http://a.example/x"]
+        assert "<html>" not in got["http://a.example/x"]

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["read_warc", "warc_to_pages"]
+__all__ = ["read_warc", "read_wet", "warc_to_pages"]
 
 _CRLF2 = b"\r\n\r\n"
 
@@ -140,3 +140,29 @@ def warc_to_pages(warc_df: DataFrame) -> DataFrame:
     return warc_df.select(
         "url", "warc_ts", "html",
         extract_text(html_str).alias("text"))
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET archives (Common Crawl's pre-extracted text: WARC files whose
+    ``conversion`` records carry plain UTF-8 text) → (url, warc_ts, text).
+    Same parser, different record filter — the fast path when the crawl
+    provider already ran extraction."""
+    files = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for r in parse_warc_records(_gunzip_members(bytes(content))):
+                    if r["type"] != "conversion":
+                        continue
+                    rows.append((r["url"], r["date"],
+                                 r["payload"].decode("utf-8", "replace")))
+            yield pd.DataFrame(rows, columns=["url", "warc_date", "text"])
+
+    parsed = files.mapInPandas(
+        parse, schema="url string, warc_date string, text string")
+    return parsed.withColumn(
+        "warc_ts", F.to_timestamp("warc_date")) \
+        .select("url", "warc_ts", "text")

@@ -91,3 +91,21 @@ class TestWarcSpark:
         got = {r["url"]: r["text"] for r in pages.collect()}
         assert "Alpha page body" in got["http://a.example/x"]
         assert "<html>" not in got["http://a.example/x"]
+
+
+class TestWet:
+    def test_wet_conversion_records(self, spark, tmp_path):
+        from fever_spark.sources.warc import read_wet
+
+        rec = _record(b"conversion", b"http://w.example/t",
+                      b"2026-02-03T00:00:00Z",
+                      "extracted text café here".encode(),
+                      ctype=b"text/plain")
+        other = _record(b"response", b"http://w.example/r",
+                        b"2026-02-03T00:00:01Z", _http(b"<html>x</html>"))
+        (tmp_path / "c.warc").write_bytes(rec + other)
+        got = read_wet(spark, str(tmp_path)).collect()
+        assert len(got) == 1
+        assert got[0]["url"] == "http://w.example/t"
+        assert got[0]["text"] == "extracted text café here"
+        assert got[0]["warc_ts"] is not None

@@ -151,7 +151,10 @@ def incremental_embedding_neardup(new_df: DataFrame,
     assigned = (new_df.select(F.col(id_col).alias("new_id"),
                               F.col(vec_col).alias("v"))
                 .withColumn("cell",
-                            F.explode(probe_cells(F.col("v")))))
+                            F.explode(probe_cells(F.col("v"))))
+                # consumed by the probed-cells collect AND the cogroup —
+                # without materialization the probe UDF would run twice
+                .localCheckpoint(eager=False))
     probed = [int(r["cell"]) for r in
               assigned.select("cell").distinct().collect()]
     old = (old_with_cells.filter(F.col("cell").isin(probed))

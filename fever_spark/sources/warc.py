@@ -14,11 +14,17 @@ parallelism = file count and task memory = one archive + its records.
 Multi-member gzip (how Common Crawl concatenates per-record compression)
 is handled by looping zlib over ``unused_data``. Malformed records are
 skipped, never fatal — the fever input discipline
-(input/input_socket.go:94-101 logs-and-skips) applied to archives.
+(input/input_socket.go:94-101 logs-and-skips) applied to archives: bad
+Content-Length values (including negative — which would otherwise
+re-parse the same bytes forever), folded headers, chunked
+transfer-encoding, gzip/deflate content-encoding, and non-UTF-8 bodies
+are all handled or tolerated, never crash-the-job.
 """
 
 from __future__ import annotations
 
+import html as _htmllib
+import re
 import zlib
 from typing import Iterator
 
@@ -26,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["read_warc", "read_wet", "warc_to_pages"]
+__all__ = ["read_warc", "read_wet", "warc_to_pages", "html_to_text"]
 
 _CRLF2 = b"\r\n\r\n"
 
@@ -52,7 +58,9 @@ def parse_warc_records(data: bytes) -> list[dict]:
     """All records of one (decompressed) WARC stream as dicts with keys
     type, url, date, content_type, payload. Spec-driven: header block →
     CRLFCRLF → Content-Length payload → CRLFCRLF. Records that fail to
-    parse are skipped."""
+    parse are skipped, and the cursor only ever moves FORWARD — a
+    negative or garbage Content-Length must not re-parse the same bytes
+    (the infinite-loop shape a malicious record would otherwise cause)."""
     records = []
     pos = 0
     n = len(data)
@@ -62,12 +70,14 @@ def parse_warc_records(data: bytes) -> list[dict]:
             break
         head = data[pos:head_end]
         if not head.startswith(b"WARC/"):
-            # resync: find the next record marker
+            # resync: find the next record marker, strictly forward
             nxt = data.find(b"WARC/", pos + 1)
             if nxt < 0:
                 break
             pos = nxt
             continue
+        # unfold continuation lines (ISO 28500 inherits RFC-style folding)
+        head = head.replace(b"\r\n ", b" ").replace(b"\r\n\t", b" ")
         headers = {}
         for line in head.split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
@@ -76,7 +86,9 @@ def parse_warc_records(data: bytes) -> list[dict]:
         try:
             length = int(headers.get(b"content-length", b""))
         except ValueError:
-            pos = head_end + 4
+            length = -1
+        if length < 0:
+            pos = head_end + 4  # skip the bad record, keep moving forward
             continue
         body_start = head_end + 4
         body_end = body_start + length
@@ -84,8 +96,8 @@ def parse_warc_records(data: bytes) -> list[dict]:
             break  # truncated archive
         records.append({
             "type": headers.get(b"warc-type", b"").decode("ascii", "replace"),
-            "url": headers.get(b"warc-target-uri", b"") .decode("utf-8",
-                                                                "replace"),
+            "url": headers.get(b"warc-target-uri", b"").decode("utf-8",
+                                                               "replace"),
             "date": headers.get(b"warc-date", b"").decode("ascii", "replace"),
             "content_type": headers.get(b"content-type", b"")
             .decode("ascii", "replace"),
@@ -95,51 +107,110 @@ def parse_warc_records(data: bytes) -> list[dict]:
     return records
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Undo HTTP/1.1 chunked transfer framing; tolerant of truncation."""
+    out = []
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            break
+        size_tok = body[pos:eol].split(b";")[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        chunk = body[eol + 2:eol + 2 + size]
+        out.append(chunk)
+        if len(chunk) < size:
+            break  # truncated
+        pos = eol + 2 + size + 2  # skip chunk + its CRLF
+    return b"".join(out) if out else body
+
+
 def _http_body(payload: bytes) -> bytes:
-    """Strip the HTTP response envelope of an application/http payload."""
+    """Strip the HTTP response envelope of an application/http payload,
+    undoing chunked transfer-encoding and gzip/deflate content-encoding
+    when the captured response used them (wget/heritrix WARCs commonly
+    do; Common Crawl's are already identity-encoded)."""
     sep = payload.find(_CRLF2)
-    return payload[sep + 4:] if sep >= 0 else payload
+    if sep < 0:
+        return payload
+    head = payload[:sep].decode("latin-1", "replace").lower()
+    body = payload[sep + 4:]
+    if "transfer-encoding" in head and "chunked" in head:
+        body = _dechunk(body)
+    if "content-encoding" in head:
+        if "gzip" in head:
+            body = _gunzip_members(body)
+        elif "deflate" in head:
+            for wbits in (-zlib.MAX_WBITS, zlib.MAX_WBITS):
+                try:
+                    body = zlib.decompress(body, wbits)
+                    break
+                except zlib.error:
+                    continue
+    return body
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """WARC archive files → one row per **response** record:
-    (url, warc_ts, content_type, html binary, warc_file)."""
+_TAG_BLOCKS = re.compile(rb"(?is)<(script|style)[^>]*>.*?</\1>")
+_TAGS = re.compile(rb"(?s)<[^>]*>")
+_WS = re.compile(r"\s+")
+
+
+def html_to_text(raw: bytes) -> str:
+    """Real-world HTML → text: drop script/style blocks, strip tags,
+    unescape entities, collapse whitespace — with the UTF-8 decode
+    replacement-tolerant (crawl bodies are routinely latin-1 / truncated
+    UTF-8; a strict decode would abort the job). A regex tag-stripper is
+    deliberately simple — a boilerplate-aware extractor (trafilatura
+    class) slots in here behind the same bytes→str signature; the
+    CORPUS-CONTRACT extractor with its byte-identity gate remains
+    functions/text.extract_text over the synth envelope."""
+    b = _TAGS.sub(b" ", _TAG_BLOCKS.sub(b" ", raw))
+    return _WS.sub(" ", _htmllib.unescape(b.decode("utf-8",
+                                                   "replace"))).strip()
+
+
+def _read_records(spark: SparkSession, path: str, warc_type: str,
+                  build_row, schema: str) -> DataFrame:
+    """Shared scaffold for WARC-family readers: binaryFile → per-file
+    record parse → rows of ``build_row(record, path)`` for records of
+    ``warc_type``."""
     files = spark.read.format("binaryFile").load(path) \
         .select("path", "content")
+    columns = [f.split(" ")[0] for f in schema.split(", ")]
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for path_, content in zip(pdf["path"], pdf["content"]):
                 for r in parse_warc_records(_gunzip_members(bytes(content))):
-                    if r["type"] != "response":
+                    if r["type"] != warc_type:
                         continue
-                    body = (_http_body(r["payload"])
-                            if "application/http" in r["content_type"]
-                            else r["payload"])
-                    rows.append((r["url"], r["date"], r["content_type"],
-                                 body, path_))
-            yield pd.DataFrame(rows, columns=["url", "warc_date",
-                                              "content_type", "html",
-                                              "warc_file"])
+                    rows.append(build_row(r, path_))
+            yield pd.DataFrame(rows, columns=columns)
 
-    parsed = files.mapInPandas(
-        parse, schema="url string, warc_date string, content_type string, "
-                      "html binary, warc_file string")
+    return files.mapInPandas(parse, schema=schema)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC archive files → one row per **response** record:
+    (url, content_type, html binary, warc_file, warc_ts)."""
+    def row(r, path_):
+        body = (_http_body(r["payload"])
+                if "application/http" in r["content_type"]
+                else r["payload"])
+        return (r["url"], r["date"], r["content_type"], body, path_)
+
+    parsed = _read_records(
+        spark, path, "response", row,
+        "url string, warc_date string, content_type string, "
+        "html binary, warc_file string")
     return parsed.withColumn(
         "warc_ts", F.to_timestamp("warc_date")).drop("warc_date")
-
-
-def warc_to_pages(warc_df: DataFrame) -> DataFrame:
-    """Response records → the pages-table shape (url, warc_ts, html,
-    text): html bytes decoded as UTF-8 (replacement on errors) and run
-    through the library's deterministic text extraction."""
-    from fever_spark.functions.text import extract_text
-
-    html_str = F.decode(F.col("html"), "UTF-8")
-    return warc_df.select(
-        "url", "warc_ts", "html",
-        extract_text(html_str).alias("text"))
 
 
 def read_wet(spark: SparkSession, path: str) -> DataFrame:
@@ -147,22 +218,27 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     ``conversion`` records carry plain UTF-8 text) → (url, warc_ts, text).
     Same parser, different record filter — the fast path when the crawl
     provider already ran extraction."""
-    files = spark.read.format("binaryFile").load(path) \
-        .select("path", "content")
+    def row(r, path_):
+        return (r["url"], r["date"], r["payload"].decode("utf-8", "replace"))
 
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for content in pdf["content"]:
-                for r in parse_warc_records(_gunzip_members(bytes(content))):
-                    if r["type"] != "conversion":
-                        continue
-                    rows.append((r["url"], r["date"],
-                                 r["payload"].decode("utf-8", "replace")))
-            yield pd.DataFrame(rows, columns=["url", "warc_date", "text"])
-
-    parsed = files.mapInPandas(
-        parse, schema="url string, warc_date string, text string")
+    parsed = _read_records(spark, path, "conversion", row,
+                           "url string, warc_date string, text string")
     return parsed.withColumn(
         "warc_ts", F.to_timestamp("warc_date")) \
         .select("url", "warc_ts", "text")
+
+
+def warc_to_pages(warc_df: DataFrame) -> DataFrame:
+    """Response records → the pages-table shape (url, warc_ts, html,
+    text), extracting text with the tolerant real-world extractor
+    (html_to_text) in one Arrow pass — never a strict JVM decode, which
+    aborts the job on the non-UTF-8 bytes every real crawl contains."""
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[["url", "warc_ts", "html"]].copy()
+            pdf["text"] = [html_to_text(bytes(b)) for b in pdf["html"]]
+            yield pdf
+
+    return warc_df.mapInPandas(
+        extract, schema="url string, warc_ts timestamp, html binary, "
+                        "text string")

@@ -61,11 +61,6 @@ class TestWarcParsing:
 
 
 class TestWarcSpark:
-    def _write(self, tmp_path, name, data):
-        p = tmp_path / name
-        p.write_bytes(data)
-        return str(tmp_path)
-
     def test_plain_and_multimember_gzip(self, spark, tmp_path):
         (tmp_path / "a.warc").write_bytes(_archive())
         # multi-member gzip: each record its own member (the Common Crawl
@@ -109,3 +104,57 @@ class TestWet:
         assert got[0]["url"] == "http://w.example/t"
         assert got[0]["text"] == "extracted text café here"
         assert got[0]["warc_ts"] is not None
+
+
+class TestWarcRobustness:
+    def test_negative_content_length_terminates(self):
+        """CONFIRMED infinite-loop shape before the fix: a negative
+        Content-Length moved the cursor backwards forever."""
+        bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: http://evil.example/\r\n"
+               b"Content-Length: -300\r\n\r\npayload\r\n\r\n")
+        recs = parse_warc_records(bad + _record(
+            b"response", b"http://ok.example/", b"2026-02-01T00:00:00Z",
+            _http(b"<html>fine</html>")))
+        assert [r["url"] for r in recs] == ["http://ok.example/"]
+
+    def test_folded_header_unfolds(self):
+        rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: http://long.example/a\r\n very/long/path\r\n"
+               b"Content-Length: 2\r\n\r\nhi\r\n\r\n")
+        [r] = parse_warc_records(rec)
+        assert r["url"] == "http://long.example/a very/long/path"
+
+    def test_chunked_and_gzip_bodies_decoded(self):
+        import gzip as _gz
+        from fever_spark.sources.warc import _http_body
+
+        chunked = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+                   b"5\r\n<html\r\na\r\n>ok</html>\r\n0\r\n\r\n")
+        assert _http_body(chunked) == b"<html>ok</html>"
+        gz_body = _gz.compress(b"<html>zipped</html>")
+        gz = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + gz_body)
+        assert _http_body(gz) == b"<html>zipped</html>"
+
+    def test_real_world_html_and_bad_utf8(self, spark, tmp_path):
+        """DOCTYPE + attributes + script blocks + latin-1 bytes: the
+        pages conversion must extract readable text, never crash."""
+        from fever_spark.sources.warc import read_warc, warc_to_pages
+
+        body = (b"<!DOCTYPE html><html lang=\"en\"><head>"
+                b"<script>var x = '<nope>';</script>"
+                b"<style>p { color: red }</style></head>"
+                b"<body><p>Caf\xe9 content &amp; more</p></body></html>")
+        (tmp_path / "r.warc").write_bytes(_record(
+            b"response", b"http://real.example/p",
+            b"2026-02-05T00:00:00Z", _http(body)))
+        [row] = warc_to_pages(read_warc(spark, str(tmp_path))).collect()
+        assert "content & more" in row["text"]
+        assert "nope" not in row["text"] and "color" not in row["text"]
+        assert "�" in row["text"]     # latin-1 byte replaced, no crash
+
+    def test_html_to_text_unit(self):
+        from fever_spark.sources.warc import html_to_text
+
+        assert html_to_text(b"<html><body>Alpha page body</body></html>") \
+            == "Alpha page body"

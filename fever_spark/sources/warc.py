@@ -32,7 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["read_warc", "read_wet", "warc_to_pages", "html_to_text"]
+__all__ = ["read_warc", "read_wet", "read_cdx", "warc_to_pages",
+           "html_to_text"]
 
 _CRLF2 = b"\r\n\r\n"
 
@@ -242,3 +243,29 @@ def warc_to_pages(warc_df: DataFrame) -> DataFrame:
     return warc_df.mapInPandas(
         extract, schema="url string, warc_ts timestamp, html binary, "
                         "text string")
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """CDXJ index lines (the Common Crawl URL index: ``<surt> <timestamp>
+    <json>`` per line) → one row per capture with the JSON fields lifted
+    to columns (url, mime, status, digest, length, offset, filename) —
+    the lookup side for targeted WARC fetches (offset+length into the
+    named archive member). Plain line splits + from_json: fully
+    splittable text input, whole-stage codegen, no Python."""
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), " ", 3)
+    meta = F.from_json(
+        parts[2], "url string, mime string, status string, digest string, "
+                  "length string, offset string, filename string")
+    return (lines
+            .filter(F.length(F.trim(F.col("value"))) > 0)
+            .select(parts[0].alias("surt"),
+                    F.to_timestamp(parts[1], "yyyyMMddHHmmss")
+                    .alias("capture_ts"),
+                    meta.alias("m"))
+            .select("surt", "capture_ts", "m.url", "m.mime",
+                    F.col("m.status").cast("int").alias("status"),
+                    "m.digest",
+                    F.col("m.length").cast("long").alias("length"),
+                    F.col("m.offset").cast("long").alias("offset"),
+                    F.col("m.filename").alias("warc_filename")))

@@ -158,3 +158,34 @@ class TestWarcRobustness:
 
         assert html_to_text(b"<html><body>Alpha page body</body></html>") \
             == "Alpha page body"
+
+
+class TestCdx:
+    def test_cdx_index_lines(self, spark, tmp_path):
+        from fever_spark.sources.warc import read_cdx
+
+        lines = [
+            ('com,example)/page1 20260401000000 {"url": "http://example.com/'
+             'page1", "mime": "text/html", "status": "200", "digest": "ABC",'
+             ' "length": "1234", "offset": "5678", "filename": "crawl-00.war'
+             'c.gz"}'),
+            ('com,example)/page2 20260401010203 {"url": "http://example.com/'
+             'page2", "mime": "text/html", "status": "404", "digest": "DEF",'
+             ' "length": "99", "offset": "9999", "filename": "crawl-01.warc.'
+             'gz"}'),
+            "",
+        ]
+        (tmp_path / "idx.cdx").write_text("\n".join(lines))
+        got = {r["surt"]: r for r in
+               read_cdx(spark, str(tmp_path / "idx.cdx")).collect()}
+        assert set(got) == {"com,example)/page1", "com,example)/page2"}
+        r = got["com,example)/page1"]
+        assert r["url"] == "http://example.com/page1"
+        assert (r["status"], r["length"], r["offset"]) == (200, 1234, 5678)
+        assert r["warc_filename"] == "crawl-00.warc.gz"
+        assert r["capture_ts"] is not None
+        # 200s only — the standard fetch-list filter
+        from pyspark.sql import functions as F
+        ok = read_cdx(spark, str(tmp_path / "idx.cdx")) \
+            .filter(F.col("status") == 200).count()
+        assert ok == 1

@@ -32,8 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["read_warc", "read_wet", "read_cdx", "warc_to_pages",
-           "html_to_text"]
+__all__ = ["read_warc", "read_wet", "read_cdx", "fetch_cdx_records",
+           "warc_to_pages", "html_to_text"]
 
 _CRLF2 = b"\r\n\r\n"
 
@@ -269,3 +269,49 @@ def read_cdx(spark: SparkSession, path: str) -> DataFrame:
                     F.col("m.length").cast("long").alias("length"),
                     F.col("m.offset").cast("long").alias("offset"),
                     F.col("m.filename").alias("warc_filename")))
+
+
+def fetch_cdx_records(spark: SparkSession, cdx_df: DataFrame,
+                      warc_dir: str) -> DataFrame:
+    """Targeted fetches: read ONLY the byte ranges the CDX index names —
+    seek ``offset``, read ``length`` from the named archive member,
+    decompress that one gzip member, parse the single record. This is why
+    Common Crawl gzips per record: a million-capture fetch list touches
+    exactly its records' bytes, never whole archives. Tasks fan out over
+    the fetch list (repartitioned so one task handles one archive's
+    ranges, read in offset order — sequential-ish IO per file).
+
+    ``warc_dir`` is the directory holding the archives named by
+    ``warc_filename`` (on a cluster, a mounted/object-store path readable
+    from executors)."""
+    import os
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fname, grp in pdf.groupby("warc_filename"):
+                path = os.path.join(warc_dir, fname)
+                try:
+                    f = open(path, "rb")
+                except OSError:
+                    continue  # missing archive: skip its captures
+                with f:
+                    for _, r in grp.sort_values("offset").iterrows():
+                        f.seek(int(r["offset"]))
+                        raw = f.read(int(r["length"]))
+                        for rec in parse_warc_records(_gunzip_members(raw)):
+                            if rec["type"] != "response":
+                                continue
+                            body = (_http_body(rec["payload"])
+                                    if "application/http"
+                                    in rec["content_type"]
+                                    else rec["payload"])
+                            rows.append((rec["url"], rec["date"], body))
+            yield pd.DataFrame(rows, columns=["url", "warc_date", "html"])
+
+    keyed = cdx_df.select("warc_filename", "offset", "length") \
+        .repartition(F.col("warc_filename"))
+    parsed = keyed.mapInPandas(
+        fetch, schema="url string, warc_date string, html binary")
+    return parsed.withColumn(
+        "warc_ts", F.to_timestamp("warc_date")).drop("warc_date")

@@ -189,3 +189,50 @@ class TestCdx:
         ok = read_cdx(spark, str(tmp_path / "idx.cdx")) \
             .filter(F.col("status") == 200).count()
         assert ok == 1
+
+
+class TestCdxFetch:
+    def test_targeted_range_fetch(self, spark, tmp_path):
+        """Build a per-record-gzipped archive + its CDX with REAL
+        offsets/lengths, fetch a subset through the index, compare
+        bodies."""
+        import gzip
+        import json as _json
+        from fever_spark.sources.warc import fetch_cdx_records, read_cdx
+
+        members, offsets = [], []
+        pos = 0
+        for i in range(6):
+            m = gzip.compress(_record(
+                b"response", f"http://t.example/p{i}".encode(),
+                b"2026-04-02T00:00:00Z",
+                _http(f"<html>body {i}</html>".encode())))
+            offsets.append((pos, len(m)))
+            members.append(m)
+            pos += len(m)
+        (tmp_path / "a-00.warc.gz").write_bytes(b"".join(members))
+        with open(tmp_path / "i.cdx", "w") as f:
+            for i in (1, 4):     # fetch list: only two captures
+                off, ln = offsets[i]
+                f.write(f"com,t)/p{i} 20260402000000 " + _json.dumps({
+                    "url": f"http://t.example/p{i}", "mime": "text/html",
+                    "status": "200", "digest": f"D{i}", "length": str(ln),
+                    "offset": str(off), "filename": "a-00.warc.gz"}) + "\n")
+        idx = read_cdx(spark, str(tmp_path / "i.cdx"))
+        got = {r["url"]: bytes(r["html"]) for r in
+               fetch_cdx_records(spark, idx, str(tmp_path)).collect()}
+        assert set(got) == {"http://t.example/p1", "http://t.example/p4"}
+        assert got["http://t.example/p1"] == b"<html>body 1</html>"
+        assert got["http://t.example/p4"] == b"<html>body 4</html>"
+
+    def test_missing_archive_skipped(self, spark, tmp_path):
+        import json as _json
+        from fever_spark.sources.warc import fetch_cdx_records, read_cdx
+
+        with open(tmp_path / "i.cdx", "w") as f:
+            f.write("com,x)/p 20260402000000 " + _json.dumps({
+                "url": "http://x/p", "mime": "text/html", "status": "200",
+                "digest": "D", "length": "10", "offset": "0",
+                "filename": "nope.warc.gz"}) + "\n")
+        idx = read_cdx(spark, str(tmp_path / "i.cdx"))
+        assert fetch_cdx_records(spark, idx, str(tmp_path)).count() == 0

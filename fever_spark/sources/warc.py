@@ -283,7 +283,10 @@ def fetch_cdx_records(spark: SparkSession, cdx_df: DataFrame,
 
     ``warc_dir`` is the directory holding the archives named by
     ``warc_filename`` (on a cluster, a mounted/object-store path readable
-    from executors)."""
+    from executors). Captures with a missing/null filename are
+    unfetchable and skipped. Skew note: one archive's ranges land on one
+    task — for a fetch list dominated by a single archive, split the CDX
+    frame by offset ranges first."""
     import os
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -229,15 +229,23 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
         .select("url", "warc_ts", "text")
 
 
-def warc_to_pages(warc_df: DataFrame) -> DataFrame:
+def warc_to_pages(warc_df: DataFrame, extractor=None) -> DataFrame:
     """Response records → the pages-table shape (url, warc_ts, html,
-    text), extracting text with the tolerant real-world extractor
-    (html_to_text) in one Arrow pass — never a strict JVM decode, which
-    aborts the job on the non-UTF-8 bytes every real crawl contains."""
+    text), extracting text in one Arrow pass — never a strict JVM decode,
+    which aborts the job on the non-UTF-8 bytes every real crawl contains.
+
+    ``extractor`` is any bytes→str callable; the default is the
+    boilerplate-aware block extractor (sources/boilerplate.py — the
+    jusText/Boilerpipe-class pass the C4/RefinedWeb pipelines run before
+    dedup), which itself degrades to the plain tag-stripper
+    (``html_to_text``) on pages with no content-classified block and on
+    parser failure. Pass ``html_to_text`` explicitly for raw stripping."""
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from fever_spark.sources.boilerplate import extract_main_text
+        fn = extractor or extract_main_text
         for pdf in batches:
             pdf = pdf[["url", "warc_ts", "html"]].copy()
-            pdf["text"] = [html_to_text(bytes(b)) for b in pdf["html"]]
+            pdf["text"] = [fn(bytes(b)) for b in pdf["html"]]
             yield pdf
 
     return warc_df.mapInPandas(
@@ -260,33 +268,60 @@ def read_cdx(spark: SparkSession, path: str) -> DataFrame:
     return (lines
             .filter(F.length(F.trim(F.col("value"))) > 0)
             .select(parts[0].alias("surt"),
-                    F.to_timestamp(parts[1], "yyyyMMddHHmmss")
+                    F.try_to_timestamp(parts[1], F.lit("yyyyMMddHHmmss"))
                     .alias("capture_ts"),
                     meta.alias("m"))
+            # try_cast, not cast: under ANSI mode a malformed numeric field
+            # in ONE index line would otherwise fail the whole scan —
+            # malformed captures must null out (and be skipped at fetch)
             .select("surt", "capture_ts", "m.url", "m.mime",
-                    F.col("m.status").cast("int").alias("status"),
+                    F.col("m.status").try_cast("int").alias("status"),
                     "m.digest",
-                    F.col("m.length").cast("long").alias("length"),
-                    F.col("m.offset").cast("long").alias("offset"),
+                    F.col("m.length").try_cast("long").alias("length"),
+                    F.col("m.offset").try_cast("long").alias("offset"),
                     F.col("m.filename").alias("warc_filename")))
 
 
+def _cdx_fetch_plan(cdx_df: DataFrame, range_bytes: int) -> DataFrame:
+    """The partitioned fetch list behind fetch_cdx_records, exposed so the
+    fan-out behavior is testable: captures keyed by (warc_filename,
+    floor(offset / range_bytes)) so ONE archive's ranges spread over many
+    tasks while each task still reads its sub-range in offset order.
+    Captures that cannot be fetched — null filename OR null offset/length
+    (a malformed CDX line read_cdx couldn't cast) — are dropped here, up
+    front, so a single bad index line never fails a task (the
+    skip-malformed-never-fatal discipline of the whole module)."""
+    return (cdx_df
+            .select("warc_filename", "offset", "length")
+            .filter(F.col("warc_filename").isNotNull()
+                    & F.col("offset").isNotNull()
+                    & F.col("length").isNotNull())
+            .withColumn("range_id",
+                        F.floor(F.col("offset") / F.lit(int(range_bytes))))
+            .repartition(F.col("warc_filename"), F.col("range_id")))
+
+
 def fetch_cdx_records(spark: SparkSession, cdx_df: DataFrame,
-                      warc_dir: str) -> DataFrame:
+                      warc_dir: str,
+                      range_bytes: int = 64 << 20) -> DataFrame:
     """Targeted fetches: read ONLY the byte ranges the CDX index names —
     seek ``offset``, read ``length`` from the named archive member,
     decompress that one gzip member, parse the single record. This is why
     Common Crawl gzips per record: a million-capture fetch list touches
-    exactly its records' bytes, never whole archives. Tasks fan out over
-    the fetch list (repartitioned so one task handles one archive's
-    ranges, read in offset order — sequential-ish IO per file).
+    exactly its records' bytes, never whole archives.
+
+    Skew-proof fan-out: the fetch list is partitioned by
+    ``(warc_filename, floor(offset / range_bytes))`` — a fetch list
+    dominated by a SINGLE archive (the common case when re-fetching one
+    crawl segment) splits into ~filesize/range_bytes tasks instead of
+    serializing on one executor, and each task's reads stay offset-ordered
+    within its 64 MB (default) sub-range, so per-task IO is still
+    sequential-ish.
 
     ``warc_dir`` is the directory holding the archives named by
     ``warc_filename`` (on a cluster, a mounted/object-store path readable
-    from executors). Captures with a missing/null filename are
-    unfetchable and skipped. Skew note: one archive's ranges land on one
-    task — for a fetch list dominated by a single archive, split the CDX
-    frame by offset ranges first."""
+    from executors). Captures with a null filename or null offset/length
+    are unfetchable and skipped, never fatal."""
     import os
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -312,8 +347,7 @@ def fetch_cdx_records(spark: SparkSession, cdx_df: DataFrame,
                             rows.append((rec["url"], rec["date"], body))
             yield pd.DataFrame(rows, columns=["url", "warc_date", "html"])
 
-    keyed = cdx_df.select("warc_filename", "offset", "length") \
-        .repartition(F.col("warc_filename"))
+    keyed = _cdx_fetch_plan(cdx_df, range_bytes)
     parsed = keyed.mapInPandas(
         fetch, schema="url string, warc_date string, html binary")
     return parsed.withColumn(

@@ -236,3 +236,81 @@ class TestCdxFetch:
                 "filename": "nope.warc.gz"}) + "\n")
         idx = read_cdx(spark, str(tmp_path / "i.cdx"))
         assert fetch_cdx_records(spark, idx, str(tmp_path)).count() == 0
+
+    def test_null_offset_capture_skipped_not_fatal(self, spark, tmp_path):
+        """A capture with a present filename but null offset/length (a
+        malformed CDX line the cast nulled) must be skipped like a missing
+        archive — not raise on int(NaN) and fail the whole task."""
+        import gzip
+        import json as _json
+        from fever_spark.sources.warc import fetch_cdx_records, read_cdx
+
+        m = gzip.compress(_record(
+            b"response", b"http://ok.example/p", b"2026-04-02T00:00:00Z",
+            _http(b"<html>good</html>")))
+        (tmp_path / "a.warc.gz").write_bytes(m)
+        with open(tmp_path / "i.cdx", "w") as f:
+            f.write("com,ok)/p 20260402000000 " + _json.dumps({
+                "url": "http://ok.example/p", "status": "200",
+                "length": str(len(m)), "offset": "0",
+                "filename": "a.warc.gz"}) + "\n")
+            f.write("com,bad)/p 20260402000001 " + _json.dumps({
+                "url": "http://bad.example/p", "status": "200",
+                "length": "not-a-number", "offset": "also-bad",
+                "filename": "a.warc.gz"}) + "\n")
+        idx = read_cdx(spark, str(tmp_path / "i.cdx"))
+        got = fetch_cdx_records(spark, idx, str(tmp_path)).collect()
+        assert [r["url"] for r in got] == ["http://ok.example/p"]
+
+    def test_single_archive_fetch_list_fans_out(self, spark, tmp_path):
+        """Skew split: a fetch list dominated by ONE archive must spread
+        over >1 task via (warc_filename, floor(offset/range_bytes))
+        partitioning, with results identical to any other range size."""
+        import gzip
+        import json as _json
+        from fever_spark.sources.warc import (_cdx_fetch_plan,
+                                              fetch_cdx_records, read_cdx)
+
+        members, pos = [], 0
+        with open(tmp_path / "i.cdx", "w") as f:
+            for i in range(24):
+                m = gzip.compress(_record(
+                    b"response", f"http://one.example/p{i}".encode(),
+                    b"2026-04-02T00:00:00Z",
+                    _http(f"<html>body {i} {'x' * 200}</html>".encode())))
+                f.write(f"com,one)/p{i} 20260402000000 " + _json.dumps({
+                    "url": f"http://one.example/p{i}", "status": "200",
+                    "length": str(len(m)), "offset": str(pos),
+                    "filename": "one-big.warc.gz"}) + "\n")
+                members.append(m)
+                pos += len(m)
+        (tmp_path / "one-big.warc.gz").write_bytes(b"".join(members))
+        idx = read_cdx(spark, str(tmp_path / "i.cdx"))
+
+        # the partitioned fetch list spreads the single archive's captures
+        # over multiple tasks when ranges are smaller than the archive.
+        # AQE coalesces this kilobyte-scale shuffle back to one partition
+        # (right at test scale, irrelevant at 100 TB) — turn it off to
+        # observe the hash partitioning the key produces.
+        small = 1024  # ~3 captures per range at ~350 B/member
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            pids = (_cdx_fetch_plan(idx, range_bytes=small)
+                    .select(F.spark_partition_id().alias("pid"))
+                    .distinct().count())
+            assert pids > 1
+            # ...and over exactly one with the archive-sized default
+            one = (_cdx_fetch_plan(idx, range_bytes=64 << 20)
+                   .select(F.spark_partition_id().alias("pid"))
+                   .distinct().count())
+            assert one == 1
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+        got_small = {r["url"]: bytes(r["html"]) for r in fetch_cdx_records(
+            spark, idx, str(tmp_path), range_bytes=small).collect()}
+        got_big = {r["url"]: bytes(r["html"]) for r in fetch_cdx_records(
+            spark, idx, str(tmp_path)).collect()}
+        assert got_small == got_big
+        assert len(got_small) == 24
+        assert got_small["http://one.example/p7"].startswith(b"<html>body 7")

@@ -1428,7 +1428,7 @@ def oracle_sql() -> dict[str, str]:
                 '\b\d{9,16}\b')) AS n_id_number,
               nfc_normalize(regexp_replace(
                 text || ' cafe' || chr(8203) || chr(769) || ' latte',
-                '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]',
+                '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{0080}-\x{009F}\x{200B}-\x{200D}\x{FEFF}]',
                 '', 'g')) AS normalized
             FROM planted
         """,

@@ -124,14 +124,15 @@ def stopword_fraction(text: Column, lang: str = "en") -> Column:
 
 
 def strip_control_chars(text: Column) -> Column:
-    """Remove C0/C1 control characters (keeping \\t \\n \\r — they are
-    document structure), DEL, and the zero-width family
-    (ZWSP/ZWNJ/ZWJ/BOM) — the standard pre-tokenization cleanup for
-    crawled text. Pure codegen regexp_replace, zero Python."""
+    """Remove C0 control characters (keeping \\t \\n \\r — they are
+    document structure), DEL, C1 controls U+0080-U+009F (common residue
+    of mis-decoded latin-1/windows-1252 crawl text), and the zero-width
+    family (ZWSP/ZWNJ/ZWJ/BOM) — the standard pre-tokenization cleanup
+    for crawled text. Pure codegen regexp_replace, zero Python."""
     return F.regexp_replace(
         text,
         "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
-        "\u200B-\u200D\uFEFF]", "")
+        "\u0080-\u009F\u200B-\u200D\uFEFF]", "")
 
 
 def nfc_normalize(text: Column) -> Column:

@@ -26,6 +26,13 @@ Scale shape: annotate/filter are one codegen'd pass; exact dedup is one
 hash-shuffle; LSH is signature UDF + banded equi-join (ids only); cluster
 propagation shuffles only the pair graph; the sample is a filter. Stage
 frames are persisted so per-stage counts don't recompute upstream stages.
+
+Input contract: ``id_col`` must be unique and non-null (duplicate ids all
+survive dedup semi-joins; all-NULL-id groups vanish). Because curate()
+ingests arbitrary parquet corpora, the contract is ENFORCED by default —
+exact_dedup runs with validate=True (one cheap aggregation) and fails
+loud; pass validate_ids=False to skip the check on corpora whose ids are
+known-good (e.g. produced by ingest.py, which assigns them).
 """
 
 from __future__ import annotations
@@ -54,7 +61,8 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
            contamination_ngram: int = 8,
            substring_dedup_k: int | None = None,
            workdir: str | None = None,
-           normalize: bool = False) -> dict:
+           normalize: bool = False,
+           validate_ids: bool = True) -> dict:
     docs = spark.read.parquet(input_path)
     counts = {"input": docs.count()}
     # wall seconds per pipeline stage (stage = work up to its survivor
@@ -139,6 +147,14 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
         _mark(name)
         return df
 
+    # PII redaction and paragraph/substring dedup REWRITE text after the
+    # quality stage annotated n_tokens — recompute it at each text-mutating
+    # stage so the curated output never carries stale (overstated) counts
+    # into a token_col="n_tokens" consumer like pack_documents
+    def _retoken(df):
+        return df.withColumn(
+            "n_tokens", TXT.whitespace_token_count(F.col(text_col)))
+
     def _build_quality():
         base = docs
         if normalize:
@@ -165,9 +181,11 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
                            <= max_dup_word_frac)
         out = annotated.filter(cond).drop("_lang")
         if redact_pii:
-            # same pass as the filter — redaction is a codegen'd projection
-            out = out.withColumn(text_col,
-                                 curation.redact_pii(F.col(text_col)))
+            # same pass as the filter — redaction is a codegen'd
+            # projection; the threshold filter ran on the original text,
+            # but the recorded n_tokens must describe the text we keep
+            out = _retoken(out.withColumn(
+                text_col, curation.redact_pii(F.col(text_col))))
         return out, {}
 
     filtered = _stage(1, "quality_filter", "after_quality_filter",
@@ -180,11 +198,13 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
         # dedup-exempt structure, so such docs reassemble to whitespace)
         filtered = _stage(
             2, "paragraph_dedup", "after_paragraph_dedup",
-            lambda: (curation.paragraph_dedup(filtered, id_col, text_col)
-                     .filter(F.trim(F.col(text_col)) != ""), {}))
+            lambda: (_retoken(
+                curation.paragraph_dedup(filtered, id_col, text_col)
+                .filter(F.trim(F.col(text_col)) != "")), {}))
 
     exact = _stage(3, "exact_dedup", "after_exact_dedup",
-                   lambda: (dedup.exact_dedup(filtered, text_col, id_col),
+                   lambda: (dedup.exact_dedup(filtered, text_col, id_col,
+                                              validate=validate_ids),
                             {}))
 
     if substring_dedup_k:
@@ -195,10 +215,11 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
         # fully-duplicated text — drop them like the paragraph pass does.
         exact = _stage(
             4, "substring_dedup", "after_substring_dedup",
-            lambda: (curation.substring_dedup(exact, id_col, text_col,
-                                              k=substring_dedup_k)
-                     .filter(F.trim(F.col(text_col)) != "")
-                     .drop("removed_tokens"), {}))
+            lambda: (_retoken(
+                curation.substring_dedup(exact, id_col, text_col,
+                                         k=substring_dedup_k)
+                .filter(F.trim(F.col(text_col)) != "")
+                .drop("removed_tokens")), {}))
 
     def _build_near_dup():
         pairs = dedup.minhash_near_duplicates(

@@ -40,7 +40,7 @@ from fever_spark.hashing import hash64
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id", validate: bool = False) -> DataFrame:
     """Keep the lowest-id row per normalized-content fingerprint.
 
     No window: a fingerprint-partitioned window cannot be skew-split
@@ -53,7 +53,22 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     be unique and non-null — duplicate ids would all survive the
     semi-join, and a content group whose ids are all NULL yields a NULL
     min that matches nothing (the group would vanish instead of keeping
-    one row)."""
+    one row). ``validate=True`` enforces the contract with one cheap
+    map-side-combinable aggregation over the id column (count vs
+    countDistinct vs non-null count) and fails loud on violation —
+    turn it on when the ids come from an arbitrary external corpus."""
+    if validate:
+        chk = df.agg(F.count(F.lit(1)).alias("rows"),
+                     F.count(id_col).alias("non_null"),
+                     F.countDistinct(id_col).alias("distinct")).first()
+        if chk["non_null"] != chk["rows"] or chk["distinct"] != chk["rows"]:
+            raise ValueError(
+                f"exact_dedup id contract violated on '{id_col}': "
+                f"{chk['rows']} rows, {chk['non_null']} non-null ids, "
+                f"{chk['distinct']} distinct ids — ids must be unique and "
+                "non-null or duplicate-id rows all survive and all-NULL-id "
+                "content groups vanish. Assign unique ids (e.g. "
+                "xxhash64(url)) before deduplicating.")
     keep = (df.select(fingerprint(F.col(text_col)).alias("_fp"),
                       F.col(id_col))
             .groupBy("_fp").agg(F.min(id_col).alias(id_col))

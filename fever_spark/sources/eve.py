@@ -247,8 +247,10 @@ def per_type_collections(df: DataFrame, base_path: str,
     arbitrary — don't combine overwrite with a cap expecting age
     semantics.
 
-    Returns rows present per collection after the write (one aggregation
-    over the written parquet footers, not a count per type).
+    Returns rows REMAINING per collection — counted after the retention
+    pass, so with a cap set the numbers reflect what survived eviction,
+    not what was written (one aggregation over the surviving parquet
+    footers, not a count per type).
     """
     import os
 
@@ -257,12 +259,6 @@ def per_type_collections(df: DataFrame, base_path: str,
     (df.withColumn("_collection", coll)
      .write.mode(mode).partitionBy("_collection")
      .parquet(base_path))
-
-    spark = df.sparkSession
-    written = {r["_collection"]: r["n"] for r in
-               spark.read.parquet(base_path)
-               .groupBy("_collection").agg(F.count(F.lit(1)).alias("n"))
-               .collect()}
 
     if max_size_bytes is not None:
         for t, frac in MAXCOLLSIZEFRACTIONS.items():
@@ -280,4 +276,9 @@ def per_type_collections(df: DataFrame, base_path: str,
                     break
                 total -= os.path.getsize(p)
                 os.remove(p)
-    return written
+
+    spark = df.sparkSession
+    return {r["_collection"]: r["n"] for r in
+            spark.read.parquet(base_path)
+            .groupBy("_collection").agg(F.count(F.lit(1)).alias("n"))
+            .collect()}

@@ -40,12 +40,26 @@ class StreamingSketchAccumulator:
     ``acc.sketches`` holds {(key..., sketch_name): Sketch} merged over all
     batches so far; ``last_batch_id`` dedupes replayed batches (Spark replays
     the last uncommitted batch on recovery — merging it twice would double-
-    count, so replays are dropped by id)."""
+    count, so replays are dropped by id).
 
-    def __init__(self, keys: list[str], specs: list[SketchSpec], salt: int = 4):
+    Driver-memory contract: the in-memory dict holds one sketch PER GROUP
+    KEY, which is only safe for bounded key domains (lang × window, event
+    types, ...). ``max_keys`` (default 100k) enforces that contract loudly —
+    a million-key groupBy fails with guidance instead of silently OOMing
+    the driver. For unbounded key domains pass ``state_dir``: each batch's
+    merged states are then written to ``state_dir/batch=<id>`` parquet
+    (idempotent overwrite per batch id — the same replay safety as the
+    dict path) and NOTHING is collected to the driver; read the totals back
+    with ``merged_states(spark)``, a distributed two_level_merge over the
+    batch tables (the sketch_job checkpoint layout, jobs/sketch_job.py)."""
+
+    def __init__(self, keys: list[str], specs: list[SketchSpec], salt: int = 4,
+                 max_keys: int = 100_000, state_dir: str | None = None):
         self.keys = list(keys)
         self.specs = list(specs)
         self.salt = salt
+        self.max_keys = max_keys
+        self.state_dir = state_dir
         self.sketches: dict[tuple, object] = {}
         self.last_batch_id = -1
         self.batches_seen = 0
@@ -56,15 +70,44 @@ class StreamingSketchAccumulator:
         merged = two_level_merge(
             build_sketches(batch_df, self.keys, self.specs), self.keys,
             salt=self.salt)
-        for row in merged.collect():
-            key = tuple(row[k] for k in self.keys) + (row["sketch"],)
-            sk = sketch_from_bytes(bytes(row["state"]))
-            if key in self.sketches:
-                self.sketches[key].merge(sk)
-            else:
-                self.sketches[key] = sk
+        if self.state_dir is not None:
+            import os
+
+            merged.write.mode("overwrite").parquet(
+                os.path.join(self.state_dir, f"batch={batch_id}"))
+        else:
+            for row in merged.collect():
+                key = tuple(row[k] for k in self.keys) + (row["sketch"],)
+                sk = sketch_from_bytes(bytes(row["state"]))
+                if key in self.sketches:
+                    self.sketches[key].merge(sk)
+                else:
+                    self.sketches[key] = sk
+            if len(self.sketches) > self.max_keys:
+                raise ValueError(
+                    f"StreamingSketchAccumulator holds {len(self.sketches)} "
+                    f"group keys (> max_keys={self.max_keys}); the in-memory "
+                    "accumulator is for bounded key domains. Pass state_dir= "
+                    "to spill per-batch states to a keyed parquet state "
+                    "table, or raise max_keys if the domain really is "
+                    "bounded.")
         self.last_batch_id = batch_id
         self.batches_seen += 1
+
+    def merged_states(self, spark) -> DataFrame:
+        """Spill mode: the accumulated totals as a DataFrame — one row per
+        (keys..., sketch) with the merged ``state`` — computed distributed
+        (never key-cardinality driver memory)."""
+        import glob
+        import os
+
+        if self.state_dir is None:
+            raise ValueError("merged_states requires state_dir spill mode")
+        dirs = sorted(glob.glob(os.path.join(self.state_dir, "batch=*")))
+        if not dirs:
+            raise FileNotFoundError(f"no batch states under {self.state_dir}")
+        return two_level_merge(spark.read.parquet(*dirs), self.keys,
+                               salt=self.salt)
 
 
 def windowed_counts_stream(stream: DataFrame, keys: list[str], ts_col: str,

@@ -703,6 +703,8 @@ class TestTextNormalization:
         # ZWSP BETWEEN base letter and combining acute: strip must run
         # BEFORE NFC or the output is a non-NFC decomposed residue
         "cafe\u200b\u0301 trap",
+        # C1 controls (mis-decoded windows-1252 residue) must strip too
+        "c1\x85controls\x92here\u009f",
     ]
 
     def test_matches_python_unicodedata(self, spark):
@@ -717,7 +719,7 @@ class TestTextNormalization:
                df.select("i", normalize_text(F.col("t")).alias("n"))
                .collect()}
         rx = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f"
-                        "​-‍﻿]")
+                        "\x80-\x9f​-‍﻿]")
         for i, s in enumerate(self.SAMPLES):
             expect = unicodedata.normalize("NFC", rx.sub("", s))
             assert got[i] == expect, (i, got[i], expect)
@@ -739,7 +741,7 @@ class TestTextNormalization:
                                         "t": self.SAMPLES}))
         expect = [r[0] for r in con.execute(r"""
             SELECT nfc_normalize(regexp_replace(t,
-              '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]',
+              '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{0080}-\x{009F}\x{200B}-\x{200D}\x{FEFF}]',
               '', 'g')) FROM s ORDER BY i""").fetchall()]
         assert got == expect
 

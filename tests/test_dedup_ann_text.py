@@ -48,6 +48,31 @@ class TestExactDedup:
         once = dedup.exact_dedup(docs)
         assert dedup.exact_dedup(once).count() == once.count()
 
+    def test_validate_catches_duplicate_ids(self, spark):
+        import pytest
+
+        bad = spark.createDataFrame(
+            [(1, "text a"), (1, "text b"), (2, "text c")],
+            "doc_id long, text string")
+        with pytest.raises(ValueError, match="unique"):
+            dedup.exact_dedup(bad, validate=True)
+
+    def test_validate_catches_null_ids(self, spark):
+        import pytest
+
+        bad = spark.createDataFrame(
+            [(None, "same text"), (None, "same text"), (3, "other")],
+            "doc_id long, text string")
+        with pytest.raises(ValueError, match="non-null"):
+            dedup.exact_dedup(bad, validate=True)
+        # without validation the all-NULL-id group silently vanishes —
+        # exactly the data loss the flag turns into a loud failure
+        assert dedup.exact_dedup(bad).count() == 1
+
+    def test_validate_passes_clean_ids(self, planted):
+        kept = dedup.exact_dedup(planted, validate=True)
+        assert kept.count() == dedup.exact_dedup(planted).count()
+
 
 class TestMinHashLSH:
     def test_planted_near_dups_found(self, planted):

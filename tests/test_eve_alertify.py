@@ -208,12 +208,13 @@ class TestPerTypeCollections:
         # newest part (capped collections never go empty)
         written = per_type_collections(df.repartition(4), base,
                                        max_size_bytes=4)
-        assert written["dns"] == 200   # counts reflect the full write
         cdir = os.path.join(base, "_collection=dns")
         left = [p for p in os.listdir(cdir) if p.endswith(".parquet")]
         assert len(left) == 1          # all but the newest part dropped
         remaining = spark.read.parquet(base).count()
         assert 0 < remaining < 200
+        # counts reflect what SURVIVED retention, not the full write
+        assert written["dns"] == remaining
 
     def test_append_mode_cap_evicts_prior_generation_first(self, spark,
                                                            tmp_path):

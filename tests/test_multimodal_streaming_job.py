@@ -93,6 +93,47 @@ class TestStreamingSketches:
         acc.process_batch(batch, 0)  # replay of same batch id
         assert acc.sketches[("u",)].estimate() == est1
 
+    def test_high_cardinality_keys_fail_loud(self, spark):
+        """The in-memory dict is for bounded key domains: exceeding
+        max_keys must raise with guidance, not silently grow toward a
+        driver OOM."""
+        acc = StreamingSketchAccumulator(
+            keys=["k"], specs=[SketchSpec("u", "hll", "id", {"p": 10})],
+            max_keys=50)
+        batch = spark.range(500).select(
+            F.col("id"), F.col("id").cast("string").alias("k"))
+        with pytest.raises(ValueError, match="state_dir"):
+            acc.process_batch(batch, 0)
+
+    def test_state_dir_spill_bounds_driver_memory(self, spark, tmp_path):
+        """Spill mode: per-batch merged states land in a keyed parquet
+        state table; the driver dict stays EMPTY even for key counts far
+        beyond max_keys, replays stay idempotent, and merged_states
+        returns the distributed totals."""
+        from fever_spark.ops import hll_estimate_col
+
+        sd = str(tmp_path / "state")
+        acc = StreamingSketchAccumulator(
+            keys=["k"], specs=[SketchSpec("u", "hll", "id", {"p": 12})],
+            max_keys=50, state_dir=sd)
+        b0 = spark.range(500).select(
+            F.col("id"), (F.col("id") % 200).cast("string").alias("k"))
+        b1 = spark.range(500, 1000).select(
+            F.col("id"), (F.col("id") % 200).cast("string").alias("k"))
+        acc.process_batch(b0, 0)
+        acc.process_batch(b1, 1)
+        acc.process_batch(b1, 1)              # replay: overwritten, not doubled
+        assert acc.sketches == {}             # nothing held on the driver
+        assert acc.batches_seen == 2
+        assert os.path.isdir(os.path.join(sd, "batch=0"))
+
+        totals = acc.merged_states(spark) \
+            .withColumn("e", hll_estimate_col(F.col("state")))
+        rows = {r["k"]: r["e"] for r in totals.collect()}
+        assert len(rows) == 200               # 200 keys, one merged row each
+        # each key saw exactly 5 distinct ids across the two batches
+        assert all(abs(v - 5) < 1 for v in rows.values())
+
     def test_windowed_counts_stream_plan(self, spark):
         stream = (spark.readStream.format("rate")
                   .option("rowsPerSecond", 100).load()

@@ -12,6 +12,8 @@ Queries:
   cms_topk          global CMS heavy-hitters over sf events
   dedup_minhash     MinHash-LSH near-dup pairs over sf documents
   grouped_sums      exact grouped aggregation over sf lineitem (A1 analog)
+  crawl_pipeline    raw WARC archives → parse + boilerplate extraction →
+                    curate → training shards (the end-to-end ingest path)
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), FEVER_BENCH_PAGES (default 1_000_000).
@@ -244,6 +246,99 @@ def bench_incremental_dedup(spark):
     return _materialize(kept)
 
 
+N_WARC_PAGES = int(os.environ.get("FEVER_BENCH_WARC_PAGES", "20000"))
+WARC_CACHE = os.path.join(REPO, ".bench_cache", f"warc_{N_WARC_PAGES}")
+_CRAWL_DETAIL = {}
+
+
+def ensure_warc(spark):
+    """Deterministic raw-crawl fixture: N_WARC_PAGES synth pages wrapped in
+    real HTML chrome (nav/cookie-banner/footer the extractor must drop)
+    and packed as per-record-gzipped WARC members across 8 archives — the
+    Common Crawl layout. Generated once, cached on disk; generation is
+    driver-side and excluded from timings like the pages cache."""
+    done = os.path.join(WARC_CACHE, "_DONE")
+    if not os.path.exists(done):
+        import gzip
+
+        os.makedirs(WARC_CACHE, exist_ok=True)
+        pages = synth_pages(N_WARC_PAGES)
+        n_files = 8
+        handles = [open(os.path.join(WARC_CACHE, f"crawl-{i:02d}.warc.gz"),
+                        "wb") for i in range(n_files)]
+        chrome_top = (b"<html><head><script>var t=1;</script></head><body>"
+                      b"<nav><a href='/'>Home</a> <a href='/a'>About</a> "
+                      b"<a href='/c'>Contact</a></nav>"
+                      b"<div id='cookie-banner'>We use cookies. "
+                      b"<a href='/ok'>Accept</a></div><p>")
+        chrome_bot = (b"</p><footer>Copyright 2026 Example. "
+                      b"<a href='/t'>Terms</a></footer></body></html>")
+        for i, (url, text) in enumerate(zip(pages["url"], pages["text"])):
+            body = chrome_top + text.encode() + chrome_bot
+            payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                       + body)
+            rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                   b"WARC-Target-URI: " + url.encode() + b"\r\n"
+                   b"WARC-Date: 2026-06-01T00:00:00Z\r\n"
+                   b"Content-Type: application/http; msgtype=response\r\n"
+                   b"Content-Length: " + str(len(payload)).encode()
+                   + b"\r\n\r\n" + payload + b"\r\n\r\n")
+            handles[i % n_files].write(gzip.compress(rec))
+        for h in handles:
+            h.close()
+        with open(done, "w") as f:
+            f.write("ok")
+    return WARC_CACHE
+
+
+def bench_crawl_pipeline(spark):
+    """The actual 100-TB workload END-TO-END: raw WARC bytes → parse +
+    boilerplate-aware extraction → pages parquet → curate (quality, exact
+    + near dedup) → token-budget training shards. Per-stage wall seconds
+    land in the bench JSON as `crawl_stages` with pages/s through the
+    WARC parse stage (the ingest-bound term)."""
+    import shutil
+    import tempfile
+
+    from fever_spark.jobs.curate import curate
+    from fever_spark.jobs.shard_writer import write_training_shards
+    from fever_spark.sources.warc import read_warc, warc_to_pages
+
+    wdir = ensure_warc(spark)
+    out = tempfile.mkdtemp(prefix="fever_bench_crawl_")
+    try:
+        stages = {}
+        t0 = time.time()
+        pages_dir = os.path.join(out, "pages")
+        (warc_to_pages(read_warc(spark, wdir))
+         .withColumn("doc_id", F.xxhash64("url"))
+         .select("doc_id", "url", "text")
+         .write.parquet(pages_dir))
+        stages["warc_parse_extract"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        curated = os.path.join(out, "curated")
+        man = curate(spark, pages_dir, curated, min_quality=0.3,
+                     min_tokens=3, near_dup_threshold=0.7)
+        stages["curate"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        shards = os.path.join(out, "shards")
+        sman = write_training_shards(spark, curated, shards, budget=200_000)
+        stages["shard_write"] = round(time.time() - t0, 3)
+        total = round(sum(stages.values()), 3)
+        best = _CRAWL_DETAIL.get("total_s")
+        if best is None or total < best:
+            _CRAWL_DETAIL.update(
+                total_s=total, stages=stages,
+                n_pages=N_WARC_PAGES,
+                parse_pages_per_sec=round(
+                    N_WARC_PAGES / stages["warc_parse_extract"], 1),
+                curated=man["counts"]["written"],
+                n_shards=sman["n_shards"])
+        return sman["total_docs"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def bench_grouped_sums(spark):
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     agg = (li.groupBy("l_returnflag", "l_linestatus")
@@ -264,6 +359,7 @@ BENCHES = {
     "incremental_dedup": bench_incremental_dedup,
     "grouped_sums": bench_grouped_sums,
     "curate": bench_curate,
+    "crawl_pipeline": bench_crawl_pipeline,
 }
 
 
@@ -289,6 +385,14 @@ def main(argv=None):
                  "spark.eventLog.rolling.enabled": "false"}
     spark = get_spark(master=args.master, app_name="fever_spark_bench",
                       extra_conf=extra)
+    # Silence DAGScheduler's "non-existent accumulator" ERROR spam: a benign
+    # ContextCleaner-vs-late-task race of the localCheckpoint-heavy
+    # operators (results unaffected, rc=0) that otherwise buries the result
+    # JSON under stack traces. Bench-only — library sessions keep defaults.
+    jvm = spark.sparkContext._jvm
+    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.scheduler.DAGScheduler",
+        jvm.org.apache.logging.log4j.Level.FATAL)
     ensure_pages(spark)  # generation excluded from timings
     if "sketch_pipeline" in args.queries:
         _pages_projected(spark)  # cache materialization excluded from timings
@@ -296,6 +400,8 @@ def main(argv=None):
         _bloom_setup(spark)  # filter load = startup cost, excluded
     if "incremental_dedup" in args.queries:
         _incr_setup(spark)  # corpus-index build = ingestion-time cost
+    if "crawl_pipeline" in args.queries:
+        ensure_warc(spark)  # fixture generation excluded from timings
     if not args.skip_warmup:
         spark.read.parquet(f"{SF_DIR}/events.parquet").count()  # JVM warmup
         # Python-worker warmup: first pandas-UDF stage pays worker fork +
@@ -349,6 +455,8 @@ def main(argv=None):
         result["n_pages"] = N_PAGES
     if "curate" in timings and _CURATE_DETAIL:
         result["curate_stages"] = _CURATE_DETAIL
+    if "crawl_pipeline" in timings and _CRAWL_DETAIL:
+        result["crawl_stages"] = _CRAWL_DETAIL
     print(json.dumps(result))
     spark.stop()
 

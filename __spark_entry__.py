@@ -687,14 +687,23 @@ def q_lang_id(spark, sf_dir):
 def q_quality_filter(spark, sf_dir):
     # per-doc text signals in ONE gate: BPE-ish token count (formerly its
     # own q_token_count entry — folded here to stay under the driver's
-    # 50-entry cap) plus the C4-ish quality gate as a 0/1 flag for EVERY
-    # doc, so both the scorer and the tokenizer are hash-checked per row.
+    # 50-entry cap), the C4-ish quality gate as a 0/1 flag, PLUS (round 4
+    # fold) the C4 line-cleanup length, the C4 document predicate and the
+    # Gopher document-quality predicate (operators/curation.py
+    # c4_clean_lines / c4_doc_conditions / gopher_doc_conditions) — every
+    # rule hash-checked per row against the DuckDB replica.
+    from fever_spark.operators import curation as CUR
+
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         TXT.token_count(F.col("text")).alias("n_tokens"),
         (TXT.quality_score(F.col("text")) >= 0.7)
-        .cast("int").alias("passes_quality"))
+        .cast("int").alias("passes_quality"),
+        F.length(CUR.c4_clean_lines(F.col("text"))).alias("c4_clean_len"),
+        CUR.c4_doc_conditions(F.col("text")).cast("int").alias("c4_keep"),
+        CUR.gopher_doc_conditions(F.col("text")).cast("int")
+        .alias("gopher_keep"))
 
 
 # --------------------------------------------------------------------------
@@ -1366,9 +1375,44 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN trim(text) = '' THEN 0
                           ELSE len(string_split_regex(trim(text), '\\s+')) END AS words,
                      length(text) AS n
-              FROM documents)
-            SELECT doc_id, n_tokens,
-                   (score >= 0.7)::INT AS passes_quality FROM (
+              FROM documents),
+            toks AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS w,
+                     list_filter(string_split(text, chr(10)),
+                                 x -> trim(x) <> '') AS ln
+              FROM documents),
+            rules AS (
+              SELECT doc_id,
+                length(coalesce(array_to_string(list_filter(
+                  string_split(text, chr(10)),
+                  x -> len(regexp_split_to_array(trim(x), '\\s+')) >= 3
+                       AND trim(x) <> ''
+                       AND NOT regexp_matches(trim(x),
+                         '(?i)javascript|lorem ipsum|cookie policy|uses? cookies|terms of (use|service)|privacy policy')
+                       AND regexp_matches(trim(x), '[.!?"'']$')),
+                  chr(10)), '')) AS c4_clean_len,
+                (len(regexp_extract_all(text, '[.!?]')) >= 3
+                 AND NOT contains(text, '{{')
+                 AND NOT regexp_matches(lower(text), 'lorem ipsum'))::INT
+                  AS c4_keep,
+                (len(w) BETWEEN 50 AND 100000
+                  AND length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                      / greatest(len(w), 1) BETWEEN 3 AND 10
+                  AND (len(regexp_extract_all(text, '#'))
+                       + len(regexp_extract_all(text, '\\.\\.\\.|…')))::DOUBLE
+                      / greatest(len(w), 1) <= 0.1
+                  AND len(list_filter(ln, x -> regexp_matches(trim(x), '^[-*•]')))::DOUBLE
+                      / greatest(len(ln), 1) < 0.9
+                  AND len(list_filter(ln, x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$')))::DOUBLE
+                      / greatest(len(ln), 1) < 0.3
+                  AND len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+                      / greatest(len(w), 1) >= 0.8)::INT AS gopher_keep
+              FROM toks)
+            SELECT q.doc_id, n_tokens,
+                   (score >= 0.7)::INT AS passes_quality,
+                   rules.c4_clean_len, rules.c4_keep, rules.gopher_keep
+            FROM (
               SELECT doc_id, n_tokens,
                 round(least(
                   alpha_frac * 0.4
@@ -1377,7 +1421,7 @@ def oracle_sql() -> dict[str, str]:
                           BETWEEN 3 AND 12 THEN 1.0 ELSE 0.4 END) * 0.2
                   + (CASE WHEN punct_frac <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2,
                   1.0), 4) AS score
-              FROM q)
+              FROM q) q JOIN rules USING (doc_id)
         """,
         "q_repetition_stats": r"""
             WITH toks AS (

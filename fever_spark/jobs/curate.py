@@ -62,7 +62,9 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
            substring_dedup_k: int | None = None,
            workdir: str | None = None,
            normalize: bool = False,
-           validate_ids: bool = True) -> dict:
+           validate_ids: bool = True,
+           c4_rules: bool = False,
+           gopher_rules: bool = False) -> dict:
     docs = spark.read.parquet(input_path)
     counts = {"input": docs.count()}
     # wall seconds per pipeline stage (stage = work up to its survivor
@@ -111,7 +113,8 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
              "benchmark_path": benchmark_path,
              "contamination_ngram": contamination_ngram,
              "substring_dedup_k": substring_dedup_k,
-             "normalize": normalize}, sort_keys=True)
+             "normalize": normalize, "c4_rules": c4_rules,
+             "gopher_rules": gopher_rules}, sort_keys=True)
         resume_key = hashlib.sha256(payload.encode()).hexdigest()[:16]
         os.makedirs(workdir, exist_ok=True)
 
@@ -163,6 +166,11 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
             # identical contents into distinct dedup keys
             base = docs.withColumn(text_col,
                                    TXT.normalize_text(F.col(text_col)))
+        if c4_rules:
+            # C4's line-level cleanup (Raffel et al. 2020 §2.2) BEFORE
+            # annotation, so n_tokens/quality describe the text that is kept
+            base = base.withColumn(
+                text_col, curation.c4_clean_lines(F.col(text_col)))
         annotated = base.select(
             "*",
             TXT.lang_id(F.col(text_col)).alias("_lang"),
@@ -179,6 +187,13 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
         if max_dup_word_frac is not None:
             cond = cond & (curation.duplicate_word_fraction(F.col(text_col))
                            <= max_dup_word_frac)
+        if c4_rules:
+            cond = cond & curation.c4_doc_conditions(F.col(text_col))
+        if gopher_rules:
+            # Gopher A1 doc-quality rules (Rae et al. 2021); word-count
+            # bounds already enforced by min/max_tokens above
+            cond = cond & curation.gopher_doc_conditions(
+                F.col(text_col), min_words=min_tokens, max_words=max_tokens)
         out = annotated.filter(cond).drop("_lang")
         if redact_pii:
             # same pass as the filter — redaction is a codegen'd
@@ -274,7 +289,8 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
                    "benchmark": benchmark_path,
                    "contamination_ngram": contamination_ngram,
                    "substring_dedup_k": substring_dedup_k,
-                   "normalize": normalize},
+                   "normalize": normalize, "c4_rules": c4_rules,
+                   "gopher_rules": gopher_rules},
         "workdir": workdir,
         "resumed_stages": resumed,
     }
@@ -318,6 +334,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--normalize", action="store_true",
                     help="unicode NFC + control-char strip before any "
                          "fingerprinting")
+    ap.add_argument("--c4-rules", action="store_true",
+                    help="C4 line cleanup + document predicate")
+    ap.add_argument("--gopher-rules", action="store_true",
+                    help="Gopher document-quality predicate")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -334,7 +354,8 @@ def main(argv: list[str] | None = None) -> None:
         benchmark_path=args.benchmark,
         contamination_ngram=args.contamination_ngram,
         substring_dedup_k=args.substring_dedup_k,
-        workdir=args.workdir, normalize=args.normalize)
+        workdir=args.workdir, normalize=args.normalize,
+        c4_rules=args.c4_rules, gopher_rules=args.gopher_rules)
     print(json.dumps(manifest))
     spark.stop()
 

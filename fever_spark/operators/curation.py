@@ -88,6 +88,84 @@ def repetition_filter(df: DataFrame, text_col: str = "text",
                      & (duplicate_word_fraction(t) <= max_dup_word_frac))
 
 
+# ----------------------------------------------------- C4 / Gopher rules
+
+# C4's line-drop markers (Raffel et al. 2020 §2.2, "Colossal Clean Crawled
+# Corpus" heuristics): lines mentioning javascript, the lorem-ipsum filler,
+# and cookie/policy boilerplate are chrome, not content. Case-insensitive.
+C4_LINE_DROP_RE = (r"(?i)javascript|lorem ipsum|cookie policy|"
+                   r"uses? cookies|terms of (use|service)|privacy policy")
+# C4 keeps only lines that end in terminal punctuation.
+C4_TERMINAL_RE = r"[.!?\"']$"
+
+
+def c4_clean_lines(text: Column, min_words: int = 3,
+                   require_terminal: bool = True) -> Column:
+    """C4's LINE-level cleanup as one codegen expression: split on
+    newlines, keep lines with >= min_words words that end in terminal
+    punctuation and match none of the drop markers, rejoin. Zero Python,
+    zero shuffle — runs in the same projection as every other annotate
+    column. (Raffel et al. 2020 §2.2; the pass C4 runs before dedup.)"""
+    def _keep(line: Column) -> Column:
+        trimmed = F.trim(line)
+        words = F.when(trimmed == "", F.lit(0)) \
+            .otherwise(F.size(F.split(trimmed, r"\s+")))
+        cond = (words >= min_words) \
+            & (F.regexp_count(trimmed, F.lit(C4_LINE_DROP_RE)) == 0)
+        if require_terminal:
+            cond = cond & (F.regexp_count(trimmed,
+                                          F.lit(C4_TERMINAL_RE)) > 0)
+        return cond
+
+    return F.array_join(F.filter(F.split(text, "\n"), _keep), "\n")
+
+
+def c4_doc_conditions(text: Column, min_sentences: int = 3) -> Column:
+    """C4's DOCUMENT-level keep predicate: at least ``min_sentences``
+    terminal-punctuation sentence ends, no curly brace (code), no
+    lorem-ipsum filler. Combine with ``df.filter(...)`` or inspect as a
+    boolean column."""
+    return ((F.regexp_count(text, F.lit(r"[.!?]")) >= min_sentences)
+            & ~text.contains("{")
+            & (F.regexp_count(F.lower(text), F.lit("lorem ipsum")) == 0))
+
+
+def gopher_doc_conditions(text: Column, min_words: int = 50,
+                          max_words: int = 100_000) -> Column:
+    """Gopher's document-quality keep predicate (Rae et al. 2021, table
+    A1), all codegen:
+
+    - word count in [min_words, max_words];
+    - mean word length in [3, 10];
+    - symbol-to-word ratio (# and ellipsis) <= 0.1;
+    - < 90% of lines start with a bullet, < 30% end with an ellipsis;
+    - >= 80% of words contain at least one alphabetic character.
+
+    (The 'required stopwords' rule lives in functions/text.stopword_
+    fraction; the repetition rules in duplicate_line/word_fraction —
+    compose as needed.)"""
+    words = _words(text)
+    n_words = F.greatest(F.size(words), F.lit(1)).cast("double")
+    n_chars = F.length(F.regexp_replace(text, r"\s+", "")).cast("double")
+    mean_wl = n_chars / n_words
+    symbols = (F.regexp_count(text, F.lit(r"#"))
+               + F.regexp_count(text, F.lit(r"\.\.\.|…"))).cast("double")
+    lines = F.filter(F.split(text, "\n"),
+                     lambda ln: F.trim(ln) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))) / n_lines
+    ellipsis_frac = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))) / n_lines
+    alpha_frac = F.size(F.filter(
+        words, lambda w: w.rlike(r"[a-z]"))).cast("double") / n_words
+    return ((F.size(words) >= min_words) & (F.size(words) <= max_words)
+            & (mean_wl >= 3) & (mean_wl <= 10)
+            & (symbols / n_words <= 0.1)
+            & (bullet_frac < 0.9) & (ellipsis_frac < 0.3)
+            & (alpha_frac >= 0.8))
+
+
 # ------------------------------------------------------------------ PII
 
 # Order matters: emails first (contain dots/digits), then dotted IPv4,

@@ -251,3 +251,39 @@ def test_curate_normalize_unifies_encoding_variants(spark, tmp_path):
                       min_tokens=1, normalize=True)
     assert man_raw["counts"]["after_exact_dedup"] == 2
     assert man_norm["counts"]["after_exact_dedup"] == 1
+
+
+def test_curate_c4_and_gopher_rules(spark, tmp_path):
+    """C4 line cleanup runs before annotation (cookie lines cut, token
+    counts describe kept text); C4/Gopher doc predicates drop code and
+    degenerate docs."""
+    good_lines = [
+        f"Sentence number {i} carries plenty of proper words along." for i
+        in range(12)]
+    chrome = "We use cookies to improve your experience."
+    rows = [
+        (1, "\n".join(good_lines[:6] + [chrome] + good_lines[6:])),
+        (2, "def f() { return 1; } " + " ".join(
+            f"w{i} filler." for i in range(60))),          # C4: brace
+        (3, " ".join(str(i) for i in range(120)) + "."),    # Gopher: numeric
+        (4, "\n".join(                                      # clean keeper
+            f"Different article line {i} about entirely other topics here."
+            for i in range(12))),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(src)
+    out = str(tmp_path / "out")
+    man = curate(spark, src, out, min_quality=0.0, min_tokens=10,
+                 c4_rules=True, gopher_rules=True)
+    kept = spark.read.parquet(out)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert ids == {1, 4}
+    # the cookie line was cut by the LINE pass before anything counted it
+    [t1] = [r["text"] for r in kept.collect() if r["doc_id"] == 1]
+    assert chrome not in t1
+    from fever_spark.functions.text import whitespace_token_count
+    stale = kept.filter(F.col("n_tokens")
+                        != whitespace_token_count(F.col("text"))).count()
+    assert stale == 0
+    assert man["params"]["c4_rules"] is True

@@ -755,3 +755,91 @@ class TestTextNormalization:
         norm = df.select(fingerprint(normalize_text(F.col("t")))
                          .alias("f")).distinct().count()
         assert raw == 2 and norm == 1
+
+
+class TestC4GopherRules:
+    """C4 (Raffel et al. 2020 §2.2) line/doc rules and Gopher (Rae et al.
+    2021 A1) doc-quality predicate — codegen columns, DuckDB-replicated."""
+
+    LINES = [
+        "This is a proper sentence with enough words.",
+        "Too short.",
+        "no terminal punctuation on this line",
+        "Please enable javascript to view this site.",
+        "We use cookies to improve your browsing experience.",
+        "Another good sentence stays in the document!",
+    ]
+
+    def test_c4_clean_lines_rules(self, spark):
+        from fever_spark.operators.curation import c4_clean_lines
+
+        doc = "\n".join(self.LINES)
+        [row] = spark.createDataFrame([(doc,)], "t string") \
+            .select(c4_clean_lines(F.col("t")).alias("c")).collect()
+        assert row["c"].split("\n") == [self.LINES[0], self.LINES[5]]
+
+    def test_c4_clean_lines_matches_duckdb(self, spark):
+        import duckdb
+        import pandas as pd
+        from fever_spark.operators.curation import c4_clean_lines
+
+        docs = ["\n".join(self.LINES),
+                "One good line that ends with punctuation.",
+                "",
+                "ALL CAPS BUT FINE TOO.\nlowercase no punct",
+                "  Leading space sentence keeps its words.  "]
+        got = [r["c"] for r in
+               spark.createDataFrame([(i, d) for i, d in enumerate(docs)],
+                                     "i long, t string")
+               .select("i", c4_clean_lines(F.col("t")).alias("c"))
+               .orderBy("i").collect()]
+        con = duckdb.connect()
+        con.register("d", pd.DataFrame({"i": range(len(docs)), "t": docs}))
+        expect = [r[0] for r in con.execute(r"""
+            SELECT coalesce(array_to_string(list_filter(string_split(t, chr(10)),
+              x -> len(regexp_split_to_array(trim(x), '\s+')) >= 3
+                   AND trim(x) <> ''
+                   AND NOT regexp_matches(trim(x),
+                     '(?i)javascript|lorem ipsum|cookie policy|uses? cookies|terms of (use|service)|privacy policy')
+                   AND regexp_matches(trim(x), '[.!?"'']$')), chr(10)), '')
+            FROM d ORDER BY i""").fetchall()]
+        assert got == expect
+
+    def test_c4_doc_conditions(self, spark):
+        from fever_spark.operators.curation import c4_doc_conditions
+
+        rows = [
+            (0, "One. Two! Three? All fine sentences here."),   # keep
+            (1, "function f() { return 1; }. Yes. Sure."),      # brace
+            (2, "Lorem ipsum dolor sit amet. Etc. More."),      # filler
+            (3, "Only two. Sentences here."),                   # < 3
+        ]
+        got = {r["i"]: r["keep"] for r in
+               spark.createDataFrame(rows, "i long, t string")
+               .select("i", c4_doc_conditions(F.col("t")).alias("keep"))
+               .collect()}
+        assert got == {0: True, 1: False, 2: False, 3: False}
+
+    def test_gopher_doc_conditions(self, spark):
+        from fever_spark.operators.curation import gopher_doc_conditions
+
+        good = " ".join(f"word{i} fine text here" for i in range(20)) + "."
+        few = "just a handful of words here."
+        bullets = "\n".join(f"- item number {i} listed" for i in range(15)) \
+            + "\n" + " ".join("pad" for _ in range(10))
+        ellipsis = "\n".join(
+            f"teaser line {i} trails off..." for i in range(12))
+        hashes = " ".join("#tag" for _ in range(60))
+        numeric = " ".join(str(i) for i in range(80))
+        rows = list(enumerate([good, few, bullets, ellipsis, hashes,
+                               numeric]))
+        got = {r["i"]: r["keep"] for r in
+               spark.createDataFrame(rows, "i long, t string")
+               .select("i", gopher_doc_conditions(F.col("t"), min_words=40)
+                       .alias("keep")).collect()}
+        assert got[0] is True
+        assert got[1] is False          # too few words
+        assert got[2] is False          # bullet lines >= 90%
+        assert got[3] is False          # ellipsis line endings >= 30%
+        assert got[4] is False          # symbol ratio
+        assert got[5] is False          # alpha-word fraction

@@ -14,6 +14,8 @@ Queries:
   grouped_sums      exact grouped aggregation over sf lineitem (A1 analog)
   crawl_pipeline    raw WARC archives → parse + boilerplate extraction →
                     curate → training shards (the end-to-end ingest path)
+  warc_parse        the parse+extract stage alone (pure file-parallel map;
+                    the scaling-study ingest workload)
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), FEVER_BENCH_PAGES (default 1_000_000).
@@ -263,7 +265,7 @@ def ensure_warc(spark):
 
         os.makedirs(WARC_CACHE, exist_ok=True)
         pages = synth_pages(N_WARC_PAGES)
-        n_files = 8
+        n_files = 32
         handles = [open(os.path.join(WARC_CACHE, f"crawl-{i:02d}.warc.gz"),
                         "wb") for i in range(n_files)]
         chrome_top = (b"<html><head><script>var t=1;</script></head><body>"
@@ -289,6 +291,18 @@ def ensure_warc(spark):
         with open(done, "w") as f:
             f.write("ok")
     return WARC_CACHE
+
+
+def bench_warc_parse(spark):
+    """Parse+extract ONLY — raw WARC bytes to (url, text) rows, no write,
+    no downstream stages: the embarrassingly-parallel map whose scaling
+    with cores is the cleanest ingest-path evidence (bench_scaling.py runs
+    this at two parallelism levels via FEVER_SCALING_QUERY=warc_parse)."""
+    from fever_spark.sources.warc import read_warc, warc_to_pages
+
+    wdir = ensure_warc(spark)
+    return _materialize(warc_to_pages(read_warc(spark, wdir))
+                        .select("url", F.length("text").alias("n")))
 
 
 def bench_crawl_pipeline(spark):
@@ -360,6 +374,7 @@ BENCHES = {
     "grouped_sums": bench_grouped_sums,
     "curate": bench_curate,
     "crawl_pipeline": bench_crawl_pipeline,
+    "warc_parse": bench_warc_parse,
 }
 
 
@@ -400,7 +415,7 @@ def main(argv=None):
         _bloom_setup(spark)  # filter load = startup cost, excluded
     if "incremental_dedup" in args.queries:
         _incr_setup(spark)  # corpus-index build = ingestion-time cost
-    if "crawl_pipeline" in args.queries:
+    if "crawl_pipeline" in args.queries or "warc_parse" in args.queries:
         ensure_warc(spark)  # fixture generation excluded from timings
     if not args.skip_warmup:
         spark.read.parquet(f"{SF_DIR}/events.parquet").count()  # JVM warmup
@@ -453,6 +468,14 @@ def main(argv=None):
     if "sketch_pipeline" in timings:
         result["pages_per_sec"] = round(N_PAGES / timings["sketch_pipeline"], 1)
         result["n_pages"] = N_PAGES
+    if "warc_parse" in timings:
+        result["warc_pages_per_sec"] = round(
+            N_WARC_PAGES / timings["warc_parse"], 1)
+        if "sketch_pipeline" not in timings:
+            # scaling-harness contract: pages_per_sec carries the scaled
+            # workload's throughput when warc_parse is the only pipeline
+            result["pages_per_sec"] = result["warc_pages_per_sec"]
+            result["n_pages"] = N_WARC_PAGES
     if "curate" in timings and _CURATE_DETAIL:
         result["curate_stages"] = _CURATE_DETAIL
     if "crawl_pipeline" in timings and _CRAWL_DETAIL:

@@ -41,7 +41,11 @@ N = int(os.environ.get("FEVER_SCALING_N", "2"))
 FOUR_N = 4 * N
 RUNS = int(os.environ.get("FEVER_SCALING_RUNS", "3"))
 N_PAGES = int(os.environ.get("FEVER_BENCH_PAGES", "10000000"))
-QUERIES = "sketch_pipeline"
+# FEVER_SCALING_QUERY selects the scaled workload: sketch_pipeline (the
+# BASELINE.json headline) or warc_parse (the raw-crawl ingest map; set
+# FEVER_BENCH_WARC_PAGES to size it). bench.py reports pages_per_sec for
+# whichever runs.
+QUERIES = os.environ.get("FEVER_SCALING_QUERY", "sketch_pipeline")
 CTRL_UNITS = 32
 
 
@@ -174,6 +178,7 @@ def main():
 
     report = {
         "n": N, "four_n": FOUR_N, "runs_per_point": RUNS, "n_pages": N_PAGES,
+        "query": QUERIES,
         "control_sec_n": round(ctrl_n, 2), "control_sec_4n": round(ctrl_4n, 2),
         "host_ceiling_efficiency": round(host_ceiling, 3),
         "job_pages_per_sec_n": tp_n, "job_pages_per_sec_4n": tp_4n,

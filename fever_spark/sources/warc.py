@@ -165,10 +165,11 @@ def html_to_text(raw: bytes) -> str:
     """Real-world HTML → text: drop script/style blocks, strip tags,
     unescape entities, collapse whitespace — with the UTF-8 decode
     replacement-tolerant (crawl bodies are routinely latin-1 / truncated
-    UTF-8; a strict decode would abort the job). A regex tag-stripper is
-    deliberately simple — a boilerplate-aware extractor (trafilatura
-    class) slots in here behind the same bytes→str signature; the
-    CORPUS-CONTRACT extractor with its byte-identity gate remains
+    UTF-8; a strict decode would abort the job). This regex stripper is
+    the keep-everything baseline AND the fallback of the boilerplate-aware
+    extractor (sources/boilerplate.extract_main_text, the warc_to_pages
+    default) behind the same bytes→str signature; the CORPUS-CONTRACT
+    extractor with its byte-identity gate remains
     functions/text.extract_text over the synth envelope."""
     b = _TAGS.sub(b" ", _TAG_BLOCKS.sub(b" ", raw))
     return _WS.sub(" ", _htmllib.unescape(b.decode("utf-8",
@@ -177,24 +178,43 @@ def html_to_text(raw: bytes) -> str:
 
 def _read_records(spark: SparkSession, path: str, warc_type: str,
                   build_row, schema: str) -> DataFrame:
-    """Shared scaffold for WARC-family readers: binaryFile → per-file
-    record parse → rows of ``build_row(record, path)`` for records of
-    ``warc_type``."""
-    files = spark.read.format("binaryFile").load(path) \
-        .select("path", "content")
+    """Shared scaffold for WARC-family readers: file listing → path
+    shuffle → per-file record parse inside the task → rows of
+    ``build_row(record, path)`` for records of ``warc_type``.
+
+    Parallelism is PATH-driven, not byte-driven: ``binaryFile`` packs
+    files into ~``spark.sql.files.maxPartitionBytes`` (128 MB) splits, so
+    a directory of sub-128 MB archives — every test corpus, and plenty of
+    real WET/CDX segment layouts — would collapse onto ONE task if the
+    content rode the scan. Instead only the (tiny) path strings shuffle,
+    into min(n_files, 4×parallelism) partitions, and each task streams its
+    files' bytes via pyarrow.fs — which resolves the same file://, s3://,
+    hdfs:// URIs executors would use on a cluster. One archive is still
+    the indivisible unit (WARC records are sequential within a member);
+    fan-out WITHIN one big archive is what fetch_cdx_records' offset-range
+    split is for."""
+    files = spark.read.format("binaryFile").load(path).select("path")
+    n_files = files.count()  # metadata-only: content column never read
+    n_parts = max(1, min(n_files,
+                         spark.sparkContext.defaultParallelism * 4))
     columns = [f.split(" ")[0] for f in schema.split(", ")]
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.fs as pafs
+
         for pdf in batches:
             rows = []
-            for path_, content in zip(pdf["path"], pdf["content"]):
-                for r in parse_warc_records(_gunzip_members(bytes(content))):
+            for path_ in pdf["path"]:
+                fs, fpath = pafs.FileSystem.from_uri(path_)
+                with fs.open_input_stream(fpath) as fh:
+                    content = fh.read()
+                for r in parse_warc_records(_gunzip_members(content)):
                     if r["type"] != warc_type:
                         continue
                     rows.append(build_row(r, path_))
             yield pd.DataFrame(rows, columns=columns)
 
-    return files.mapInPandas(parse, schema=schema)
+    return files.repartition(n_parts).mapInPandas(parse, schema=schema)
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:

@@ -79,6 +79,21 @@ class TestWarcSpark:
         assert bytes(rows["http://a.example/x"]["html"]).startswith(b"<html>")
         assert rows["http://g.example/2"]["warc_ts"] is not None
 
+    def test_many_small_archives_fan_out(self, spark, tmp_path):
+        """Parallelism must be path-driven: binaryFile would pack a
+        directory of small archives into ONE ~128MB split, serializing the
+        parse. The reader shuffles paths instead — 12 small files must
+        land on >1 task."""
+        for i in range(12):
+            (tmp_path / f"f{i:02d}.warc").write_bytes(_record(
+                b"response", f"http://m.example/p{i}".encode(),
+                b"2026-02-01T00:00:00Z", _http(b"<html>tiny</html>")))
+        df = read_warc(spark, str(tmp_path))
+        pids = (df.select(F.spark_partition_id().alias("pid"))
+                .distinct().count())
+        assert pids > 1
+        assert df.count() == 12
+
     def test_warc_to_pages_extracts_text(self, spark, tmp_path):
         (tmp_path / "a.warc").write_bytes(_archive())
         pages = warc_to_pages(read_warc(spark, str(tmp_path)))

@@ -125,3 +125,48 @@ def url_dedup_groups(df, url_col: str = "url", id_col: str = "doc_id"):
             .groupBy("canonical_url")
             .agg(F.count(F.lit(1)).alias("n_dups"),
                  F.min(id_col).alias("keep_id")))
+
+
+# --------------------------------------------------------- domain filtering
+
+
+def host_suffixes(url: Column, max_labels: int = 6) -> Column:
+    """array<string> of the URL host's dot-suffixes, longest first:
+    a.b.example.com → [a.b.example.com, b.example.com, example.com, com]
+    (capped at ``max_labels`` labels — registrable domains are shallow).
+    Pure JVM: split + transform + slice; the join key generator for
+    suffix-matched blocklists."""
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    labels = F.split(host, r"\.")
+    n = F.least(F.size(labels), F.lit(max_labels))
+    return F.filter(
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda i: F.array_join(F.slice(labels, i, F.size(labels)),
+                                           ".")),
+        lambda s: s != "")
+
+
+def is_blocked_domain(url: Column, blocklist) -> Column:
+    """True when the URL's host falls under any blocklisted domain,
+    SUBDOMAINS INCLUDED — the C4-style URL-level filter (bad domains,
+    boilerplate hosts) that runs before content ever parses.
+
+    ``blocklist`` is an iterable of domains; it becomes a literal array in
+    the plan and the check is ``arrays_overlap`` with the row's ≤6 host
+    suffixes — pure whole-stage codegen, ZERO shuffle, zero join, zero
+    Python, never a regex alternation that grows with the list. Literal
+    arrays are the right shape for real blocklists (the public ones are
+    thousands of entries, kilobytes of plan); for a million-domain list,
+    join ``host_suffixes`` exploded against a broadcast domain table
+    instead."""
+    arr = F.array(*[F.lit(d.lower()) for d in blocklist])
+    return F.arrays_overlap(host_suffixes(url), arr)
+
+
+def filter_blocked_domains(df, blocklist, url_col: str = "url",
+                           keep: bool = False):
+    """Rows whose URL host is NOT under a blocklisted domain (or with
+    ``keep=True``, only the blocked rows). One codegen filter on the scan
+    — see is_blocked_domain for the plan shape."""
+    hit = is_blocked_domain(F.col(url_col), blocklist)
+    return df.filter(hit if keep else ~F.coalesce(hit, F.lit(False)))

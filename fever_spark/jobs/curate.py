@@ -64,7 +64,8 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
            normalize: bool = False,
            validate_ids: bool = True,
            c4_rules: bool = False,
-           gopher_rules: bool = False) -> dict:
+           gopher_rules: bool = False,
+           blocked_domains: list[str] | None = None) -> dict:
     docs = spark.read.parquet(input_path)
     counts = {"input": docs.count()}
     # wall seconds per pipeline stage (stage = work up to its survivor
@@ -114,7 +115,9 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
              "contamination_ngram": contamination_ngram,
              "substring_dedup_k": substring_dedup_k,
              "normalize": normalize, "c4_rules": c4_rules,
-             "gopher_rules": gopher_rules}, sort_keys=True)
+             "gopher_rules": gopher_rules,
+             "blocked_domains": sorted(blocked_domains or [])},
+            sort_keys=True)
         resume_key = hashlib.sha256(payload.encode()).hexdigest()[:16]
         os.makedirs(workdir, exist_ok=True)
 
@@ -160,6 +163,11 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
 
     def _build_quality():
         base = docs
+        if blocked_domains:
+            # URL-level filter FIRST: a blocked page should never cost a
+            # parse, a score, or a fingerprint (codegen predicate, no join)
+            from fever_spark.functions.urls import filter_blocked_domains
+            base = filter_blocked_domains(base, blocked_domains)
         if normalize:
             # unicode NFC + control/zero-width strip BEFORE anything
             # fingerprints or tokenizes, so encoding variance can't split
@@ -290,7 +298,8 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
                    "contamination_ngram": contamination_ngram,
                    "substring_dedup_k": substring_dedup_k,
                    "normalize": normalize, "c4_rules": c4_rules,
-                   "gopher_rules": gopher_rules},
+                   "gopher_rules": gopher_rules,
+                   "blocked_domains": blocked_domains},
         "workdir": workdir,
         "resumed_stages": resumed,
     }
@@ -338,6 +347,9 @@ def main(argv: list[str] | None = None) -> None:
                     help="C4 line cleanup + document predicate")
     ap.add_argument("--gopher-rules", action="store_true",
                     help="Gopher document-quality predicate")
+    ap.add_argument("--blocked-domains", default="",
+                    help="comma-separated domains to drop (subdomains "
+                         "included) before any content processing")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -355,7 +367,9 @@ def main(argv: list[str] | None = None) -> None:
         contamination_ngram=args.contamination_ngram,
         substring_dedup_k=args.substring_dedup_k,
         workdir=args.workdir, normalize=args.normalize,
-        c4_rules=args.c4_rules, gopher_rules=args.gopher_rules)
+        c4_rules=args.c4_rules, gopher_rules=args.gopher_rules,
+        blocked_domains=[d for d in args.blocked_domains.split(",") if d]
+        or None)
     print(json.dumps(manifest))
     spark.stop()
 

@@ -843,3 +843,57 @@ class TestC4GopherRules:
         assert got[3] is False          # ellipsis line endings >= 30%
         assert got[4] is False          # symbol ratio
         assert got[5] is False          # alpha-word fraction
+
+
+class TestDomainBlocklist:
+    """URL-level domain filter: suffix semantics, subdomains included,
+    null tolerance, zero-shuffle plan."""
+
+    ROWS = [
+        (1, "https://spam.example/page"),
+        (2, "https://deep.sub.spam.example/x"),
+        (3, "http://notspam.example/y"),        # NOT a suffix match
+        (4, "https://fine.example.org/z"),
+        (5, None),
+        (6, "not a url at all"),
+    ]
+    BLOCK = ["spam.example", "Tracker.NET"]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.ROWS, "doc_id long, url string")
+
+    def test_subdomain_suffix_semantics(self, spark):
+        from fever_spark.functions.urls import filter_blocked_domains
+
+        kept = {r["doc_id"] for r in
+                filter_blocked_domains(self._df(spark), self.BLOCK)
+                .collect()}
+        assert kept == {3, 4, 5, 6}   # nulls/junk kept (no host -> no hit)
+        blocked = {r["doc_id"] for r in
+                   filter_blocked_domains(self._df(spark), self.BLOCK,
+                                          keep=True).collect()}
+        assert blocked == {1, 2}
+
+    def test_case_insensitive(self, spark):
+        from fever_spark.functions.urls import filter_blocked_domains
+
+        df = spark.createDataFrame(
+            [(1, "https://ads.TRACKER.net/p")], "doc_id long, url string")
+        assert filter_blocked_domains(df, self.BLOCK).count() == 0
+
+    def test_zero_shuffle_plan(self, spark):
+        from fever_spark.functions.urls import filter_blocked_domains
+
+        plan = filter_blocked_domains(
+            self._df(spark), self.BLOCK)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan and "Join" not in plan
+
+    def test_suffix_generator(self, spark):
+        from fever_spark.functions.urls import host_suffixes
+
+        [row] = spark.createDataFrame(
+            [("https://a.b.example.com/x?q=1",)], "u string") \
+            .select(host_suffixes(F.col("u")).alias("s")).collect()
+        assert row["s"] == ["a.b.example.com", "b.example.com",
+                            "example.com", "com"]

@@ -76,3 +76,40 @@ def test_warc_to_training_shards(spark, tmp_path):
     assert all(sz <= 300 + 60 for sz in sizes)
     man_file = os.path.join(shards, "_shards_manifest.json")
     assert json.load(open(man_file))["budget_tokens"] == 300
+
+
+def test_wet_to_training_shards(spark, tmp_path):
+    """The WET fast path (provider-extracted text) through the same
+    curation + sharding stack — no HTML stage at all."""
+    from fever_spark.jobs.shard_writer import write_training_shards
+    from fever_spark.sources.warc import read_wet
+
+    recs = []
+    for i in range(20):
+        text = " ".join(f"wet{i}tok{j}" for j in range(40))
+        payload = text.encode()
+        recs.append(
+            b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            b"WARC-Target-URI: http://wet.example/p" + str(i).encode()
+            + b"\r\nWARC-Date: 2026-04-01T00:00:00Z\r\n"
+            b"Content-Type: text/plain\r\n"
+            b"Content-Length: " + str(len(payload)).encode()
+            + b"\r\n\r\n" + payload + b"\r\n\r\n")
+    # one exact duplicate under another url
+    recs.append(recs[0].replace(b"/p0\r\n", b"/mirror0\r\n"))
+    (tmp_path / "seg.warc").write_bytes(b"".join(recs))
+
+    pages = read_wet(spark, str(tmp_path)) \
+        .withColumn("doc_id", F.xxhash64("url"))
+    src = str(tmp_path / "pages")
+    pages.select("doc_id", "url", "text").write.parquet(src)
+    assert spark.read.parquet(src).count() == 21
+
+    curated = str(tmp_path / "curated")
+    man = curate(spark, src, curated, min_quality=0.0, min_tokens=5)
+    assert man["counts"]["after_exact_dedup"] == 20   # mirror collapsed
+
+    shards = str(tmp_path / "shards")
+    sman = write_training_shards(spark, curated, shards, budget=400)
+    assert sman["total_docs"] == man["counts"]["written"]
+    assert sman["n_shards"] >= 2

@@ -118,3 +118,62 @@ class TestPagesIntegration:
                               extractor=html_to_text).collect()
         assert "cookies" in row["text"]          # raw stripper keeps chrome
         assert ARTICLE_P1 in row["text"]
+
+
+class TestExtractorProperties:
+    """Hypothesis: the extractor is total over arbitrary crawl bytes —
+    tag soup, truncated UTF-8, binary junk — and classification never
+    invents text that was not in the input."""
+
+    def test_never_crashes_on_arbitrary_bytes(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.binary(max_size=2048))
+        def prop(data):
+            out = extract_main_text(data)
+            assert isinstance(out, str)
+
+        prop()
+
+    def test_never_crashes_on_random_markup(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        tags = st.sampled_from(["<div>", "</div>", "<p>", "</p>", "<a href='x'>",
+                                "</a>", "<script>", "</script>", "<nav>",
+                                "</nav>", "<br>", "<div class=menu>", "<h1>",
+                                "</h1>", "<!--", "-->", "<", ">", "&amp;",
+                                "&#65;", "&bogus;"])
+        words = st.text(alphabet="abcdefg .!", min_size=0, max_size=30)
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(st.one_of(tags, words), max_size=40))
+        def prop(parts):
+            out = extract_main_text("".join(parts).encode())
+            assert isinstance(out, str)
+
+        prop()
+
+    def test_output_words_come_from_input(self):
+        """Every alphabetic word in the output appeared in the input
+        (entities/whitespace aside) — the extractor selects, never
+        fabricates."""
+        import re
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        word = st.text(alphabet="abcdefghij", min_size=3, max_size=8)
+
+        @settings(max_examples=100, deadline=None)
+        @given(st.lists(word, min_size=1, max_size=20))
+        def prop(ws):
+            html = ("<html><body><p>" + " ".join(ws)
+                    + ".</p></body></html>").encode()
+            out = extract_main_text(html)
+            in_words = set(ws)
+            for w in re.findall(r"[a-j]{3,}", out):
+                assert w in in_words
+
+        prop()

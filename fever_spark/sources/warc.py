@@ -8,9 +8,11 @@ is a header block, CRLF CRLF, a Content-Length-delimited payload, CRLF
 CRLF).
 
 Scale shape: the split unit is the FILE (the standard for WARC — crawls
-ship as many ~1 GB .warc.gz members): ``binaryFile`` yields one row per
-file, and an iterator ``mapInPandas`` parses records file-by-file, so
-parallelism = file count and task memory = one archive + its records.
+ship as many ~1 GB .warc.gz members), and parallelism is PATH-driven: the
+reader shuffles file paths (not bytes) into min(n_files, 4×parallelism)
+partitions and an iterator ``mapInPandas`` streams + parses each file
+inside the task, so task memory = one archive + its records and small
+archives still fan out (see _read_records).
 Multi-member gzip (how Common Crawl concatenates per-record compression)
 is handled by looping zlib over ``unused_data``. Malformed records are
 skipped, never fatal — the fever input discipline
@@ -33,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["read_warc", "read_wet", "read_cdx", "fetch_cdx_records",
-           "warc_to_pages", "html_to_text"]
+           "warc_to_pages", "html_to_text", "stream_warc_to_pages"]
 
 _CRLF2 = b"\r\n\r\n"
 
@@ -230,8 +232,10 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         spark, path, "response", row,
         "url string, warc_date string, content_type string, "
         "html binary, warc_file string")
+    # try_to_timestamp: one malformed WARC-Date nulls out instead of
+    # aborting the scan under ANSI mode (skip-malformed discipline)
     return parsed.withColumn(
-        "warc_ts", F.to_timestamp("warc_date")).drop("warc_date")
+        "warc_ts", F.try_to_timestamp("warc_date")).drop("warc_date")
 
 
 def read_wet(spark: SparkSession, path: str) -> DataFrame:
@@ -245,7 +249,7 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     parsed = _read_records(spark, path, "conversion", row,
                            "url string, warc_date string, text string")
     return parsed.withColumn(
-        "warc_ts", F.to_timestamp("warc_date")) \
+        "warc_ts", F.try_to_timestamp("warc_date")) \
         .select("url", "warc_ts", "text")
 
 
@@ -371,4 +375,57 @@ def fetch_cdx_records(spark: SparkSession, cdx_df: DataFrame,
     parsed = keyed.mapInPandas(
         fetch, schema="url string, warc_date string, html binary")
     return parsed.withColumn(
-        "warc_ts", F.to_timestamp("warc_date")).drop("warc_date")
+        "warc_ts", F.try_to_timestamp("warc_date")).drop("warc_date")
+
+
+# --------------------------------------------------------------- streaming
+
+_BINARYFILE_SCHEMA = ("path string, modificationTime timestamp, "
+                      "length long, content binary")
+
+
+def stream_warc_to_pages(spark: SparkSession, watch_dir: str,
+                         extractor=None,
+                         max_files_per_trigger: int | None = None
+                         ) -> DataFrame:
+    """The LIVING-CRAWL ingest source: watch a directory the crawler drops
+    ``.warc(.gz)`` archives into and emit (url, warc_ts, text) rows as a
+    STREAMING DataFrame — attach ``.writeStream`` (e.g. parquet/Iceberg
+    append + checkpoint) to accrete the pages table continuously.
+
+    Exactly-once by construction: the file stream source tracks processed
+    files in the checkpoint, so a restarted query never re-parses an
+    archive it already committed — the streaming counterpart of
+    jobs/ingest.py's replay-safe batch accretion. Parallelism is one task
+    per file per micro-batch (``max_files_per_trigger`` bounds batch
+    size); parsing + extraction reuse the exact batch-path kernels
+    (parse_warc_records / _http_body / the boilerplate-aware extractor),
+    so stream and batch produce identical rows for identical archives
+    (tested)."""
+    reader = (spark.readStream.format("binaryFile")
+              .schema(_BINARYFILE_SCHEMA))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    files = reader.load(watch_dir).select("content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from fever_spark.sources.boilerplate import extract_main_text
+
+        fn = extractor or extract_main_text
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for r in parse_warc_records(_gunzip_members(bytes(content))):
+                    if r["type"] != "response":
+                        continue
+                    body = (_http_body(r["payload"])
+                            if "application/http" in r["content_type"]
+                            else r["payload"])
+                    rows.append((r["url"], r["date"], fn(body)))
+            yield pd.DataFrame(rows, columns=["url", "warc_date", "text"])
+
+    parsed = files.mapInPandas(
+        parse, schema="url string, warc_date string, text string")
+    return parsed.withColumn(
+        "warc_ts", F.try_to_timestamp("warc_date")).drop("warc_date")

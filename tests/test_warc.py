@@ -329,3 +329,55 @@ class TestCdxFetch:
         assert got_small == got_big
         assert len(got_small) == 24
         assert got_small["http://one.example/p7"].startswith(b"<html>body 7")
+
+
+class TestStreamingWarc:
+    def test_stream_matches_batch_and_is_exactly_once(self, spark, tmp_path):
+        """Drop archives into a watched dir: the stream emits the same
+        rows the batch path produces, and a file processed in one
+        micro-batch is never re-emitted in the next."""
+        from fever_spark.sources.warc import (read_warc,
+                                              stream_warc_to_pages,
+                                              warc_to_pages)
+
+        watch = tmp_path / "drop"
+        watch.mkdir()
+        out = str(tmp_path / "pages")
+        ckpt = str(tmp_path / "ckpt")
+
+        def archive(name, urls):
+            (watch / name).write_bytes(b"".join(
+                _record(b"response", u.encode(), b"2026-02-01T00:00:00Z",
+                        _http(b"<html><body><p>Streamed article body "
+                              b"with plenty of words to classify as "
+                              b"content for " + u.encode() +
+                              b".</p></body></html>"))
+                for u in urls))
+
+        archive("a.warc", ["http://s.example/1", "http://s.example/2"])
+        stream = stream_warc_to_pages(spark, str(watch))
+        assert stream.isStreaming
+        q = (stream.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+            got1 = spark.read.parquet(out)
+            assert got1.count() == 2
+
+            archive("b.warc", ["http://s.example/3"])
+            q.processAllAvailable()
+            got2 = spark.read.parquet(out)
+            # exactly-once: only the NEW file's rows appended
+            assert got2.count() == 3
+            assert got2.select("url").distinct().count() == 3
+        finally:
+            q.stop()
+            q.awaitTermination(10)
+
+        # stream rows == batch rows for the same archives
+        batch = warc_to_pages(read_warc(spark, str(watch))) \
+            .select("url", "warc_ts", "text")
+        b = {r["url"]: (r["warc_ts"], r["text"]) for r in batch.collect()}
+        s = {r["url"]: (r["warc_ts"], r["text"]) for r in
+             spark.read.parquet(out).collect()}
+        assert b == s

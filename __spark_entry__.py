@@ -881,8 +881,11 @@ def q_url_dedup(spark, sf_dir):
     scheme/host, default port, tracking params, fragments, trailing
     slashes); the oracle reimplements the whole canonicalization contract
     independently in DuckDB SQL — any divergence in fragment/port/param/
-    slash handling breaks the group hash."""
-    from fever_spark.functions.urls import url_dedup_groups
+    slash handling breaks the group hash. Round-4 fold: a ``blocked``
+    flag per group runs the domain-blocklist suffix semantics
+    (functions/urls.is_blocked_domain) through the same hash gate —
+    the oracle reimplements exact-or-dot-suffix matching in SQL."""
+    from fever_spark.functions.urls import is_blocked_domain, url_dedup_groups
 
     docs = _read(spark, sf_dir, "documents")
     raw = docs.select(
@@ -895,7 +898,10 @@ def q_url_dedup(spark, sf_dir):
              .otherwise(F.lit("/")),
             F.when(F.col("doc_id") % 5 == 0, F.lit("#top")).otherwise(F.lit("")),
         ).alias("url"))
-    return url_dedup_groups(raw, "url", "doc_id")
+    return url_dedup_groups(raw, "url", "doc_id").withColumn(
+        "blocked",
+        is_blocked_domain(F.col("canonical_url"),
+                          ["site3.example", "site17.example"]).cast("int"))
 
 
 def q_semantic_dedup(spark, sf_dir):
@@ -1556,12 +1562,21 @@ def oracle_sql() -> dict[str, str]:
                 regexp_replace(path, '/$', '') AS path_norm
               FROM s4
             )
-            SELECT prefix_norm || path_norm
-                   || (CASE WHEN clean_q <> '' THEN '?' || clean_q
-                            ELSE '' END) AS canonical_url,
-                   count(*) AS n_dups,
-                   min(doc_id) AS keep_id
-            FROM s5 GROUP BY 1
+            SELECT canonical_url, count(*) AS n_dups,
+                   min(doc_id) AS keep_id,
+                   (host = 'site3.example'
+                    OR host LIKE '%.site3.example'
+                    OR host = 'site17.example'
+                    OR host LIKE '%.site17.example')::INT AS blocked
+            FROM (
+              SELECT doc_id,
+                     prefix_norm || path_norm
+                     || (CASE WHEN clean_q <> '' THEN '?' || clean_q
+                              ELSE '' END) AS canonical_url,
+                     regexp_extract(lower(prefix_norm),
+                                    '://([^/?#@]*)$', 1) AS host
+              FROM s5)
+            GROUP BY canonical_url, blocked
         """,
         "q_paragraph_dedup": """
             WITH planted AS (

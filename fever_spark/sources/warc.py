@@ -35,25 +35,51 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["read_warc", "read_wet", "read_cdx", "fetch_cdx_records",
-           "warc_to_pages", "html_to_text", "stream_warc_to_pages"]
+           "warc_to_pages", "html_to_text", "stream_warc_to_pages",
+           "read_warc_ranges"]
 
 _CRLF2 = b"\r\n\r\n"
+
+
+_GZ_CHUNK = 1 << 18
+
+
+def _next_gzip_member(mv: memoryview, pos: int) -> tuple[bytes, int]:
+    """Decompress ONE gzip member starting at ``pos``; returns
+    (decompressed, end_offset). Feeds zlib in bounded chunks — handing it
+    the whole remaining buffer makes every member COPY the tail into
+    ``unused_data``, an O(members × buffer) memcpy that measured 10×
+    slower than the parse itself on many-member archives. Raises
+    zlib.error on a non-member."""
+    d = zlib.decompressobj(47)  # gzip wrapper
+    out = []
+    p = pos
+    n = len(mv)
+    while p < n:
+        out.append(d.decompress(mv[p:p + _GZ_CHUNK]))
+        p = min(p + _GZ_CHUNK, n)
+        if d.eof:
+            break
+    out.append(d.flush())
+    return b"".join(out), p - len(d.unused_data)
 
 
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress (possibly multi-member) gzip; pass through plain bytes."""
     if not data[:2] == b"\x1f\x8b":
         return data
+    mv = memoryview(data)
     out = []
-    buf = data
-    while buf:
-        d = zlib.decompressobj(47)  # gzip wrapper
+    pos = 0
+    while pos < len(data):
         try:
-            out.append(d.decompress(buf))
-            out.append(d.flush())
+            member, end = _next_gzip_member(mv, pos)
         except zlib.error:
             break  # trailing garbage / truncated member: keep what we have
-        buf = d.unused_data
+        out.append(member)
+        if end <= pos:
+            break
+        pos = end
     return b"".join(out)
 
 
@@ -427,5 +453,127 @@ def stream_warc_to_pages(spark: SparkSession, watch_dir: str,
 
     parsed = files.mapInPandas(
         parse, schema="url string, warc_date string, text string")
+    return parsed.withColumn(
+        "warc_ts", F.try_to_timestamp("warc_date")).drop("warc_date")
+
+
+# ------------------------------------------------- intra-archive splitting
+
+_GZ_MAGIC = b"\x1f\x8b\x08"
+
+
+def _iter_gzip_members_from(buf: bytes, limit: int, resync: bool):
+    """Yield (compressed_offset, decompressed) for every gzip member
+    STARTING before ``limit`` in ``buf``. With ``resync`` (a mid-file
+    range), scan forward to the first offset that both looks like a gzip
+    header AND decompresses to bytes starting with ``WARC/`` — the
+    double check rejects the \\x1f\\x8b byte pairs that occur by chance
+    inside compressed payloads."""
+    pos = 0
+    n = len(buf)
+    mv = memoryview(buf)
+    while pos < limit and pos < n:
+        if not buf.startswith(_GZ_MAGIC, pos):
+            if not resync:
+                return  # trailing garbage in a trusted stream: stop
+            nxt = buf.find(_GZ_MAGIC, pos + 1)
+            if nxt < 0 or nxt >= limit:
+                return
+            pos = nxt
+            continue
+        try:
+            data, end = _next_gzip_member(mv, pos)
+        except zlib.error:
+            if not resync:
+                return
+            pos += 1
+            continue
+        if resync and not data.startswith(b"WARC/"):
+            pos += 1  # false magic inside compressed bytes — keep scanning
+            continue
+        yield pos, data
+        if end <= pos:
+            return
+        pos = end
+        resync = False  # once locked onto the member chain, stay exact
+
+
+def read_warc_ranges(spark: SparkSession, path: str,
+                     range_bytes: int = 64 << 20,
+                     tail_bytes: int = 16 << 20) -> DataFrame:
+    """``read_warc`` for archives BIGGER than one task should own: each
+    file is split into ``range_bytes`` byte ranges and every range is an
+    independent task — the missing fan-out axis when archive count <
+    cluster cores (one 500 GB crawl dump on a 1000-core cluster).
+
+    Works on the per-record-gzipped layout (the Common Crawl standard):
+    a range task reads ``[start, end + tail_bytes)``, locks onto the
+    member chain (at offset 0 it is trusted; mid-file it resyncs on gzip
+    magic + a decompressed ``WARC/`` prefix, which unambiguously rejects
+    chance magic bytes), and parses every member STARTING inside its
+    range — a member straddling the range end is completed from the tail
+    read, so each record is owned by exactly one range. Members larger
+    than ``tail_bytes`` are skipped with the module's never-fatal
+    discipline (bound the tail like a max-record-size guard). A plain
+    (non-gzipped) or single-member-gzip archive is handled entirely by
+    its offset-0 range — correct, just not intra-file parallel; use the
+    CDX targeted fetch or re-pack for those."""
+    import math
+
+    files = (spark.read.format("binaryFile").load(path)
+             .select("path", "length"))
+    ranges = files.select(
+        "path",
+        F.explode(F.sequence(
+            F.lit(0),
+            F.greatest((F.ceil(F.col("length") / F.lit(int(range_bytes)))
+                        - 1).cast("long"), F.lit(0)))).alias("range_id"),
+        "length")
+    ranges = ranges.select(
+        "path",
+        (F.col("range_id") * F.lit(int(range_bytes))).alias("start"),
+        F.least((F.col("range_id") + 1) * F.lit(int(range_bytes)),
+                F.col("length")).alias("end")) \
+        .repartition(F.col("path"), F.col("start"))
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.fs as pafs
+
+        for pdf in batches:
+            rows = []
+            for path_, start, end in zip(pdf["path"], pdf["start"],
+                                         pdf["end"]):
+                start, end = int(start), int(end)
+                fs, fpath = pafs.FileSystem.from_uri(path_)
+                try:
+                    with fs.open_input_file(fpath) as fh:
+                        fh.seek(start)
+                        buf = fh.read((end - start) + int(tail_bytes))
+                except OSError:
+                    continue  # vanished/unreadable file: skip its ranges
+                limit = end - start
+                if start == 0 and not buf.startswith(_GZ_MAGIC):
+                    # plain archive: offset-0 range owns the whole file
+                    with fs.open_input_file(fpath) as fh:
+                        whole = fh.read()
+                    members = [(0, whole)]
+                else:
+                    members = _iter_gzip_members_from(buf, limit,
+                                                      resync=start > 0)
+                for _, data in members:
+                    for r in parse_warc_records(data):
+                        if r["type"] != "response":
+                            continue
+                        body = (_http_body(r["payload"])
+                                if "application/http" in r["content_type"]
+                                else r["payload"])
+                        rows.append((r["url"], r["date"], r["content_type"],
+                                     body, path_))
+            yield pd.DataFrame(rows, columns=[
+                "url", "warc_date", "content_type", "html", "warc_file"])
+
+    parsed = ranges.mapInPandas(
+        parse, schema="url string, warc_date string, content_type string, "
+                      "html binary, warc_file string")
     return parsed.withColumn(
         "warc_ts", F.try_to_timestamp("warc_date")).drop("warc_date")

@@ -130,6 +130,10 @@ def parse_warc_records(data: bytes) -> list[dict]:
             "date": headers.get(b"warc-date", b"").decode("ascii", "replace"),
             "content_type": headers.get(b"content-type", b"")
             .decode("ascii", "replace"),
+            "block_digest": headers.get(b"warc-block-digest", b"")
+            .decode("ascii", "replace"),
+            "payload_digest": headers.get(b"warc-payload-digest", b"")
+            .decode("ascii", "replace"),
             "payload": data[body_start:body_end],
         })
         pos = body_end + 4  # skip the record-terminating CRLFCRLF
@@ -182,6 +186,23 @@ def _http_body(payload: bytes) -> bytes:
                 except zlib.error:
                     continue
     return body
+
+
+def _digest_ok(data: bytes, digest: str):
+    """Check a WARC digest header value ("sha1:<BASE32>", ISO 28500 /
+    RFC 4648 base32) against ``data``. None when the record carries no
+    digest or an algorithm we don't compute — absence of evidence, not a
+    failure."""
+    if not digest:
+        return None
+    algo, _, val = digest.partition(":")
+    if algo.strip().lower() != "sha1" or not val:
+        return None
+    import base64
+    import hashlib
+
+    want = base64.b32encode(hashlib.sha1(data).digest()).decode("ascii")
+    return want.rstrip("=") == val.strip().upper().rstrip("=")
 
 
 _TAG_BLOCKS = re.compile(rb"(?is)<(script|style)[^>]*>.*?</\1>")
@@ -245,19 +266,38 @@ def _read_records(spark: SparkSession, path: str, warc_type: str,
     return files.repartition(n_parts).mapInPandas(parse, schema=schema)
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(spark: SparkSession, path: str,
+              verify_digests: bool = False) -> DataFrame:
     """WARC archive files → one row per **response** record:
-    (url, content_type, html binary, warc_file, warc_ts)."""
+    (url, content_type, html binary, warc_file, warc_ts).
+
+    ``verify_digests=True`` adds ``block_digest_ok`` / ``payload_digest_ok``
+    boolean columns checking the record's own WARC-Block-Digest /
+    WARC-Payload-Digest (sha1:base32) against the stored bytes — null when
+    a record carries no digest. Corrupt rows are FLAGGED, never dropped:
+    the caller decides (filter, quarantine, count), matching the module's
+    never-fatal discipline. The block digest covers the record block as
+    stored; the payload digest covers the HTTP entity body after the
+    header envelope, before transfer/content decoding (warcio
+    semantics)."""
     def row(r, path_):
         body = (_http_body(r["payload"])
                 if "application/http" in r["content_type"]
                 else r["payload"])
-        return (r["url"], r["date"], r["content_type"], body, path_)
+        if not verify_digests:
+            return (r["url"], r["date"], r["content_type"], body, path_)
+        raw = r["payload"]
+        sep = raw.find(_CRLF2)
+        entity = raw[sep + 4:] if sep >= 0 else raw
+        return (r["url"], r["date"], r["content_type"], body, path_,
+                _digest_ok(raw, r["block_digest"]),
+                _digest_ok(entity, r["payload_digest"]))
 
-    parsed = _read_records(
-        spark, path, "response", row,
-        "url string, warc_date string, content_type string, "
-        "html binary, warc_file string")
+    schema = ("url string, warc_date string, content_type string, "
+              "html binary, warc_file string")
+    if verify_digests:
+        schema += ", block_digest_ok boolean, payload_digest_ok boolean"
+    parsed = _read_records(spark, path, "response", row, schema)
     # try_to_timestamp: one malformed WARC-Date nulls out instead of
     # aborting the scan under ANSI mode (skip-malformed discipline)
     return parsed.withColumn(

@@ -452,3 +452,53 @@ class TestWarcRanges:
         got = read_warc_ranges(spark, str(tmp_path), range_bytes=64,
                                tail_bytes=64)
         assert got.count() == 2   # both responses, no duplicates
+
+
+class TestWarcDigests:
+    def _digested_record(self, url, body, corrupt=False):
+        import base64
+        import hashlib
+
+        payload = _http(body)
+        entity = body
+        block = base64.b32encode(hashlib.sha1(payload).digest()).decode()
+        pay = base64.b32encode(hashlib.sha1(entity).digest()).decode()
+        if corrupt:
+            block = ("A" if block[0] != "A" else "B") + block[1:]
+        head = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: " + url + b"\r\n"
+                b"WARC-Date: 2026-02-01T00:00:00Z\r\n"
+                b"Content-Type: application/http; msgtype=response\r\n"
+                b"WARC-Block-Digest: sha1:" + block.encode() + b"\r\n"
+                b"WARC-Payload-Digest: sha1:" + pay.encode() + b"\r\n"
+                b"Content-Length: " + str(len(payload)).encode()
+                + b"\r\n\r\n")
+        return head + payload + b"\r\n\r\n"
+
+    def test_digests_verified_flagged_not_dropped(self, spark, tmp_path):
+        from fever_spark.sources.warc import read_warc
+
+        (tmp_path / "d.warc").write_bytes(
+            self._digested_record(b"http://ok.example/", b"<html>good</html>")
+            + self._digested_record(b"http://bad.example/",
+                                    b"<html>tampered</html>", corrupt=True)
+            + _record(b"response", b"http://nodigest.example/",
+                      b"2026-02-01T00:00:00Z", _http(b"<html>nd</html>")))
+        got = {r["url"]: r for r in
+               read_warc(spark, str(tmp_path), verify_digests=True)
+               .collect()}
+        assert len(got) == 3                      # flagged, never dropped
+        assert got["http://ok.example/"]["block_digest_ok"] is True
+        assert got["http://ok.example/"]["payload_digest_ok"] is True
+        assert got["http://bad.example/"]["block_digest_ok"] is False
+        assert got["http://bad.example/"]["payload_digest_ok"] is True
+        assert got["http://nodigest.example/"]["block_digest_ok"] is None
+
+    def test_default_read_unchanged(self, spark, tmp_path):
+        from fever_spark.sources.warc import read_warc
+
+        (tmp_path / "d.warc").write_bytes(self._digested_record(
+            b"http://ok.example/", b"<html>good</html>"))
+        df = read_warc(spark, str(tmp_path))
+        assert "block_digest_ok" not in df.columns
+        assert df.count() == 1

@@ -88,6 +88,16 @@ def repetition_filter(df: DataFrame, text_col: str = "text",
                      & (duplicate_word_fraction(t) <= max_dup_word_frac))
 
 
+def dedup_doc_lines(text: Column, sep: str = "\n") -> Column:
+    """WITHIN-document line dedup: keep each distinct line at its first
+    occurrence only (nav fragments repeated through a page, chat logs,
+    scraped table rows). Pure codegen: split → array_distinct (which
+    preserves first-occurrence order) → rejoin; blank lines collapse to
+    the first one like any other repeated line. The CROSS-document pass
+    is paragraph_dedup; this one never shuffles."""
+    return F.array_join(F.array_distinct(F.split(text, sep)), sep)
+
+
 # ----------------------------------------------------- C4 / Gopher rules
 
 # C4's line-drop markers (Raffel et al. 2020 §2.2, "Colossal Clean Crawled

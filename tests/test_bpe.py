@@ -1,0 +1,132 @@
+"""BPE tokenizer training + encoding (functions/bpe.py): merge order vs a
+naive recompute-everything reference, encode/train consistency, roundtrip,
+partitioning invariance."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from fever_spark.functions.bpe import (END_OF_WORD, bpe_encode, train_bpe,
+                                       word_counts, _symbols)
+
+
+def naive_bpe(word_freqs: dict, num_merges: int, min_freq: int = 2):
+    """Reference trainer: recompute ALL pair counts each step (the paper's
+    pseudocode), same tie-break — pins the incremental trainer."""
+    words = {w: (_symbols(w), f) for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(num_merges):
+        pc = Counter()
+        for syms, f in words.values():
+            for p in zip(syms, syms[1:]):
+                pc[p] += f
+        if not pc:
+            break
+        best, n = max(pc.items(), key=lambda kv: (kv[1], kv[0]))
+        if n < min_freq:
+            break
+        merges.append(best)
+        joined = best[0] + best[1]
+        for w, (syms, f) in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == best[0]
+                        and syms[i + 1] == best[1]):
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = (out, f)
+    return merges
+
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the cats sat on the mats",
+    "low lower lowest",
+    "new newer newest news",
+    "the newest cat is the lowest cat",
+] * 3
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)],
+                                 "doc_id long, text string")
+
+
+class TestTrain:
+    def test_word_counts_exact(self, spark, docs):
+        got = {r["word"]: r["count"] for r in word_counts(docs).collect()}
+        expect = Counter(w for t in CORPUS for w in t.lower().split())
+        assert got == dict(expect)
+
+    def test_merges_match_naive_reference(self, spark, docs):
+        wc = {r["word"]: r["count"] for r in word_counts(docs).collect()}
+        expect = naive_bpe(wc, num_merges=25)
+        got = train_bpe(word_counts(docs), num_merges=25)
+        assert got["merges"] == expect
+        assert got["stats"]["n_merges"] == len(expect)
+        assert got["stats"]["word_table_truncated"] is False
+
+    def test_truncation_is_loud(self, spark, docs):
+        got = train_bpe(word_counts(docs), num_merges=5, max_words=3)
+        assert got["stats"]["trained_on_words"] == 3
+        assert got["stats"]["word_table_truncated"] is True
+
+    def test_partitioning_invariance(self, spark, docs):
+        a = train_bpe(word_counts(docs.repartition(1)), num_merges=15)
+        b = train_bpe(word_counts(docs.repartition(7)), num_merges=15)
+        assert a["merges"] == b["merges"] and a["vocab"] == b["vocab"]
+
+
+class TestEncode:
+    def test_roundtrip_reconstructs_text(self, spark, docs):
+        model = train_bpe(word_counts(docs), num_merges=30)
+        enc = bpe_encode(docs, model["merges"])
+        for r in enc.collect():
+            joined = "".join(r["bpe_tokens"]).replace(END_OF_WORD, " ")
+            assert joined.strip() == r["text"].lower()
+
+    def test_frequent_words_become_single_tokens(self, spark, docs):
+        model = train_bpe(word_counts(docs), num_merges=40, min_freq=2)
+        enc = bpe_encode(docs, model["merges"]).collect()
+        # 'the' appears 21 times — must be fully merged
+        for r in enc:
+            toks = r["bpe_tokens"]
+            if "the" in r["text"].split():
+                assert "the" + END_OF_WORD in toks
+            # no empty tokens ever
+            assert all(t for t in toks)
+
+    def test_zero_merges_is_character_segmentation(self, spark, docs):
+        [r] = bpe_encode(docs.limit(1), []).collect()
+        words = r["text"].lower().split()
+        expect = [s for w in words for s in _symbols(w)]
+        assert r["bpe_tokens"] == expect
+
+    def test_encode_matches_training_segmentation(self, spark, docs):
+        """Greedy rank-lowest-first encoding must reproduce the trainer's
+        final segmentation for every trained word."""
+        wc = {r["word"]: r["count"] for r in word_counts(docs).collect()}
+        model = train_bpe(word_counts(docs), num_merges=20)
+        # recompute trainer-side segmentation with the naive reference
+        words = {w: _symbols(w) for w in wc}
+        for a, b in model["merges"]:
+            for w, syms in words.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == a
+                            and syms[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[w] = out
+        one_word = spark.createDataFrame([(w,) for w in wc], "text string")
+        got = {r["text"]: list(r["bpe_tokens"]) for r in
+               bpe_encode(one_word, model["merges"]).collect()}
+        assert got == words

@@ -897,3 +897,42 @@ class TestDomainBlocklist:
             .select(host_suffixes(F.col("u")).alias("s")).collect()
         assert row["s"] == ["a.b.example.com", "b.example.com",
                             "example.com", "com"]
+
+
+class TestDedupDocLines:
+    def test_first_occurrence_kept_in_order(self, spark):
+        from fever_spark.operators.curation import dedup_doc_lines
+
+        doc = "alpha\nbeta\nalpha\ngamma\nbeta\ndelta"
+        [r] = spark.createDataFrame([(doc,)], "t string") \
+            .select(dedup_doc_lines(F.col("t")).alias("d")).collect()
+        assert r["d"] == "alpha\nbeta\ngamma\ndelta"
+
+    def test_matches_duckdb_replica(self, spark):
+        import duckdb
+        import pandas as pd
+        from fever_spark.operators.curation import dedup_doc_lines
+
+        docs = ["a\nb\na\nc", "", "x", "x\nx\nx", "p\n\nq\n\np"]
+        got = [r["d"] for r in
+               spark.createDataFrame([(i, d) for i, d in enumerate(docs)],
+                                     "i long, t string")
+               .select("i", dedup_doc_lines(F.col("t")).alias("d"))
+               .orderBy("i").collect()]
+        con = duckdb.connect()
+        con.register("s", pd.DataFrame({"i": range(len(docs)), "t": docs}))
+        # list_distinct does not preserve order in DuckDB; keep each
+        # element only at its FIRST index to replicate array_distinct
+        expect = [r[0] for r in con.execute("""
+            SELECT array_to_string(list_filter(string_split(t, chr(10)),
+                     (x, j) -> list_position(string_split(t, chr(10)), x) = j),
+                   chr(10)) FROM s ORDER BY i""").fetchall()]
+        assert got == expect
+
+    def test_zero_shuffle(self, spark):
+        from fever_spark.operators.curation import dedup_doc_lines
+
+        plan = spark.createDataFrame([("a\nb",)], "t string") \
+            .select(dedup_doc_lines(F.col("t")))._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan

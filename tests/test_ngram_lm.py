@@ -1,0 +1,97 @@
+"""CCNet-style n-gram LM perplexity (functions/ngram_lm.py): counts vs a
+pure-python reference, scoring exactness, the fluent-vs-gibberish signal,
+partitioning invariance."""
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from fever_spark.functions.ngram_lm import (BOS, EOS, UNK, NgramLM,
+                                            perplexity, train_ngram_lm)
+
+TRAIN = [
+    "the cat sat on the mat",
+    "the dog sat on the rug",
+    "a cat and a dog sat together",
+    "the cat and the dog are friends",
+] * 5
+
+
+@pytest.fixture(scope="module")
+def train_df(spark):
+    return spark.createDataFrame([(t,) for t in TRAIN], "text string")
+
+
+def ref_counts(order):
+    """Independent n-gram counting."""
+    out = [Counter() for _ in range(order)]
+    for t in TRAIN:
+        toks = [BOS] * (order - 1) + t.split() + [EOS]
+        for n in range(1, order + 1):
+            for i in range(len(toks) - n + 1):
+                out[n - 1][tuple(toks[i:i + n])] += 1
+    return out
+
+
+class TestTraining:
+    def test_counts_match_reference(self, spark, train_df):
+        lm = train_ngram_lm(train_df, order=3)
+        expect = ref_counts(3)
+        for n in range(3):
+            assert lm.counts[n] == dict(expect[n]), f"order {n+1}"
+        assert lm.stats["truncated"] == [False, False, False]
+
+    def test_partitioning_invariance(self, spark, train_df):
+        a = train_ngram_lm(train_df.repartition(1), order=2)
+        b = train_ngram_lm(train_df.repartition(5), order=2)
+        assert a.counts == b.counts and a.vocab_size == b.vocab_size
+
+    def test_truncation_reported(self, spark, train_df):
+        lm = train_ngram_lm(train_df, order=2, max_ngrams=5)
+        assert lm.stats["truncated"] == [True, True]
+        assert all(len(c) == 5 for c in lm.counts)
+
+
+class TestScoring:
+    def test_scores_match_driver_model(self, spark, train_df):
+        """Distributed scoring == calling the model object directly."""
+        lm = train_ngram_lm(train_df, order=3)
+        docs = spark.createDataFrame(
+            [(0, "the cat sat on the mat"), (1, "dog rug mat unknownword"),
+             (2, "")], "doc_id long, text string")
+        got = {r["doc_id"]: r["perplexity"] for r in
+               perplexity(docs, lm).collect()}
+        for i, t in [(0, "the cat sat on the mat"),
+                     (1, "dog rug mat unknownword")]:
+            lp, n = lm.doc_logprob(t.split())
+            assert got[i] == pytest.approx(2 ** (-lp / n), rel=1e-9)
+        assert got[2] is None
+
+    def test_fluent_beats_gibberish(self, spark, train_df):
+        lm = train_ngram_lm(train_df, order=3)
+        docs = spark.createDataFrame(
+            [(0, "the cat sat on the mat"),
+             (1, "the dog sat on the mat"),          # novel but in-domain
+             (2, "mat the on sat cat the"),          # scrambled
+             (3, "zq xv qqq wpl zzz krr ttt glk")],  # gibberish
+            "doc_id long, text string")
+        ppl = {r["doc_id"]: r["perplexity"] for r in
+               perplexity(docs, lm).collect()}
+        assert ppl[0] < ppl[2]          # seen order beats scrambled
+        assert ppl[1] < ppl[2]          # in-domain novel beats scrambled
+        assert ppl[0] < ppl[3]          # and beats OOV gibberish
+        assert ppl[1] < ppl[3]
+
+    def test_probability_mass_sums_to_one_unsmoothed_context(self,
+                                                            spark,
+                                                            train_df):
+        """Over the full vocab (+UNK), conditional probabilities from a
+        trained context must sum to ~1 for every interpolation order."""
+        lm = train_ngram_lm(train_df, order=2)
+        vocab = [g[0] for g in lm.counts[0]] + [UNK]
+        ctx = ("the",)
+        total = sum(2 ** lm.logprob(ctx, w) for w in vocab)
+        # add-k over (vocab_size) with UNK in vocab: sums to 1 exactly
+        assert total == pytest.approx(1.0, abs=1e-6)

@@ -65,7 +65,9 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
            validate_ids: bool = True,
            c4_rules: bool = False,
            gopher_rules: bool = False,
-           blocked_domains: list[str] | None = None) -> dict:
+           blocked_domains: list[str] | None = None,
+           perplexity_lm=None,
+           max_perplexity: float | None = None) -> dict:
     docs = spark.read.parquet(input_path)
     counts = {"input": docs.count()}
     # wall seconds per pipeline stage (stage = work up to its survivor
@@ -116,7 +118,8 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
              "substring_dedup_k": substring_dedup_k,
              "normalize": normalize, "c4_rules": c4_rules,
              "gopher_rules": gopher_rules,
-             "blocked_domains": sorted(blocked_domains or [])},
+             "blocked_domains": sorted(blocked_domains or []),
+             "max_perplexity": max_perplexity},
             sort_keys=True)
         resume_key = hashlib.sha256(payload.encode()).hexdigest()[:16]
         os.makedirs(workdir, exist_ok=True)
@@ -203,6 +206,14 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
             cond = cond & curation.gopher_doc_conditions(
                 F.col(text_col), min_words=min_tokens, max_words=max_tokens)
         out = annotated.filter(cond).drop("_lang")
+        if perplexity_lm is not None:
+            # CCNet-style LM quality band (functions/ngram_lm.py): score
+            # AFTER the cheap codegen filters so the Arrow pass only sees
+            # survivors; annotate always, threshold only when asked
+            from fever_spark.functions.ngram_lm import perplexity
+            out = perplexity(out, perplexity_lm, text_col=text_col)
+            if max_perplexity is not None:
+                out = out.filter(F.col("perplexity") <= max_perplexity)
         if redact_pii:
             # same pass as the filter — redaction is a codegen'd
             # projection; the threshold filter ran on the original text,
@@ -299,7 +310,8 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
                    "substring_dedup_k": substring_dedup_k,
                    "normalize": normalize, "c4_rules": c4_rules,
                    "gopher_rules": gopher_rules,
-                   "blocked_domains": blocked_domains},
+                   "blocked_domains": blocked_domains,
+                   "max_perplexity": max_perplexity},
         "workdir": workdir,
         "resumed_stages": resumed,
     }

@@ -287,3 +287,28 @@ def test_curate_c4_and_gopher_rules(spark, tmp_path):
                         != whitespace_token_count(F.col("text"))).count()
     assert stale == 0
     assert man["params"]["c4_rules"] is True
+
+
+def test_curate_perplexity_band(spark, tmp_path):
+    """A CCNet-style LM trained on fluent text drops the gibberish doc
+    when max_perplexity is set; the perplexity column is always annotated
+    when a model is passed."""
+    from fever_spark.functions.ngram_lm import train_ngram_lm
+
+    fluent = ["the quick brown fox jumps over the lazy dog again today",
+              "the lazy dog sleeps while the quick fox runs away fast"]
+    train = spark.createDataFrame([(t,) for t in fluent * 10],
+                                  "text string")
+    lm = train_ngram_lm(train, order=3)
+
+    rows = [(1, fluent[0] + " and keeps running through the field"),
+            (2, "zq wvx plk rrq mmz ttk bbv nnj qqs dfg hjk lzx")]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "out")
+    man = curate(spark, src, out, min_quality=0.0, min_tokens=3,
+                 perplexity_lm=lm, max_perplexity=1000.0)
+    kept = spark.read.parquet(out)
+    assert {r["doc_id"] for r in kept.collect()} == {1}
+    assert "perplexity" in kept.columns
+    assert man["params"]["max_perplexity"] == 1000.0

@@ -32,7 +32,8 @@ def write_training_shards(spark: SparkSession, input_path: str,
                           output_path: str, budget: int,
                           id_col: str = "doc_id", text_col: str = "text",
                           token_col: str | None = None,
-                          n_buckets: int = 64) -> dict:
+                          n_buckets: int = 64,
+                          bpe_merges: list | None = None) -> dict:
     """Pack documents into token-budget shards and write them.
 
     Returns the manifest (also written to ``_shards_manifest.json``):
@@ -40,8 +41,20 @@ def write_training_shards(spark: SparkSession, input_path: str,
     the ids of shards containing an over-budget document (a doc larger
     than ``budget`` is never split; its shard simply runs long —
     flagged so a loader can decide to truncate or skip).
+
+    ``bpe_merges`` (a trained functions/bpe merge list) switches the
+    budget from whitespace words to REAL tokenizer tokens: docs are
+    encoded once in the same pass (broadcast ranks, Zipfian word cache)
+    and shards budget on the count the training loader will actually see.
     """
     docs = spark.read.parquet(input_path)
+    if bpe_merges is not None:
+        from fever_spark.functions.bpe import bpe_encode
+
+        docs = (bpe_encode(docs, bpe_merges, text_col=text_col,
+                           out_col="_bpe")
+                .withColumn("n_tokens", F.size("_bpe")).drop("_bpe"))
+        token_col = "n_tokens"
     assign = pack_documents(docs, budget, id_col=id_col,
                             token_col=token_col, text_col=text_col,
                             n_buckets=n_buckets)
@@ -76,6 +89,9 @@ def write_training_shards(spark: SparkSession, input_path: str,
         "shards": [{"shard": int(r["shard"]), "docs": int(r["docs"]),
                     "tokens": int(r["tokens"])} for r in per_shard],
         "overbudget_doc_shards": oversized,
+        "tokenizer": ("bpe" if bpe_merges is not None else
+                      (f"column:{token_col}" if token_col
+                       else "whitespace")),
     }
     tmp = os.path.join(output_path, "_shards_manifest.json.tmp")
     final = os.path.join(output_path, "_shards_manifest.json")
@@ -98,12 +114,20 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--token-col", default=None)
     ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--bpe-merges", default=None,
+                    help="JSON file of [[a, b], ...] trained merges: "
+                         "budget on real tokenizer tokens")
     args = ap.parse_args(argv)
+    merges = None
+    if args.bpe_merges:
+        with open(args.bpe_merges) as f:
+            merges = [tuple(m) for m in json.load(f)]
     spark = get_spark(app_name="fever_spark_shard_writer")
     man = write_training_shards(spark, args.input, args.output, args.budget,
                                 id_col=args.id_col, text_col=args.text_col,
                                 token_col=args.token_col,
-                                n_buckets=args.n_buckets)
+                                n_buckets=args.n_buckets,
+                                bpe_merges=merges)
     print(json.dumps({k: v for k, v in man.items() if k != "shards"}))
 
 

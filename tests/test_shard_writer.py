@@ -79,3 +79,32 @@ def test_overbudget_doc_flagged_even_with_small_neighbors(spark, tmp_path):
     out = str(tmp_path / "shards4")
     man = write_training_shards(spark, src, out, budget=50, n_buckets=1)
     assert 0 in man["overbudget_doc_shards"]
+
+
+def test_bpe_budgeted_shards(spark, tmp_path):
+    """With a trained merge list, shard budgets count REAL tokenizer
+    tokens — totals must equal the encoder's own counts exactly."""
+    from fever_spark.functions.bpe import bpe_encode, train_bpe, word_counts
+    from fever_spark.jobs.shard_writer import write_training_shards
+
+    rows = [(i, " ".join(f"tok{j % 7} common word" for j in range(12)))
+            for i in range(40)]
+    src = str(tmp_path / "docs")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.parquet(src)
+    model = train_bpe(word_counts(docs), num_merges=30)
+
+    out = str(tmp_path / "shards")
+    man = write_training_shards(spark, src, out, budget=120,
+                                bpe_merges=model["merges"])
+    assert man["tokenizer"] == "bpe"
+    expect = (bpe_encode(docs, model["merges"])
+              .select(F.size("bpe_tokens").alias("n"))
+              .agg(F.sum("n")).first()[0])
+    assert man["total_tokens"] == expect
+    assert man["n_shards"] >= 2
+    # every shard except ones holding an oversized doc stays near budget
+    for srec in man["shards"]:
+        if srec["shard"] not in man["overbudget_doc_shards"]:
+            assert srec["tokens"] <= 120 + max(
+                r["tokens"] for r in man["shards"])

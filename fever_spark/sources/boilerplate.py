@@ -70,6 +70,7 @@ _WS = re.compile(r"\s+")
 # max_link_density=0.2 with a near-good band we collapse into one rule.
 _MIN_CONTENT_CHARS = 60
 _MIN_HEADING_CHARS = 8
+_MIN_NEARGOOD_CHARS = 20
 _MAX_LINK_DENSITY = 0.33
 
 
@@ -194,7 +195,22 @@ def extract_main_text(raw: bytes) -> str:
         return html_to_text(raw)
     body_content = [b for b in blocks if b["content"] and not b["heading"]]
     if body_content:
-        kept = [b["text"] for b in blocks if b["content"]]
+        # jusText's near-good promotion, block-neighborhood form: a SHORT
+        # low-link block adjacent to a content block is a short paragraph
+        # of the same article, not chrome — promote it. One pass each way
+        # so a run of short paragraphs between two good ones all survive.
+        keep = [b["content"] for b in blocks]
+        near = [(not b["content"]) and not b["heading"]
+                and len(b["text"]) >= _MIN_NEARGOOD_CHARS
+                and b["link_density"] <= _MAX_LINK_DENSITY
+                for b in blocks]
+        for idx in range(1, len(blocks)):           # after a kept block
+            if near[idx] and keep[idx - 1]:
+                keep[idx] = True
+        for idx in range(len(blocks) - 2, -1, -1):  # before a kept block
+            if near[idx] and keep[idx + 1]:
+                keep[idx] = True
+        kept = [b["text"] for b, k in zip(blocks, keep) if k]
     else:
         kept = [b["text"] for b in blocks]
     return "\n".join(kept)

@@ -177,3 +177,39 @@ class TestExtractorProperties:
                 assert w in in_words
 
         prop()
+
+
+class TestNearGoodPromotion:
+    """jusText neighborhood rule: short prose adjacent to content blocks
+    is content; isolated short chrome stays dropped."""
+
+    def test_short_paragraph_between_good_ones_kept(self):
+        page = ("<html><body>"
+                "<p>" + ARTICLE_P1 + "</p>"
+                "<p>A short but real aside.</p>"
+                "<p>Another brief point here.</p>"
+                "<p>" + ARTICLE_P2 + "</p>"
+                "<nav><a href='/'>Home</a> <a href='/a'>A</a></nav>"
+                "</body></html>").encode()
+        out = extract_main_text(page)
+        assert "short but real aside" in out
+        assert "Another brief point" in out     # run of near-goods chains
+        assert "Home" not in out
+
+    def test_isolated_short_block_still_dropped(self):
+        page = ("<html><body>"
+                "<div>Short stray fragment.</div>"
+                "<div><a href='/1'>x</a> <a href='/2'>y</a></div>"
+                "<p>" + ARTICLE_P1 + "</p>"
+                "<div><a href='/3'>z</a> <a href='/4'>w</a></div>"
+                "<div>Trailing fragment here.</div>"
+                "</body></html>").encode()
+        out = extract_main_text(page)
+        # the link rows between fragment and article break adjacency
+        assert "Short stray fragment" not in out
+        assert "Trailing fragment" not in out
+        assert ARTICLE_P1 in out
+
+    def test_committed_fixture_unchanged(self):
+        # the canonical fixture has no near-good neighbors: byte-identical
+        assert extract_main_text(FIXTURE) == EXPECTED_TEXT

@@ -67,7 +67,9 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
            gopher_rules: bool = False,
            blocked_domains: list[str] | None = None,
            perplexity_lm=None,
-           max_perplexity: float | None = None) -> dict:
+           max_perplexity: float | None = None,
+           quality_model: dict | None = None,
+           min_quality_proba: float = 0.5) -> dict:
     docs = spark.read.parquet(input_path)
     counts = {"input": docs.count()}
     # wall seconds per pipeline stage (stage = work up to its survivor
@@ -119,7 +121,9 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
              "normalize": normalize, "c4_rules": c4_rules,
              "gopher_rules": gopher_rules,
              "blocked_domains": sorted(blocked_domains or []),
-             "max_perplexity": max_perplexity},
+             "max_perplexity": max_perplexity,
+             "quality_model": (quality_model or {}).get("coefficients"),
+             "min_quality_proba": min_quality_proba},
             sort_keys=True)
         resume_key = hashlib.sha256(payload.encode()).hexdigest()[:16]
         os.makedirs(workdir, exist_ok=True)
@@ -205,6 +209,12 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
             # bounds already enforced by min/max_tokens above
             cond = cond & curation.gopher_doc_conditions(
                 F.col(text_col), min_words=min_tokens, max_words=max_tokens)
+        if quality_model is not None:
+            # trusted-vs-crawl classifier (functions/quality_clf.py):
+            # coefficients inline into this same codegen filter pass
+            from fever_spark.functions.quality_clf import quality_proba
+            cond = cond & (quality_proba(F.col(text_col), quality_model)
+                           >= min_quality_proba)
         out = annotated.filter(cond).drop("_lang")
         if perplexity_lm is not None:
             # CCNet-style LM quality band (functions/ngram_lm.py): score
@@ -311,7 +321,9 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
                    "normalize": normalize, "c4_rules": c4_rules,
                    "gopher_rules": gopher_rules,
                    "blocked_domains": blocked_domains,
-                   "max_perplexity": max_perplexity},
+                   "max_perplexity": max_perplexity,
+                   "quality_classifier": quality_model is not None,
+                   "min_quality_proba": min_quality_proba},
         "workdir": workdir,
         "resumed_stages": resumed,
     }

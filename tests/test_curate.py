@@ -312,3 +312,25 @@ def test_curate_perplexity_band(spark, tmp_path):
     assert {r["doc_id"] for r in kept.collect()} == {1}
     assert "perplexity" in kept.columns
     assert man["params"]["max_perplexity"] == 1000.0
+
+
+def test_curate_quality_classifier_gate(spark, tmp_path):
+    from fever_spark.functions.quality_clf import train_quality_classifier
+
+    prose = ("The committee published its careful findings after a long "
+             "review of the evidence and written submissions it received.")
+    junk = "$$$ 111 !!! buy buy buy ### 999 ||| @@@ win win win 222 $$$"
+    trusted = spark.createDataFrame([(prose,)] * 20, "text string")
+    crawl = spark.createDataFrame([(junk,)] * 20, "text string")
+    model = train_quality_classifier(trusted, crawl)
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, prose + " It later added two further volumes of analysis."),
+         (2, junk + " extra 333 $$$")],
+        "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "out")
+    man = curate(spark, src, out, min_quality=0.0, min_tokens=3,
+                 quality_model=model)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1}
+    assert man["params"]["quality_classifier"] is True

@@ -16,6 +16,11 @@ Queries:
                     curate → training shards (the end-to-end ingest path)
   warc_parse        the parse+extract stage alone (pure file-parallel map;
                     the scaling-study ingest workload)
+  text_models       train BPE merges + CCNet n-gram LM + quality
+                    classifier over sf documents, then score the corpus
+                    with each (the round-4 model-training operators).
+                    NOT in the default set — training is tens of seconds
+                    per rep; run with --queries text_models
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), FEVER_BENCH_PAGES (default 1_000_000).
@@ -353,6 +358,54 @@ def bench_crawl_pipeline(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+_MODELS_DETAIL = {}
+
+
+def bench_text_models(spark):
+    """The model-training family end-to-end over the sf documents table:
+    BPE merges + corpus encoding, CCNet n-gram LM + perplexity scoring,
+    trusted-vs-crawl classifier + codegen scoring. Per-stage seconds land
+    in the bench JSON as `text_models_stages`."""
+    from fever_spark.functions.bpe import bpe_encode, train_bpe, word_counts
+    from fever_spark.functions.ngram_lm import perplexity, train_ngram_lm
+    from fever_spark.functions.quality_clf import (quality_proba,
+                                                  train_quality_classifier)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    stages = {}
+    t0 = time.time()
+    model = train_bpe(word_counts(docs), num_merges=200)
+    stages["bpe_train"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_tokens = (bpe_encode(docs, model["merges"])
+                .select(F.sum(F.size("bpe_tokens"))).first()[0])
+    stages["bpe_encode"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    lm = train_ngram_lm(docs, order=3)
+    stages["lm_train"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    perplexity(docs, lm).agg(F.avg("perplexity")).first()
+    stages["lm_score"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    junk = spark.range(500).select(
+        F.concat(F.lit("$$$ 111 !!! buy "), F.col("id").cast("string"),
+                 F.lit(" ### 999 win")).alias("text"))
+    clf = train_quality_classifier(docs.limit(2000), junk)
+    stages["clf_train"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    kept = docs.filter(
+        quality_proba(F.col("text"), clf) >= 0.5).count()
+    stages["clf_score"] = round(time.time() - t0, 3)
+    total = round(sum(stages.values()), 3)
+    best = _MODELS_DETAIL.get("total_s")
+    if best is None or total < best:
+        _MODELS_DETAIL.update(total_s=total, stages=stages,
+                              bpe_tokens=int(n_tokens),
+                              clf_auc=round(clf["auc"], 4),
+                              clf_kept=kept)
+    return kept
+
+
 def bench_grouped_sums(spark):
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     agg = (li.groupBy("l_returnflag", "l_linestatus")
@@ -375,6 +428,7 @@ BENCHES = {
     "curate": bench_curate,
     "crawl_pipeline": bench_crawl_pipeline,
     "warc_parse": bench_warc_parse,
+    "text_models": bench_text_models,
 }
 
 
@@ -383,7 +437,10 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--master", default=f"local[{CPUS}]")
-    ap.add_argument("--queries", default=",".join(BENCHES))
+    # text_models trains three models per rep (tens of seconds each run)
+    # — opt-in only, so the default interleaved-rep bench stays fast
+    ap.add_argument("--queries", default=",".join(
+        q for q in BENCHES if q != "text_models"))
     ap.add_argument("--skip-warmup", action="store_true")
     args = ap.parse_args(argv)
 
@@ -480,6 +537,8 @@ def main(argv=None):
         result["curate_stages"] = _CURATE_DETAIL
     if "crawl_pipeline" in timings and _CRAWL_DETAIL:
         result["crawl_stages"] = _CRAWL_DETAIL
+    if "text_models" in timings and _MODELS_DETAIL:
+        result["text_models_stages"] = _MODELS_DETAIL
     print(json.dumps(result))
     spark.stop()
 

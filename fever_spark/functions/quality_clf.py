@@ -4,16 +4,20 @@ The public pretraining pipelines (GPT-3 appendix A; LLaMA; PaLM) filter
 Common Crawl with a linear classifier trained to separate a TRUSTED
 corpus (Wikipedia/books/reference pages) from random crawl text, then
 keep crawl documents the classifier scores as trusted-like. This module
-is that recipe on Spark MLlib: featurize with the library's existing
-whole-stage-codegen text signals (no tokenizer, no embedding — one
-projection), train LogisticRegression on trusted∪crawl samples, score
-the corpus distributed.
+is that recipe in pure DataFrame operations: featurize with the
+library's existing whole-stage-codegen text signals (no tokenizer, no
+embedding — one projection), train logistic regression by distributed
+full-batch gradient descent on trusted∪crawl samples, score the corpus
+distributed.
 
 Scale shape: featurization is a codegen projection (zero Python, zero
-shuffle); MLlib LR training is the standard distributed L-BFGS over the
-(small) labeled sample; scoring broadcasts the coefficient vector — one
-map, no shuffle. The model is a plain dict of named coefficients, so it
-serializes to JSON and needs no MLlib at scoring time.
+shuffle); each training iteration is ONE map-side-combined aggregation
+whose shuffle volume is O(n_features) regardless of sample size; scoring
+inlines the coefficients as literals — one map, no Python, no shuffle.
+The model is a plain dict of named coefficients, JSON-serializable.
+(MLlib deliberately not used: its RDD-closure training fails with "Task
+not serializable: ObservationManager" in any session that ever ran
+df.observe, which the sketch jobs do.)
 """
 
 from __future__ import annotations
@@ -60,37 +64,92 @@ def quality_features(text: Column) -> list[Column]:
 
 def train_quality_classifier(trusted: DataFrame, crawl: DataFrame,
                              text_col: str = "text",
-                             max_iter: int = 50,
-                             reg_param: float = 0.01) -> dict:
+                             max_iter: int = 100,
+                             reg_param: float = 0.01,
+                             learning_rate: float = 1.0) -> dict:
     """Fit LR to separate ``trusted`` (label 1) from ``crawl`` (label 0).
 
-    Returns a broadcastable plain-dict model:
-    {"coefficients": {name: w}, "intercept": b, "auc": train AUC} —
-    JSON-serializable, scored without MLlib."""
-    from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.evaluation import BinaryClassificationEvaluator
-    from pyspark.ml.feature import VectorAssembler
+    Distributed batch gradient descent as plain DataFrame aggregations:
+    per iteration, ONE map-side-combined agg computes the full-batch
+    logistic gradient (the sigmoid and the per-feature products are
+    codegen expressions with the current weights inlined as literals);
+    features are standardized from a one-pass moment agg and the final
+    coefficients are de-standardized back to raw feature space. No MLlib:
+    its RDD-closure training trips "Task not serializable:
+    ObservationManager" in any session that ever ran df.observe (the
+    sketch jobs do) — and our loop's shuffle volume is O(n_features) per
+    iteration regardless of sample size, which IS the scalable shape.
+
+    Returns a plain-dict model {"coefficients": {name: w}, "intercept":
+    b, "auc": train AUC} — JSON-serializable, scored by quality_proba
+    with no runtime dependency."""
+    from pyspark.sql import Window
 
     def feats(df, label):
         return df.select(*quality_features(F.col(text_col)),
                          F.lit(label).alias("label"))
 
-    data = feats(trusted, 1.0).unionByName(feats(crawl, 0.0))
-    assembled = VectorAssembler(inputCols=FEATURE_NAMES,
-                                outputCol="features",
-                                handleInvalid="keep").transform(data)
-    lr = LogisticRegression(maxIter=max_iter, regParam=reg_param,
-                            standardization=True)
-    model = lr.fit(assembled)
-    auc = BinaryClassificationEvaluator().evaluate(
-        model.transform(assembled))
-    return {
-        "coefficients": dict(zip(FEATURE_NAMES,
-                                 [float(c) for c in model.coefficients])),
-        "intercept": float(model.intercept),
-        "auc": float(auc),
-        "n_trusted": trusted.count(), "n_crawl": crawl.count(),
-    }
+    data = feats(trusted, 1.0).unionByName(feats(crawl, 0.0)) \
+        .na.fill(0.0).persist()
+    try:
+        m = data.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.avg(f).alias(f"m_{f}") for f in FEATURE_NAMES],
+            *[F.coalesce(F.stddev_pop(f), F.lit(0.0)).alias(f"s_{f}")
+              for f in FEATURE_NAMES]).first()
+        n = m["n"]
+        mean = {f: float(m[f"m_{f}"]) for f in FEATURE_NAMES}
+        std = {f: float(m[f"s_{f}"]) or 1.0 for f in FEATURE_NAMES}
+
+        w = {f: 0.0 for f in FEATURE_NAMES}
+        b = 0.0
+        for _ in range(int(max_iter)):
+            z = F.lit(b)
+            for f in FEATURE_NAMES:
+                z = z + ((F.col(f) - F.lit(mean[f])) / F.lit(std[f])) \
+                    * F.lit(w[f])
+            err = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) - F.col("label")
+            g = data.agg(
+                F.avg(err).alias("g_b"),
+                *[F.avg(err * (F.col(f) - F.lit(mean[f])) / F.lit(std[f]))
+                  .alias(f"g_{f}") for f in FEATURE_NAMES]).first()
+            b -= learning_rate * float(g["g_b"])
+            for f in FEATURE_NAMES:
+                w[f] -= learning_rate * (float(g[f"g_{f}"])
+                                         + reg_param * w[f])
+
+        # de-standardize: w_raw = w/std, b_raw = b - Σ w·mean/std
+        coefs = {f: w[f] / std[f] for f in FEATURE_NAMES}
+        intercept = b - sum(w[f] * mean[f] / std[f] for f in FEATURE_NAMES)
+
+        # train AUC via the Mann-Whitney rank statistic (DataFrame-only;
+        # global window is fine — one pass over the labeled sample)
+        model = {"coefficients": coefs, "intercept": intercept}
+        scored = (data.select(
+            quality_proba_from_features(model).alias("p"), "label")
+            .withColumn("r", F.row_number().over(Window.orderBy("p")))
+            .agg(F.sum(F.when(F.col("label") == 1.0, F.col("r")))
+                 .alias("rank_sum"),
+                 F.sum(F.when(F.col("label") == 1.0, 1).otherwise(0))
+                 .alias("n1")).first())
+        n1 = scored["n1"]
+        n0 = n - n1
+        auc = ((float(scored["rank_sum"]) - n1 * (n1 + 1) / 2)
+               / (n1 * n0) if n1 and n0 else float("nan"))
+    finally:
+        data.unpersist()
+    return {"coefficients": coefs, "intercept": float(intercept),
+            "auc": float(auc), "n_trusted": int(n1), "n_crawl": int(n0)}
+
+
+def quality_proba_from_features(model: dict) -> Column:
+    """Sigmoid of the linear form over ALREADY-COMPUTED feature columns
+    (names = FEATURE_NAMES) — the scoring core shared by training's AUC
+    pass and quality_proba."""
+    z = F.lit(float(model["intercept"]))
+    for name in FEATURE_NAMES:
+        z = z + F.col(name) * F.lit(float(model["coefficients"][name]))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
 def quality_proba(text: Column, model: dict) -> Column:

@@ -52,7 +52,7 @@ from fever_spark.operators.dedup import (corpus_fingerprint_bloom,
                                          minhash_signatures)
 from fever_spark.sketch.bloom import BloomFilter
 
-__all__ = ["ingest"]
+__all__ = ["ingest", "stream_ingest"]
 
 
 def _part(base: str, batch_id: str) -> str:
@@ -248,3 +248,43 @@ def main(argv: list[str] | None = None) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def stream_ingest(spark: SparkSession, watch_dir: str, corpus_dir: str,
+                  state_dir: str, staging_dir: str, checkpoint_dir: str,
+                  max_files_per_trigger: int | None = None,
+                  **ingest_kwargs):
+    """The LIVING-CORPUS loop end to end: watch a crawl drop directory
+    (sources/warc.stream_warc_to_pages) and run every micro-batch of
+    newly dropped archives through ingest() — exact + near-dup screened
+    against the whole corpus history, appended under its own partition.
+
+    Exactly-once composition of two idempotent layers: the file-stream
+    checkpoint guarantees each archive enters exactly one micro-batch,
+    and ingest()'s batch-keyed partitions + self-excluding Bloom deltas
+    make a REPLAYED micro-batch (crash between staging and commit)
+    replace its own output instead of double-appending. Micro-batch
+    pages stage as parquet under ``staging_dir/batch=<id>`` (overwrite —
+    replay-safe), with doc_id = xxhash64(url, warc_ts) so recrawls of a
+    url get distinct ids and the content screens decide survival.
+
+    Returns the StreamingQuery; the caller owns its lifecycle
+    (``processAllAvailable()`` for drain-style tests, ``awaitTermination``
+    in production)."""
+    from fever_spark.sources.warc import stream_warc_to_pages
+
+    stream = stream_warc_to_pages(
+        spark, watch_dir, max_files_per_trigger=max_files_per_trigger)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        staged = os.path.join(staging_dir, f"batch={batch_id}")
+        pages = batch_df.withColumn(
+            "doc_id", F.xxhash64("url", "warc_ts"))
+        pages.write.mode("overwrite").parquet(staged)
+        if spark.read.parquet(staged).isEmpty():
+            return  # an empty trigger must not mint an empty corpus batch
+        ingest(spark, staged, corpus_dir, state_dir,
+               batch_id=f"stream_{batch_id}", **ingest_kwargs)
+
+    return (stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir).start())

@@ -158,3 +158,69 @@ class TestIngest:
         ingest(spark, b2, corpus, state, batch_id="b2",
                bloom_capacity=10_000)
         assert spark.read.parquet(corpus).count() == 6
+
+
+class TestStreamIngest:
+    """stream_ingest: dropped archives -> micro-batches -> idempotent
+    corpus batches with history-wide dedup."""
+
+    @staticmethod
+    def _drop(watch, name, pages):
+        import gzip
+
+        recs = []
+        for url, body in pages:
+            payload = b"HTTP/1.1 200 OK\r\n\r\n" + body
+            recs.append(gzip.compress(
+                b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: " + url + b"\r\n"
+                b"WARC-Date: 2026-05-01T00:00:00Z\r\n"
+                b"Content-Type: application/http; msgtype=response\r\n"
+                b"Content-Length: " + str(len(payload)).encode()
+                + b"\r\n\r\n" + payload + b"\r\n\r\n"))
+        (watch / name).write_bytes(b"".join(recs))
+
+    def test_accretion_and_cross_batch_dedup(self, spark, tmp_path):
+        from fever_spark.jobs.ingest import stream_ingest
+
+        watch = tmp_path / "drop"
+        watch.mkdir()
+        dirs = {k: str(tmp_path / k) for k in
+                ("corpus", "state", "staging", "ckpt")}
+
+        def page(i):
+            return ("<html><body><p>Streamed corpus article number "
+                    f"{i} with plenty of distinct prose content to keep."
+                    "</p></body></html>").encode()
+
+        self._drop(watch, "a.warc.gz",
+                   [(f"http://s/{i}".encode(), page(i)) for i in range(6)])
+        q = stream_ingest(spark, str(watch), dirs["corpus"], dirs["state"],
+                          dirs["staging"], dirs["ckpt"])
+        try:
+            q.processAllAvailable()
+            assert spark.read.parquet(dirs["corpus"]).count() == 6
+            # batch 2: one recrawl duplicate (same content, new url) + one
+            # genuinely new page — only the new one survives the screen
+            self._drop(watch, "b.warc.gz",
+                       [(b"http://mirror/0", page(0)),
+                        (b"http://s/new", page(99))])
+            q.processAllAvailable()
+            corpus = spark.read.parquet(dirs["corpus"])
+            assert corpus.count() == 7
+            urls_kept = {r["url"] for r in corpus.select("url").collect()}
+            assert "http://s/new" in urls_kept
+            assert "http://mirror/0" not in urls_kept
+        finally:
+            q.stop()
+            q.awaitTermination(10)
+
+        # restart from the same checkpoint: nothing re-ingests
+        q2 = stream_ingest(spark, str(watch), dirs["corpus"], dirs["state"],
+                           dirs["staging"], dirs["ckpt"])
+        try:
+            q2.processAllAvailable()
+            assert spark.read.parquet(dirs["corpus"]).count() == 7
+        finally:
+            q2.stop()
+            q2.awaitTermination(10)

@@ -1,0 +1,98 @@
+"""As-of join: each left row enriched with the temporally nearest right
+row per key — the time-series join Spark lacks as a built-in.
+
+Semantics match pandas ``merge_asof`` / DuckDB ``ASOF JOIN``:
+``backward`` (default) pairs each left row with the right row having the
+LARGEST right timestamp <= the left timestamp within the same join keys
+(ties: a right row at exactly the left timestamp matches); ``forward``
+pairs with the smallest right timestamp >= left. Left-join semantics —
+unmatched (or out-of-``tolerance``) left rows keep nulls.
+
+Spark-first shape: ONE union + ONE per-key ordered window —
+
+    union(left tagged 1, right tagged 0, right payload as one struct)
+      → window PARTITION BY keys ORDER BY (ts, tag)
+        last_value(payload, ignorenulls) ROWS UNBOUNDED PRECEDING..CURRENT
+      → keep left rows, unpack the struct
+
+The right payload rides the shuffle ONCE as a single struct column; no
+range join, no per-row candidate explosion, no driver loop. Scale note:
+like every ordered-per-key operator the window partitions by the join
+key and window partitions are not AQE-splittable — with a pathologically
+hot key (one symbol carrying most of both streams), pre-split by a time
+bucket first; for typical key cardinalities (flows, hosts, instruments)
+the key domain IS the parallelism.
+
+Reference behavior anchor: fever's flow-context correlation
+(processing/context_collector.go:88-143) pairs events with the state of
+their flow "as of" the event — this operator is that pattern generalized
+to any keyed timeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
+              left_ts: str = "ts", right_ts: str | None = None,
+              direction: str = "backward",
+              tolerance_seconds: float | None = None,
+              suffix: str = "_right") -> DataFrame:
+    """As-of join ``left`` with ``right`` on key columns ``on``.
+
+    Output: every left row + the matched right row's non-key columns
+    (renamed with ``suffix`` on collision; the matched right timestamp is
+    always present as ``<right_ts><suffix>``). ``tolerance_seconds``
+    nulls out matches farther than the tolerance (inclusive)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward: {direction}")
+    on = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+
+    val_cols = [c for c in right.columns if c not in on and c != right_ts]
+    payload = F.struct(F.col(right_ts).alias("__ts"),
+                       *[F.col(c) for c in val_cols])
+    r = right.select(*on,
+                     F.col(right_ts).alias("__ord"),
+                     F.lit(0).alias("__tag"),
+                     payload.alias("__rv"),
+                     *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+                       for c in left.columns if c not in on])
+    l_cols = [c for c in left.columns if c not in on]
+    l = left.select(*on,
+                    F.col(left_ts).alias("__ord"),
+                    F.lit(1).alias("__tag"),
+                    F.lit(None).cast(
+                        r.schema["__rv"].dataType).alias("__rv"),
+                    *l_cols)
+
+    # ORDER (ts asc, tag asc) puts a right row BEFORE the left row at an
+    # equal timestamp, so ties match (backward); forward flips the ts
+    # order and keeps the tag order so equal-ts rights still precede.
+    asc = direction == "backward"
+    order = [F.col("__ord").asc() if asc else F.col("__ord").desc(),
+             F.col("__tag").asc()]
+    w = (Window.partitionBy(*on).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = (l.unionByName(r.select(*l.columns))
+               .withColumn("__m", F.last("__rv", ignorenulls=True).over(w))
+               .filter(F.col("__tag") == 1))
+
+    m = F.col("__m")
+    if tolerance_seconds is not None:
+        gap = (F.col("__ord").cast("double")
+               - m.getField("__ts").cast("double"))
+        if not asc:
+            gap = -gap
+        m = F.when(gap <= float(tolerance_seconds), m)
+    out_ts = right_ts + suffix
+    sel = ([F.col(c) for c in on]
+           + [F.col(c) for c in l_cols]
+           + [m.getField("__ts").alias(out_ts)]
+           + [m.getField(c).alias(c + suffix if c in left.columns else c)
+              for c in val_cols])
+    return matched.select(*sel)

@@ -1,0 +1,105 @@
+"""As-of join (operators/joins.py) vs DuckDB's native ASOF JOIN, plus
+ties, tolerance, forward direction, unmatched rows, column collisions."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fever_spark.operators.joins import asof_join
+
+QUOTES = [  # key, ts(sec), px
+    ("aapl", 1, 10.0), ("aapl", 4, 40.0), ("aapl", 6, 60.0),
+    ("msft", 2, 20.0), ("msft", 9, 90.0),
+]
+TRADES = [  # key, ts(sec), qty
+    ("aapl", 2, 100), ("aapl", 4, 200), ("aapl", 5, 300),
+    ("msft", 1, 400), ("msft", 9, 500), ("goog", 3, 600),
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    t = spark.createDataFrame(
+        [(k, float(ts), q) for k, ts, q in TRADES],
+        "sym string, ts double, qty long")
+    q = spark.createDataFrame(
+        [(k, float(ts), p) for k, ts, p in QUOTES],
+        "sym string, ts double, px double")
+    return t, q
+
+
+def duck_asof(direction="backward"):
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(TRADES, columns=["sym", "ts", "qty"]))
+    con.register("q", pd.DataFrame(QUOTES, columns=["sym", "ts", "px"]))
+    op = ">=" if direction == "backward" else "<="
+    return con.execute(f"""
+        SELECT t.sym, t.ts, t.qty, q.ts AS ts_right, q.px
+        FROM t ASOF LEFT JOIN q
+          ON t.sym = q.sym AND t.ts {op} q.ts
+        ORDER BY t.sym, t.ts""").fetchall()
+
+
+class TestAsofJoin:
+    def _collect(self, df):
+        return [(r["sym"], r["ts"], r["qty"], r["ts_right"], r["px"])
+                for r in df.orderBy("sym", "ts").collect()]
+
+    def test_backward_matches_duckdb(self, spark, frames):
+        t, q = frames
+        got = self._collect(asof_join(t, q, on="sym"))
+        assert got == duck_asof("backward")
+        # spot semantics: trade at ts=4 matches quote at EXACTLY ts=4
+        by = {(s, ts): (tr, px) for s, ts, _, tr, px in got}
+        assert by[("aapl", 4.0)] == (4.0, 40.0)
+        assert by[("goog", 3.0)] == (None, None)   # keyless: null match
+
+    def test_forward_matches_duckdb(self, spark, frames):
+        t, q = frames
+        got = self._collect(asof_join(t, q, on="sym",
+                                      direction="forward"))
+        assert got == duck_asof("forward")
+
+    def test_tolerance_nulls_stale_matches(self, spark, frames):
+        t, q = frames
+        got = self._collect(asof_join(t, q, on="sym",
+                                      tolerance_seconds=1.0))
+        by = {(s, ts): (tr, px) for s, ts, _, tr, px in got}
+        assert by[("aapl", 2.0)] == (1.0, 10.0)    # gap 1 kept
+        assert by[("aapl", 5.0)] == (4.0, 40.0)    # gap 1 kept
+        assert by[("msft", 9.0)] == (9.0, 90.0)    # gap 0 kept
+        # DuckDB replica with a tolerance filter
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame(TRADES, columns=["sym", "ts", "qty"]))
+        con.register("q", pd.DataFrame(QUOTES, columns=["sym", "ts", "px"]))
+        expect = con.execute("""
+            SELECT t.sym, t.ts, t.qty,
+                   CASE WHEN t.ts - q.ts <= 1 THEN q.ts END AS ts_right,
+                   CASE WHEN t.ts - q.ts <= 1 THEN q.px END AS px
+            FROM t ASOF LEFT JOIN q ON t.sym = q.sym AND t.ts >= q.ts
+            ORDER BY t.sym, t.ts""").fetchall()
+        assert got == expect
+
+    def test_column_collision_gets_suffix(self, spark, frames):
+        t, q = frames
+        q2 = q.withColumnRenamed("px", "qty")   # collide with left's qty
+        out = asof_join(t, q2, on="sym")
+        assert "qty" in out.columns and "qty_right" in out.columns
+        [r] = out.filter((F.col("sym") == "aapl")
+                         & (F.col("ts") == 5.0)).collect()
+        assert r["qty"] == 300 and r["qty_right"] == 40.0
+
+    def test_timestamp_typed_ts(self, spark):
+        t = spark.createDataFrame(
+            [("k", "2026-01-01 00:00:05")], "sym string, s string") \
+            .select("sym", F.to_timestamp("s").alias("ts"))
+        q = spark.createDataFrame(
+            [("k", "2026-01-01 00:00:03", 1.5),
+             ("k", "2026-01-01 00:00:06", 9.9)],
+            "sym string, s string, px double") \
+            .select("sym", F.to_timestamp("s").alias("ts"), "px")
+        [r] = asof_join(t, q, on="sym", tolerance_seconds=10).collect()
+        assert r["px"] == 1.5
+        [r2] = asof_join(t, q, on="sym", tolerance_seconds=1).collect()
+        assert r2["px"] is None

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
@@ -96,3 +96,49 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
            + [m.getField(c).alias(c + suffix if c in left.columns else c)
               for c in val_cols])
     return matched.select(*sel)
+
+
+def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
+               start_col: str = "start", end_col: str = "end",
+               bucket_width: float | None = None,
+               long_interval_factor: float = 64.0) -> DataFrame:
+    """Point-in-interval join (``start <= point <= end``, inclusive) as a
+    scalable EQUI-join — Spark's own planner turns an inequality join
+    into a broadcast nested loop (or worse, a cartesian) which dies at
+    scale; this is the bucketing rewrite, the same technique the CIDR
+    matcher uses for IP ranges generalized to any numeric axis.
+
+    Shape: intervals explode over the fixed-width buckets they cover and
+    points map to exactly ONE bucket, so bucket equality is a plain
+    shuffled equi-join (AQE-splittable, skew-handled) and each
+    (point, interval) pair arises exactly once; the exact containment
+    predicate filters after the match. ``bucket_width`` defaults to the
+    p90 interval length (one pass of approxQuantile), so ~90% of
+    intervals cover <= 2 buckets. Intervals longer than
+    ``long_interval_factor``×width would explode — they are split off
+    and BROADCAST to an inequality join instead (they are few by
+    construction: longer than the p90), and the two paths union.
+    """
+    lo, hi, pt = F.col(start_col), F.col(end_col), F.col(point_col)
+    if bucket_width is None:
+        [q] = (intervals.select((hi - lo).cast("double").alias("len"))
+               .approxQuantile("len", [0.9], 0.01))
+        bucket_width = max(float(q), 1e-9)
+    w = float(bucket_width)
+
+    is_long = (hi - lo) > F.lit(w * float(long_interval_factor))
+    short_iv = intervals.filter(~is_long)
+    long_iv = intervals.filter(is_long)
+
+    exploded = short_iv.withColumn(
+        "__b", F.explode(F.sequence(
+            F.floor(lo / F.lit(w)).cast("long"),
+            F.floor(hi / F.lit(w)).cast("long"))))
+    keyed_pts = points.withColumn(
+        "__b", F.floor(pt / F.lit(w)).cast("long"))
+    short_hits = (keyed_pts.join(exploded, "__b")
+                  .filter((pt >= lo) & (pt <= hi)).drop("__b"))
+
+    long_hits = points.join(
+        F.broadcast(long_iv), (pt >= lo) & (pt <= hi), "inner")
+    return short_hits.unionByName(long_hits)

@@ -6,7 +6,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from fever_spark.operators.joins import asof_join
+from fever_spark.operators.joins import asof_join, range_join
 
 QUOTES = [  # key, ts(sec), px
     ("aapl", 1, 10.0), ("aapl", 4, 40.0), ("aapl", 6, 60.0),
@@ -103,3 +103,51 @@ class TestAsofJoin:
         assert r["px"] == 1.5
         [r2] = asof_join(t, q, on="sym", tolerance_seconds=1).collect()
         assert r2["px"] is None
+
+
+class TestRangeJoin:
+    """Bucketed point-in-interval join vs a DuckDB inequality join —
+    random data, boundary inclusivity, long-interval broadcast path."""
+
+    def test_random_matches_duckdb(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        pts = [(int(i), float(v)) for i, v in
+               enumerate(rng.uniform(0, 1000, 300))]
+        ivs = []
+        for i in range(80):
+            lo = float(rng.uniform(0, 990))
+            ivs.append((int(i), lo, lo + float(rng.uniform(0.1, 30))))
+        ivs.append((900, 0.0, 1000.0))      # one giant interval -> broadcast
+        p = spark.createDataFrame(pts, "pid long, x double")
+        iv = spark.createDataFrame(ivs, "iid long, start double, end double")
+        got = sorted((r["pid"], r["iid"]) for r in
+                     range_join(p, iv, "x").collect())
+        con = duckdb.connect()
+        con.register("p", pd.DataFrame(pts, columns=["pid", "x"]))
+        con.register("iv", pd.DataFrame(ivs,
+                                        columns=["iid", "start", "end"]))
+        expect = sorted(map(tuple, con.execute("""
+            SELECT pid, iid FROM p JOIN iv
+            ON p.x BETWEEN iv.start AND iv.end""").fetchall()))
+        assert got == expect and len(got) > 300  # giant interval hits all
+
+    def test_boundaries_inclusive_and_no_dups(self, spark):
+        p = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 15.0)],
+                                  "pid long, x double")
+        iv = spark.createDataFrame([(7, 10.0, 20.0)],
+                                   "iid long, start double, end double")
+        got = sorted((r["pid"], r["iid"]) for r in
+                     range_join(p, iv, "x", bucket_width=3.0).collect())
+        assert got == [(1, 7), (2, 7), (3, 7)]   # both ends inclusive, 1x
+
+    def test_explicit_width_spans_buckets(self, spark):
+        p = spark.createDataFrame([(i, float(i)) for i in range(50)],
+                                  "pid long, x double")
+        iv = spark.createDataFrame([(1, 5.0, 45.0)],
+                                   "iid long, start double, end double")
+        # width 1 -> interval covers 41 buckets but stays under the
+        # long-interval factor: exercised through the exploded path
+        n = range_join(p, iv, "x", bucket_width=1.0).count()
+        assert n == 41

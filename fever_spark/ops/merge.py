@@ -60,6 +60,14 @@ def two_level_merge(sketch_df: DataFrame, keys: list[str],
         f"`{f.name}` {f.dataType.simpleString()}"
         for f in sketch_df.schema.fields if f.name != _SALT)
 
+    if salt == 1:
+        # degenerate salt: one merge group per key — a single shuffle.
+        # The right call when the input is ALREADY per-group-merged state
+        # (rollup ladders: <= fine/coarse-ratio states per key, skew-free
+        # by construction) where the salted level is pure overhead.
+        return sketch_df.groupBy(*keys, "sketch").applyInPandas(
+            _merge_group_fn(keys), schema=out_fields)
+
     # level 1: spread each key's partial states across `salt` reducers.
     # spark_partition_id is deterministic per map task and cheap; pmod keeps
     # the salt domain bounded regardless of partition count.

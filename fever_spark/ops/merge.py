@@ -60,11 +60,33 @@ def two_level_merge(sketch_df: DataFrame, keys: list[str],
         f"`{f.name}` {f.dataType.simpleString()}"
         for f in sketch_df.schema.fields if f.name != _SALT)
 
+    # VECTORIZED-ACROSS-GROUPS merge for the canonical (keys, sketch,
+    # state) shape: groupBy().agg(collect_list(state)) + ONE pandas_udf
+    # merging every group's state list in the same Arrow batch.
+    # applyInPandas pays per-GROUP Arrow round-trips (one pandas frame
+    # per merge group) — measured ~3.6s to merge 10.7k partials into 336
+    # groups on the rollup ladder, almost all of it per-group overhead.
+    # Per-group state-list memory is bounded: level-1 lists hold
+    # ~partitions/salt states, level-2 at most `salt`. Frames carrying
+    # EXTRA columns (e.g. a chunk tag) fall back to the applyInPandas
+    # path, which forwards them from the group head.
+    canonical = set(sketch_df.columns) == set(keys + ["sketch", "state"])
+
+    @F.pandas_udf("binary")
+    def _merge_lists(lists: pd.Series) -> pd.Series:
+        return lists.map(
+            lambda arr: merge_many([bytes(b) for b in arr]).to_bytes())
+
     if salt == 1:
         # degenerate salt: one merge group per key — a single shuffle.
         # The right call when the input is ALREADY per-group-merged state
         # (rollup ladders: <= fine/coarse-ratio states per key, skew-free
         # by construction) where the salted level is pure overhead.
+        if canonical:
+            return (sketch_df.groupBy(*keys, "sketch")
+                    .agg(F.collect_list("state").alias("__sts"))
+                    .select(*keys, "sketch",
+                            _merge_lists("__sts").alias("state")))
         return sketch_df.groupBy(*keys, "sketch").applyInPandas(
             _merge_group_fn(keys), schema=out_fields)
 
@@ -72,6 +94,15 @@ def two_level_merge(sketch_df: DataFrame, keys: list[str],
     # spark_partition_id is deterministic per map task and cheap; pmod keeps
     # the salt domain bounded regardless of partition count.
     salted = sketch_df.withColumn(_SALT, F.pmod(F.spark_partition_id(), F.lit(salt)))
+    if canonical:
+        level1 = (salted.groupBy(*keys, "sketch", _SALT)
+                  .agg(F.collect_list("state").alias("__sts"))
+                  .select(*keys, "sketch",
+                          _merge_lists("__sts").alias("state")))
+        return (level1.groupBy(*keys, "sketch")
+                .agg(F.collect_list("state").alias("__sts"))
+                .select(*keys, "sketch",
+                        _merge_lists("__sts").alias("state")))
     level1 = salted.groupBy(*keys, "sketch", _SALT).applyInPandas(
         _merge_group_fn(keys + [_SALT]), schema=f"{out_fields}, {_SALT} int")
     # level 2: at most `salt` rows per (keys, sketch) remain.

@@ -1399,7 +1399,7 @@ def oracle_sql() -> dict[str, str]:
                        AND regexp_matches(trim(x), '[.!?"'']$')),
                   chr(10)), '')) AS c4_clean_len,
                 (len(regexp_extract_all(text, '[.!?]')) >= 3
-                 AND NOT contains(text, '{{')
+                 AND NOT contains(text, '{')
                  AND NOT regexp_matches(lower(text), 'lorem ipsum'))::INT
                   AS c4_keep,
                 (len(w) BETWEEN 50 AND 100000

@@ -61,9 +61,20 @@ class NgramLM:
         self.k = k
         self.stats = stats or {}
 
+    def weights(self) -> list:
+        """Interpolation weights, highest order first. The published
+        5-entry ladder for order <= 5; beyond that each extra order
+        extends the geometric tail (half the previous weight) so the
+        unigram floor is NEVER dropped — with a truncated list an
+        unseen-context doc at order>5 would hit log2(0)."""
+        w = [0.7, 0.2, 0.1, 0.05, 0.025]
+        while len(w) < self.order:
+            w.append(w[-1] / 2)
+        return w[:self.order]
+
     def logprob(self, context: tuple, word: str) -> float:
         """log2 p(word | context) under the interpolation above."""
-        weights = [0.7, 0.2, 0.1, 0.05, 0.025][:self.order]
+        weights = self.weights()
         num = 0.0
         den = 0.0
         for i, w in enumerate(weights):      # i=0 → highest order

@@ -138,9 +138,13 @@ def host_suffixes(url: Column, max_labels: int = 6) -> Column:
     suffix-matched blocklists."""
     host = F.lower(F.try_parse_url(url, F.lit("HOST")))
     labels = F.split(host, r"\.")
-    n = F.least(F.size(labels), F.lit(max_labels))
+    # cap by keeping the SHORTEST max_labels suffixes: blocklist entries
+    # are shallow registrable domains, so a deep host (a.b.c.d.e.f.bad.tld)
+    # must still emit 'bad.tld' — start positions run from
+    # size-max_labels+1 .. size, not 1 .. max_labels
+    first = F.greatest(F.lit(1), F.size(labels) - F.lit(max_labels) + 1)
     return F.filter(
-        F.transform(F.sequence(F.lit(1), n),
+        F.transform(F.sequence(first, F.greatest(F.size(labels), F.lit(1))),
                     lambda i: F.array_join(F.slice(labels, i, F.size(labels)),
                                            ".")),
         lambda s: s != "")

@@ -179,7 +179,7 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
             # unicode NFC + control/zero-width strip BEFORE anything
             # fingerprints or tokenizes, so encoding variance can't split
             # identical contents into distinct dedup keys
-            base = docs.withColumn(text_col,
+            base = base.withColumn(text_col,
                                    TXT.normalize_text(F.col(text_col)))
         if c4_rules:
             # C4's line-level cleanup (Raffel et al. 2020 §2.2) BEFORE

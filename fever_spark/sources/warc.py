@@ -287,8 +287,15 @@ def read_warc(spark: SparkSession, path: str,
         if not verify_digests:
             return (r["url"], r["date"], r["content_type"], body, path_)
         raw = r["payload"]
-        sep = raw.find(_CRLF2)
-        entity = raw[sep + 4:] if sep >= 0 else raw
+        # the payload digest covers the HTTP entity only when the record
+        # block IS an HTTP message; for any other content-type it covers
+        # the whole block — splitting at a chance CRLFCRLF inside a binary
+        # payload would flag a healthy record corrupt
+        if "application/http" in r["content_type"]:
+            sep = raw.find(_CRLF2)
+            entity = raw[sep + 4:] if sep >= 0 else raw
+        else:
+            entity = raw
         return (r["url"], r["date"], r["content_type"], body, path_,
                 _digest_ok(raw, r["block_digest"]),
                 _digest_ok(entity, r["payload_digest"]))

@@ -334,3 +334,23 @@ def test_curate_quality_classifier_gate(spark, tmp_path):
                  quality_model=model)
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1}
     assert man["params"]["quality_classifier"] is True
+
+
+def test_curate_blocked_domains_survive_normalize(spark, tmp_path):
+    """Regression: with BOTH blocked_domains and normalize set, the
+    normalize stage must build on the domain-filtered frame — a blocked
+    page must never reach the curated output (the normalize branch once
+    rebuilt from the raw docs frame, silently dropping the URL filter)."""
+    body = " ".join(f"word{j} token" for j in range(12))
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, body + " one", "https://spam.example/a"),
+         (2, body + " two", "https://deep.sub.spam.example/b"),
+         (3, body + " three", "https://fine.example.org/c")],
+        "doc_id long, text string, url string").write.parquet(src)
+    out = str(tmp_path / "out")
+    man = curate(spark, src, out, min_quality=0.0, min_tokens=1,
+                 blocked_domains=["spam.example"], normalize=True)
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {3}
+    assert man["counts"]["after_quality_filter"] == 1

@@ -936,3 +936,30 @@ class TestDedupDocLines:
             .select(dedup_doc_lines(F.col("t")))._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestDeepSubdomainSuffixes:
+    """Regression: the max_labels cap must keep the SHORTEST suffixes
+    (registrable domains) — a host deeper than max_labels labels once
+    emitted only its longest suffixes and bypassed the blocklist."""
+
+    def test_deep_host_still_emits_registrable_domain(self, spark):
+        from fever_spark.functions.urls import host_suffixes
+
+        [row] = spark.createDataFrame(
+            [("https://a.b.c.d.e.f.bad.example/x",)], "u string") \
+            .select(host_suffixes(F.col("u")).alias("s")).collect()
+        # 8 labels, cap 6: keep the 6 SHORTEST suffixes
+        assert row["s"] == [
+            "c.d.e.f.bad.example", "d.e.f.bad.example", "e.f.bad.example",
+            "f.bad.example", "bad.example", "example"]
+
+    def test_deep_host_blocked(self, spark):
+        from fever_spark.functions.urls import filter_blocked_domains
+
+        df = spark.createDataFrame(
+            [(1, "https://a.b.c.d.e.f.bad.example/x"),
+             (2, "https://ok.example/y")], "doc_id long, url string")
+        kept = {r["doc_id"] for r in
+                filter_blocked_domains(df, ["bad.example"]).collect()}
+        assert kept == {2}

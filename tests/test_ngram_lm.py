@@ -95,3 +95,22 @@ class TestScoring:
         total = sum(2 ** lm.logprob(ctx, w) for w in vocab)
         # add-k over (vocab_size) with UNK in vocab: sums to 1 exactly
         assert total == pytest.approx(1.0, abs=1e-6)
+
+
+class TestHighOrder:
+    def test_order_above_five_keeps_unigram_floor(self, spark, train_df):
+        """Regression: weights were once a hardcoded 5-entry list, so
+        order>5 silently dropped the unigram floor and an unseen context
+        raised math.log2(0). The derived ladder must cover every order."""
+        lm = train_ngram_lm(train_df, order=6)
+        w = lm.weights()
+        assert len(w) == 6 and w[:5] == [0.7, 0.2, 0.1, 0.05, 0.025]
+        assert w[5] == pytest.approx(0.0125)
+        # an all-OOV doc: every context unseen, only the unigram floor
+        # contributes — must score finite, not raise
+        lp, n = lm.doc_logprob(["zzz", "qqq", "xxx"])
+        assert math.isfinite(lp) and n == 4
+        docs = spark.createDataFrame([(0, "zzz qqq xxx")],
+                                     "doc_id long, text string")
+        [r] = perplexity(docs, lm).collect()
+        assert r["perplexity"] is not None and math.isfinite(r["perplexity"])

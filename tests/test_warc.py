@@ -502,3 +502,31 @@ class TestWarcDigests:
         df = read_warc(spark, str(tmp_path))
         assert "block_digest_ok" not in df.columns
         assert df.count() == 1
+
+    def test_non_http_payload_digest_covers_whole_block(self, spark,
+                                                        tmp_path):
+        """Regression: for a response record that is NOT application/http,
+        the WARC payload digest covers the whole block — a chance CRLFCRLF
+        inside a binary payload must not shift the digested range and
+        flag a healthy record corrupt."""
+        import base64
+        import hashlib
+
+        from fever_spark.sources.warc import read_warc
+
+        # binary payload with an embedded CRLFCRLF
+        payload = b"\x89PNG\x00\x01\r\n\r\n\x02binary tail bytes\x00"
+        digest = base64.b32encode(hashlib.sha1(payload).digest()).decode()
+        head = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: http://bin.example/img\r\n"
+                b"WARC-Date: 2026-02-01T00:00:00Z\r\n"
+                b"Content-Type: image/png\r\n"
+                b"WARC-Block-Digest: sha1:" + digest.encode() + b"\r\n"
+                b"WARC-Payload-Digest: sha1:" + digest.encode() + b"\r\n"
+                b"Content-Length: " + str(len(payload)).encode()
+                + b"\r\n\r\n")
+        (tmp_path / "bin.warc").write_bytes(head + payload + b"\r\n\r\n")
+        [r] = read_warc(spark, str(tmp_path), verify_digests=True).collect()
+        assert r["block_digest_ok"] is True
+        assert r["payload_digest_ok"] is True
+        assert bytes(r["html"]) == payload        # body passed through whole

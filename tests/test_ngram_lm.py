@@ -114,3 +114,34 @@ class TestHighOrder:
                                      "doc_id long, text string")
         [r] = perplexity(docs, lm).collect()
         assert r["perplexity"] is not None and math.isfinite(r["perplexity"])
+
+
+class TestVectorizedScorer:
+    def test_parity_on_random_corpus(self, spark, train_df):
+        """Vectorized batch scorer == pure-python doc_logprob at 1e-9 on
+        a corpus mixing in-vocab, OOV, repeated and single-token docs."""
+        import numpy as np
+
+        lm = train_ngram_lm(train_df, order=3)
+        rng = np.random.default_rng(7)
+        pool = ("the cat dog sat on mat rug a and are friends together "
+                "zzz qqq unknownword xx9").split()
+        docs = [" ".join(rng.choice(pool, size=int(n)))
+                for n in rng.integers(1, 40, size=60)]
+        vm = lm.vectorized()
+        got = vm.score_tokens([d.split() for d in docs])
+        for d, g in zip(docs, got):
+            lp, n = lm.doc_logprob(d.split())
+            assert g == pytest.approx(2 ** (-lp / n), rel=1e-9), d
+
+    def test_distributed_parity_and_nulls(self, spark, train_df):
+        lm = train_ngram_lm(train_df, order=2)
+        rows = [(0, "the cat sat"), (1, None), (2, "   "),
+                (3, "oov1 oov2 oov3")]
+        got = {r["doc_id"]: r["perplexity"] for r in
+               perplexity(spark.createDataFrame(
+                   rows, "doc_id long, text string"), lm).collect()}
+        assert got[1] is None and got[2] is None
+        for i, t in [(0, "the cat sat"), (3, "oov1 oov2 oov3")]:
+            lp, n = lm.doc_logprob(t.split())
+            assert got[i] == pytest.approx(2 ** (-lp / n), rel=1e-9)

@@ -120,14 +120,34 @@ def q_cidr_match(spark, sf_dir):
 
 
 def q_join_agg(spark, sf_dir):
-    # broadcast equi-join + aggregate
+    # broadcast equi-join + aggregate. Round-5 fold (50-entry cap):
+    # 'band_*' rows gate operators/joins.range_join — orders priced into
+    # ten overlapping 60k-wide bands via the bucketed-equi-join rewrite,
+    # checked against a DuckDB BETWEEN join; max-min/count per band are
+    # exact (no float-accumulation round risk).
+    from fever_spark.operators.joins import range_join
+
     orders = _read(spark, sf_dir, "orders")
     cust = _read(spark, sf_dir, "customer")
-    return (orders.join(F.broadcast(cust),
+    base = (orders.join(F.broadcast(cust),
                         orders.o_custkey == cust.c_custkey)
             .groupBy("c_mktsegment")
             .agg(F.round(F.sum("o_totalprice"), 2).alias("total"),
                  F.count(F.lit(1)).alias("n_orders")))
+    bands = spark.range(10).select(
+        F.col("id").alias("band"),
+        (F.col("id") * 30000.0).alias("start"),
+        (F.col("id") * 30000.0 + 60000.0).alias("end"))
+    hits = range_join(orders.select(F.col("o_totalprice").alias("x")),
+                      bands, "x", bucket_width=30000.0)
+    band_rows = (hits.groupBy("band")
+                 .agg(F.round(F.max("x") - F.min("x"), 2).alias("total"),
+                      F.count(F.lit(1)).alias("n_orders"))
+                 .select(F.concat(F.lit("band_"),
+                                  F.col("band").cast("string"))
+                         .alias("c_mktsegment"),
+                         "total", "n_orders"))
+    return base.unionByName(band_rows)
 
 
 def q_window_rank(spark, sf_dir):
@@ -144,14 +164,36 @@ def q_window_rank(spark, sf_dir):
 def q_flow_context_batch(spark, sf_dir):
     # J4 flow-context correlation, batch form, on driver events:
     # user sessions containing both an 'error' (alert analog) and a
-    # 'purchase' (terminal analog)
+    # 'purchase' (terminal analog). Round-5 fold (50-entry cap): 'asof'
+    # rows gate operators/joins.asof_join — every purchase as-of joined
+    # to the user's most recent error, per-user summed gap seconds vs
+    # DuckDB's NATIVE ASOF JOIN; run through the hot-key pre-split path
+    # (coarse_bucket_seconds) so both _asof_bucketed and _asof_core get
+    # a driver row.
+    from fever_spark.operators.joins import asof_join
+
     ev = _read(spark, sf_dir, "events")
-    return (ev.groupBy("user_id")
+    flow = (ev.groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.max((F.col("event_type") == "error").cast("int")).alias("marked"),
                  F.max((F.col("event_type") == "purchase").cast("int")).alias("complete"))
             .filter((F.col("marked") == 1) & (F.col("complete") == 1))
-            .select("user_id", "n_events"))
+            .select(F.lit("flow").alias("kind"), "user_id",
+                    F.col("n_events").cast("double").alias("val")))
+    purch = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts")
+    errs = ev.filter(F.col("event_type") == "error") \
+        .select("user_id", "ts")
+    j = asof_join(purch, errs, on="user_id",
+                  coarse_bucket_seconds=86400.0)
+    asof = (j.filter(F.col("ts_right").isNotNull())
+            .groupBy("user_id")
+            .agg(F.round(F.sum(
+                F.col("ts").cast("timestamp").cast("double")
+                - F.col("ts_right").cast("timestamp").cast("double")),
+                2).alias("val"))
+            .select(F.lit("asof").alias("kind"), "user_id", "val"))
+    return flow.unionByName(asof)
 
 
 def q_rollup(spark, sf_dir):
@@ -1065,6 +1107,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+            UNION ALL
+            SELECT 'band_' || CAST(b.band AS VARCHAR) AS c_mktsegment,
+                   round(max(o.o_totalprice) - min(o.o_totalprice), 2)
+                     AS total,
+                   count(*) AS n_orders
+            FROM range(10) b(band)
+            JOIN orders o ON o.o_totalprice
+                             BETWEEN b.band * 30000.0
+                                 AND b.band * 30000.0 + 60000.0
+            GROUP BY b.band
         """,
         "q_window_rank": """
             SELECT user_id, event_id, rn FROM (
@@ -1074,10 +1126,20 @@ def oracle_sql() -> dict[str, str]:
               FROM events) WHERE rn = 1
         """,
         "q_flow_context_batch": """
-            SELECT user_id, count(*) AS n_events FROM events
+            SELECT 'flow' AS kind, user_id,
+                   CAST(count(*) AS DOUBLE) AS val FROM events
             GROUP BY user_id
             HAVING max(CASE WHEN event_type='error' THEN 1 ELSE 0 END) = 1
                AND max(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) = 1
+            UNION ALL
+            SELECT 'asof' AS kind, p.user_id,
+                   round(sum(epoch(p.ts) - epoch(e.ts)), 2) AS val
+            FROM (SELECT user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT user_id, ts FROM events
+                       WHERE event_type = 'error') e
+              ON p.user_id = e.user_id AND p.ts >= e.ts
+            GROUP BY p.user_id
         """,
         "q_rollup": """
             SELECT l_returnflag, l_linestatus,
@@ -1399,7 +1461,7 @@ def oracle_sql() -> dict[str, str]:
                        AND regexp_matches(trim(x), '[.!?"'']$')),
                   chr(10)), '')) AS c4_clean_len,
                 (len(regexp_extract_all(text, '[.!?]')) >= 3
-                 AND NOT contains(text, '{')
+                 AND NOT contains(text, '{{')
                  AND NOT regexp_matches(lower(text), 'lorem ipsum'))::INT
                   AS c4_keep,
                 (len(w) BETWEEN 50 AND 100000

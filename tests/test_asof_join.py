@@ -105,6 +105,72 @@ class TestAsofJoin:
         assert r2["px"] is None
 
 
+class TestAsofBucketed:
+    """Hot-key pre-split (coarse_bucket_seconds): identical results to
+    the unsplit path under planted 90% skew, and the window stage really
+    partitions by (key, bucket) so the hot key fans out over tasks."""
+
+    def _skewed(self, spark, seed=3):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        syms = np.where(rng.uniform(size=400) < 0.9, "HOT",
+                        rng.choice(["a", "b", "c"], size=400))
+        trades = [(str(s), float(ts), int(i)) for i, (s, ts) in
+                  enumerate(zip(syms, rng.uniform(0, 1000, 400)))]
+        qsyms = np.where(rng.uniform(size=300) < 0.9, "HOT",
+                         rng.choice(["a", "b", "d"], size=300))
+        quotes = [(str(s), float(ts), float(p)) for s, ts, p in
+                  zip(qsyms, rng.uniform(0, 1000, 300),
+                      rng.uniform(1, 9, 300))]
+        t = spark.createDataFrame(trades, "sym string, ts double, qty long")
+        q = spark.createDataFrame(quotes, "sym string, ts double, px double")
+        return t, q
+
+    @pytest.mark.parametrize("direction", ["backward", "forward"])
+    def test_identity_with_unsplit(self, spark, direction):
+        t, q = self._skewed(spark)
+        plain = asof_join(t, q, on="sym", direction=direction)
+        split = asof_join(t, q, on="sym", direction=direction,
+                          coarse_bucket_seconds=50.0)
+        key = lambda r: (r["sym"], r["ts"], r["qty"])  # noqa: E731
+        a = sorted(map(tuple, plain.collect()), key=lambda x: x[:3])
+        b = sorted(map(tuple, split.collect()), key=lambda x: x[:3])
+        assert plain.columns == split.columns
+        assert a == b and len(a) == 400
+
+    def test_identity_with_tolerance(self, spark):
+        t, q = self._skewed(spark, seed=5)
+        a = sorted(map(tuple, asof_join(
+            t, q, on="sym", tolerance_seconds=20.0).collect()))
+        b = sorted(map(tuple, asof_join(
+            t, q, on="sym", tolerance_seconds=20.0,
+            coarse_bucket_seconds=100.0).collect()))
+        assert a == b
+
+    def test_window_partitions_by_bucket(self, spark):
+        t, q = self._skewed(spark)
+        split = asof_join(t, q, on="sym", coarse_bucket_seconds=50.0)
+        plan = split._jdf.queryExecution().executedPlan().toString()
+        # the main (row-level) window must carry __ck in its partition
+        # spec; the hot key alone spans many buckets -> many tasks
+        win_lines = [ln for ln in plan.splitlines() if "Window" in ln
+                     and "__ord" in ln]
+        assert any("__ck" in ln for ln in win_lines), plan
+        hot_buckets = (t.filter(F.col("sym") == "HOT")
+                       .select((F.floor(F.col("ts") / 50.0)).alias("b"))
+                       .distinct().count())
+        assert hot_buckets > 4
+
+    def test_empty_right(self, spark):
+        t, _ = self._skewed(spark)
+        q = t.sparkSession.createDataFrame(
+            [], "sym string, ts double, px double")
+        out = asof_join(t, q, on="sym", coarse_bucket_seconds=50.0)
+        assert out.count() == 400
+        assert out.filter(F.col("px").isNotNull()).count() == 0
+
+
 class TestRangeJoin:
     """Bucketed point-in-interval join vs a DuckDB inequality join —
     random data, boundary inclusivity, long-interval broadcast path."""

@@ -21,9 +21,19 @@ Queries:
                     hourly STATES (never rescanning raw data)
   text_models       train BPE merges + CCNet n-gram LM + quality
                     classifier over sf documents, then score the corpus
-                    with each (the round-4 model-training operators).
-                    NOT in the default set — training is tens of seconds
-                    per rep; run with --queries text_models
+                    with each (the round-4 model-training operators)
+  ingest            living-corpus batch ingest (jobs/ingest.py): planted
+                    batch (exact dups + near-dups + fresh) screened
+                    against an indexed corpus; per-phase seconds +
+                    survivor counts land as `ingest_stages`
+  crawl_gated       curate with the model gates ON (trusted-vs-crawl
+                    classifier + CCNet perplexity band) so their stage
+                    wall time is visible as `crawl_gated_stages`
+
+text_models/ingest/crawl_gated are ONE-SHOT entries: they run once after
+the interleaved rep loop (training/state setup is too heavy to repeat
+per rep) and are excluded from the headline `value` so it stays
+comparable across rounds.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), FEVER_BENCH_PAGES (default 1_000_000).
@@ -446,6 +456,124 @@ def bench_text_models(spark):
     return kept
 
 
+_INGEST_SETUP = {}
+_INGEST_DETAIL = {}
+
+
+def _ingest_setup(spark):
+    """Founding ingest (corpus + fingerprint/signature/Bloom indexes over
+    the sf documents) plus the planted batch parquet — ingestion-time
+    state built once, excluded from the timed rep."""
+    import tempfile
+
+    from fever_spark.jobs.ingest import ingest
+
+    if "base" in _INGEST_SETUP:
+        return _INGEST_SETUP
+    import atexit
+    import shutil
+
+    base = tempfile.mkdtemp(prefix="fever_bench_ingest_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ingest(spark, f"{SF_DIR}/documents.parquet",
+           os.path.join(base, "corpus"), os.path.join(base, "state"),
+           batch_id="founding", near_dup_threshold=0.7)
+    # planted batch: 20% exact re-crawls (new ids), 10% near-dup
+    # re-crawls (one appended sentence), fresh docs for the rest
+    batch = (docs.filter(F.col("doc_id") % 5 == 0)
+             .select((F.col("doc_id") + 500_000).alias("doc_id"), "text")
+             .unionByName(docs.filter(F.col("doc_id") % 10 == 1).select(
+                 (F.col("doc_id") + 700_000).alias("doc_id"),
+                 F.concat("text", F.lit(" updated on recrawl today"))
+                 .alias("text")))
+             .unionByName(docs.filter(F.col("doc_id") % 10 >= 7).select(
+                 (F.col("doc_id") + 900_000).alias("doc_id"),
+                 # genuinely-new content (reversed text shares no
+                 # shingles), so the batch has real survivors — a
+                 # prefixed copy would still be an LSH near-dup and the
+                 # screen would empty the batch
+                 F.concat(F.lit("new crawl "),
+                          F.col("doc_id").cast("string"), F.lit(" "),
+                          F.reverse(F.col("text"))).alias("text"))))
+    bpath = os.path.join(base, "batch1")
+    batch.write.parquet(bpath)
+    _INGEST_SETUP.update(base=base, batch=bpath)
+    return _INGEST_SETUP
+
+
+def bench_ingest(spark):
+    """The living-corpus screen/verify/append/index-update path composed
+    (jobs/ingest.py) — per-phase wall seconds from the ingest manifest
+    land in the bench JSON as `ingest_stages`. Reps replay the same
+    batch id: idempotent partition overwrites, self-excluding screen."""
+    from fever_spark.jobs.ingest import ingest
+
+    s = _ingest_setup(spark)
+    man = ingest(spark, s["batch"],
+                 os.path.join(s["base"], "corpus"),
+                 os.path.join(s["base"], "state"),
+                 batch_id="b1", near_dup_threshold=0.7)
+    best = _INGEST_DETAIL.get("total_s")
+    total = sum(man["stage_seconds"].values())
+    if best is None or total < best:
+        _INGEST_DETAIL.update(total_s=round(total, 3),
+                              stages=man["stage_seconds"],
+                              counts=man["counts"])
+    return man["counts"]["after_near_dup_screen"]
+
+
+_GATED_SETUP = {}
+_GATED_DETAIL = {}
+
+
+def _gated_setup(spark):
+    """Train the curate gate models once (model training is the
+    text_models bench's job; here they are pipeline inputs)."""
+    from fever_spark.functions.ngram_lm import train_ngram_lm
+    from fever_spark.functions.quality_clf import train_quality_classifier
+
+    if "lm" in _GATED_SETUP:
+        return _GATED_SETUP
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    lm = train_ngram_lm(docs.limit(20000), order=3)
+    junk = spark.range(500).select(
+        F.concat(F.lit("$$$ 111 !!! buy "), F.col("id").cast("string"),
+                 F.lit(" ### 999 win")).alias("text"))
+    clf = train_quality_classifier(docs.limit(2000), junk)
+    _GATED_SETUP.update(lm=lm, clf=clf)
+    return _GATED_SETUP
+
+
+def bench_crawl_gated(spark):
+    """curate with the round-4 model gates ON: the trusted-vs-crawl
+    classifier (codegen literal coefficients) and the CCNet perplexity
+    band (vectorized Arrow pass) appear as their own stages
+    (`quality_clf`, `ccnet_band`) in `crawl_gated_stages`."""
+    import shutil
+    import tempfile
+
+    from fever_spark.jobs.curate import curate
+
+    s = _gated_setup(spark)
+    out = tempfile.mkdtemp(prefix="fever_bench_gated_")
+    try:
+        man = curate(spark, f"{SF_DIR}/documents.parquet", out,
+                     min_quality=0.3, min_tokens=3,
+                     near_dup_threshold=0.7,
+                     quality_model=s["clf"], min_quality_proba=0.5,
+                     perplexity_lm=s["lm"], max_perplexity=100000.0)
+        best = _GATED_DETAIL.get("total_s")
+        total = sum(man["stage_seconds"].values())
+        if best is None or total < best:
+            _GATED_DETAIL.update(total_s=round(total, 3),
+                                 stages=man["stage_seconds"],
+                                 counts=man["counts"])
+        return man["counts"]["written"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def bench_grouped_sums(spark):
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     agg = (li.groupBy("l_returnflag", "l_linestatus")
@@ -470,7 +598,14 @@ BENCHES = {
     "warc_parse": bench_warc_parse,
     "rollup": bench_rollup,
     "text_models": bench_text_models,
+    "ingest": bench_ingest,
+    "crawl_gated": bench_crawl_gated,
 }
+
+# Heavy composed entries (model training / corpus-index state per run):
+# run ONCE after the rep loop, recorded in `queries` but excluded from
+# the headline `value` so the comparable subset stays stable per round.
+ONE_SHOT = {"text_models", "ingest", "crawl_gated"}
 
 
 def main(argv=None):
@@ -478,10 +613,7 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--master", default=f"local[{CPUS}]")
-    # text_models trains three models per rep (tens of seconds each run)
-    # — opt-in only, so the default interleaved-rep bench stays fast
-    ap.add_argument("--queries", default=",".join(
-        q for q in BENCHES if q != "text_models"))
+    ap.add_argument("--queries", default=",".join(BENCHES))
     ap.add_argument("--skip-warmup", action="store_true")
     args = ap.parse_args(argv)
 
@@ -539,7 +671,9 @@ def main(argv=None):
     # reps of the same query all 4x slow inside one spike, while the same
     # query alone minutes later ran at steady state).
     reps = int(os.environ.get("FEVER_BENCH_REPS", "5"))
-    names = args.queries.split(",")
+    requested = args.queries.split(",")
+    names = [n for n in requested if n not in ONE_SHOT]
+    one_shot = [n for n in requested if n in ONE_SHOT]
     timings = {name: float("inf") for name in names}
     windows = {}  # best rep's [start_ms, end_ms] epoch window per query
     for _ in range(reps):
@@ -552,7 +686,16 @@ def main(argv=None):
                 windows[name] = [int(t0 * 1000), int(t1 * 1000)]
     timings = {name: round(v, 3) for name, v in timings.items()}
 
+    # headline value = rep-loop entries only (stable comparable subset)
     total = round(sum(timings.values()), 3)
+    one_shot_setups = {"ingest": _ingest_setup, "crawl_gated": _gated_setup}
+    for name in one_shot:
+        if name in one_shot_setups:
+            one_shot_setups[name](spark)  # state/model build not timed
+        t0 = time.time()
+        BENCHES[name](spark)
+        timings[name] = round(time.time() - t0, 3)
+        windows[name] = [int(t0 * 1000), int(time.time() * 1000)]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "sketch-build+merge wall time over headline queries",
@@ -582,6 +725,12 @@ def main(argv=None):
         result["crawl_stages"] = _CRAWL_DETAIL
     if "text_models" in timings and _MODELS_DETAIL:
         result["text_models_stages"] = _MODELS_DETAIL
+    if "ingest" in timings and _INGEST_DETAIL:
+        result["ingest_stages"] = _INGEST_DETAIL
+    if "crawl_gated" in timings and _GATED_DETAIL:
+        result["crawl_gated_stages"] = _GATED_DETAIL
+    if one_shot:
+        result["one_shot"] = one_shot
     print(json.dumps(result))
     spark.stop()
 

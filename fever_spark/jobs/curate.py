@@ -209,31 +209,48 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
             # bounds already enforced by min/max_tokens above
             cond = cond & curation.gopher_doc_conditions(
                 F.col(text_col), min_words=min_tokens, max_words=max_tokens)
-        if quality_model is not None:
-            # trusted-vs-crawl classifier (functions/quality_clf.py):
-            # coefficients inline into this same codegen filter pass
-            from fever_spark.functions.quality_clf import quality_proba
-            cond = cond & (quality_proba(F.col(text_col), quality_model)
-                           >= min_quality_proba)
-        out = annotated.filter(cond).drop("_lang")
-        if perplexity_lm is not None:
-            # CCNet-style LM quality band (functions/ngram_lm.py): score
-            # AFTER the cheap codegen filters so the Arrow pass only sees
-            # survivors; annotate always, threshold only when asked
-            from fever_spark.functions.ngram_lm import perplexity
-            out = perplexity(out, perplexity_lm, text_col=text_col)
-            if max_perplexity is not None:
-                out = out.filter(F.col("perplexity") <= max_perplexity)
-        if redact_pii:
-            # same pass as the filter — redaction is a codegen'd
-            # projection; the threshold filter ran on the original text,
-            # but the recorded n_tokens must describe the text we keep
-            out = _retoken(out.withColumn(
-                text_col, curation.redact_pii(F.col(text_col))))
-        return out, {}
+        return annotated.filter(cond).drop("_lang"), {}
 
     filtered = _stage(1, "quality_filter", "after_quality_filter",
                       _build_quality)
+
+    # The model-driven gates are their own stages (numbered past the
+    # fixed pipeline so earlier workdirs keep their names): their wall
+    # time must show up in stage_seconds — crawl/curate benches read it —
+    # instead of folding invisibly into quality_filter.
+    if quality_model is not None:
+        # trusted-vs-crawl classifier (functions/quality_clf.py):
+        # coefficients inline as literals into one codegen filter pass
+        from fever_spark.functions.quality_clf import quality_proba
+
+        filtered = _stage(
+            7, "quality_clf", "after_quality_clf",
+            lambda: (filtered.filter(
+                quality_proba(F.col(text_col), quality_model)
+                >= min_quality_proba), {}))
+
+    if perplexity_lm is not None:
+        # CCNet-style LM quality band (functions/ngram_lm.py): score
+        # AFTER the cheap codegen filters so the Arrow pass only sees
+        # survivors; annotate always, threshold only when asked
+        from fever_spark.functions.ngram_lm import perplexity
+
+        def _build_ccnet():
+            out = perplexity(filtered, perplexity_lm, text_col=text_col)
+            if max_perplexity is not None:
+                out = out.filter(F.col("perplexity") <= max_perplexity)
+            return out, {}
+
+        filtered = _stage(8, "ccnet_band", "after_ccnet_band",
+                          _build_ccnet)
+
+    if redact_pii:
+        # after the gates: thresholds and perplexity judge the original
+        # text, while the recorded n_tokens describe the text we keep
+        filtered = _stage(
+            9, "pii_redact", "after_pii_redact",
+            lambda: (_retoken(filtered.withColumn(
+                text_col, curation.redact_pii(F.col(text_col)))), {}))
 
     if paragraph_dedup:
         # docs reduced to zero CONTENT paragraphs are fully-duplicated

@@ -131,6 +131,17 @@ def ingest(spark: SparkSession, batch_path: str, corpus_dir: str,
                                  normalize_text(F.col(text_col)))
     counts = {"batch": batch.count()}
 
+    # wall seconds per phase (screen → dedup → append → index update),
+    # recorded in the manifest so the composed living-corpus path is
+    # benchmarkable (bench.py's ingest entry reads this)
+    stage_seconds = {}
+    _t = time.time()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t
+        stage_seconds[stage] = round(time.time() - _t, 3)
+        _t = time.time()
+
     other_deltas = [os.path.join(delta_dir, f)
                     for f in sorted(os.listdir(delta_dir))
                     if f.endswith(".bin") and f != f"{batch_id}.bin"]
@@ -161,6 +172,7 @@ def ingest(spark: SparkSession, batch_path: str, corpus_dir: str,
     # corpus write, fingerprint write, signature build)
     kept = kept.localCheckpoint(eager=False)
     counts["after_exact_screen"] = kept.count()
+    _mark("exact_screen")
 
     if near_dup_threshold is not None:
         # WITHIN-batch near-dups first (re-crawls of one page under two
@@ -174,6 +186,7 @@ def ingest(spark: SparkSession, batch_path: str, corpus_dir: str,
         kept = dedup_keep_canonical(kept, batch_pairs, id_col) \
             .localCheckpoint(eager=False)
         counts["after_batch_near_dup"] = kept.count()
+        _mark("batch_near_dup")
     if near_dup_threshold is not None and corpus_exists \
             and os.path.isdir(sig_dir):
         old_sigs = (spark.read.parquet(sig_dir)
@@ -187,9 +200,11 @@ def ingest(spark: SparkSession, batch_path: str, corpus_dir: str,
         kept = kept.join(hits, id_col, "left_anti") \
             .localCheckpoint(eager=False)
         counts["after_near_dup_screen"] = kept.count()
+        _mark("near_dup_screen")
 
     # idempotent batch partitions: a re-run overwrites its own slice
     kept.write.mode("overwrite").parquet(_part(corpus_dir, batch_id))
+    _mark("corpus_append")
     kept.select(fingerprint(F.col(text_col)).alias("_fp")) \
         .write.mode("overwrite").parquet(_part(fp_dir, batch_id))
     minhash_signatures(kept, text_col, id_col, num_hashes, shingle_size) \
@@ -210,9 +225,10 @@ def ingest(spark: SparkSession, batch_path: str, corpus_dir: str,
     tmp = bloom_path + ".tmp"
     merged.save(tmp)
     os.replace(tmp, bloom_path)
+    _mark("index_update")
 
     manifest = {"batch_id": batch_id, "batch_path": batch_path,
-                "counts": counts,
+                "counts": counts, "stage_seconds": stage_seconds,
                 "near_dup_threshold": near_dup_threshold,
                 "normalize": normalize,
                 "wall_s": round(time.time() - t0, 3),

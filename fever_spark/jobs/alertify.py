@@ -53,6 +53,11 @@ def main(argv=None):
     ap.add_argument("--output", required=True, help="output dir (JSON lines)")
     ap.add_argument("--iocs", required=True, help="file with one IOC per line")
     ap.add_argument("--prefix", default=DEFAULT_PREFIX)
+    ap.add_argument("--spool", default=None,
+                    help="also publish alerts through the submitter sink "
+                         "(fever forwards alerts via StatsSubmitter)")
+    ap.add_argument("--compress", action="store_true",
+                    help="gzip spool payloads (submitter UseCompression)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -61,7 +66,14 @@ def main(argv=None):
     spark = get_spark(master=args.master, app_name="fever_spark_alertify")
     lines = spark.read.text(args.input)
     alerts = alertify(lines, iocs, prefix=args.prefix)
-    alerts.select("alert_json").write.mode("overwrite").text(args.output)
+    out = alerts.select("alert_json")
+    if args.spool:
+        # publish BEFORE the count-materializing write so one job serves
+        # both sinks; executor-side, idempotent on re-run
+        from fever_spark.sources.submitter import submit_dataframe
+        submit_dataframe(out, args.spool, "alertify.alerts",
+                         compress=args.compress)
+    out.write.mode("overwrite").text(args.output)
     print(f'{{"alerts": {alerts.count()}, "output": "{args.output}"}}')
     spark.stop()
 

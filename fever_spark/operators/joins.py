@@ -206,9 +206,11 @@ def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
     """
     lo, hi, pt = F.col(start_col), F.col(end_col), F.col(point_col)
     if bucket_width is None:
-        [q] = (intervals.select((hi - lo).cast("double").alias("len"))
-               .approxQuantile("len", [0.9], 0.01))
-        bucket_width = max(float(q), 1e-9)
+        qs = (intervals.select((hi - lo).cast("double").alias("len"))
+              .approxQuantile("len", [0.9], 0.01))
+        # empty / all-null intervals yield no quantile — any width gives
+        # the right (empty) join result, so don't crash picking one
+        bucket_width = max(float(qs[0]), 1e-9) if qs else 1.0
     w = float(bucket_width)
 
     is_long = (hi - lo) > F.lit(w * float(long_interval_factor))

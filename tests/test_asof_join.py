@@ -208,6 +208,13 @@ class TestRangeJoin:
                      range_join(p, iv, "x", bucket_width=3.0).collect())
         assert got == [(1, 7), (2, 7), (3, 7)]   # both ends inclusive, 1x
 
+    def test_empty_intervals_no_crash(self, spark):
+        # auto-width has no quantile to read off an empty frame; the
+        # result is correctly empty instead of a ValueError
+        p = spark.createDataFrame([(1, 10.0)], "pid long, x double")
+        iv = spark.createDataFrame([], "start double, end double, tag string")
+        assert range_join(p, iv, "x").count() == 0
+
     def test_explicit_width_spans_buckets(self, spark):
         p = spark.createDataFrame([(i, float(i)) for i in range(50)],
                                   "pid long, x double")

@@ -65,7 +65,8 @@ def quality_features(text: Column) -> list[Column]:
 def train_quality_classifier(trusted: DataFrame, crawl: DataFrame,
                              text_col: str = "text",
                              max_iter: int = 25,
-                             reg_param: float = 0.01) -> dict:
+                             reg_param: float = 0.01,
+                             driver_rows_threshold: int = 200_000) -> dict:
     """Fit LR to separate ``trusted`` (label 1) from ``crawl`` (label 0).
 
     Distributed Newton–Raphson (IRLS) as plain DataFrame aggregations:
@@ -79,6 +80,13 @@ def train_quality_classifier(trusted: DataFrame, crawl: DataFrame,
     ObservationManager" in any session that ever ran df.observe (the
     sketch jobs do) — and our loop's shuffle volume is O(n_features) per
     iteration regardless of sample size, which IS the scalable shape.
+
+    Samples at or under ``driver_rows_threshold`` rows skip the
+    distributed loop: the standardized design matrix is collected once
+    (bounded at threshold × (d+1) float64) and the SAME IRLS runs in
+    numpy — a few thousand labeled rows don't justify ~17 sequential
+    Spark jobs of fixed scheduler overhead. Identical updates, identical
+    stop rule; set the threshold to 0 to force the distributed path.
 
     Returns a plain-dict model {"coefficients": {name: w}, "intercept":
     b, "auc": train AUC} — JSON-serializable, scored by quality_proba
@@ -110,32 +118,62 @@ def train_quality_classifier(trusted: DataFrame, crawl: DataFrame,
 
         d = len(FEATURE_NAMES)
         beta = np.zeros(d + 1)  # [w..., b], standardized space
-        xcols = [((F.col(f) - F.lit(mean[f])) / F.lit(std[f]))
-                 for f in FEATURE_NAMES] + [F.lit(1.0)]
-        for _ in range(int(max_iter)):
-            z = F.lit(float(beta[-1]))
-            for i in range(d):
-                z = z + xcols[i] * F.lit(float(beta[i]))
-            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-            s = p * (F.lit(1.0) - p)
-            resid = F.col("label") - p
-            exprs = [F.sum(resid * xcols[i]).alias(f"g{i}")
-                     for i in range(d + 1)]
-            exprs += [F.sum(s * xcols[i] * xcols[j]).alias(f"h{i}_{j}")
-                      for i in range(d + 1) for j in range(i, d + 1)]
-            row = data.agg(*exprs).first()
-            grad = np.array([float(row[f"g{i}"]) for i in range(d + 1)])
-            hess = np.zeros((d + 1, d + 1))
-            for i in range(d + 1):
-                for j in range(i, d + 1):
-                    hess[i, j] = hess[j, i] = float(row[f"h{i}_{j}"])
-            # ridge on weights (not intercept)
+
+        def newton_step(grad, hess, beta):
+            # shared by both paths: ridge on weights (not intercept),
+            # jittered solve, convergence on the max step component
+            grad = grad.copy()
+            hess = hess.copy()
             grad[:d] -= n * reg_param * beta[:d]
             hess[:d, :d] += n * reg_param * np.eye(d)
-            step = np.linalg.solve(hess + 1e-9 * np.eye(d + 1), grad)
-            beta += step
-            if float(np.abs(step).max()) < 1e-8:
-                break
+            return np.linalg.solve(hess + 1e-9 * np.eye(d + 1), grad)
+
+        if n <= driver_rows_threshold:
+            # the sequential-iteration tax dominates small samples: ~17
+            # Spark jobs of fixed ~0.5s overhead to reduce a few thousand
+            # cached rows. Collect the standardized design matrix ONCE
+            # (n × (d+1) float64 — 80 MB at the 200k-row default cap,
+            # bounded by construction) and run the SAME IRLS in numpy.
+            # Corpus-scale labeled sets take the distributed loop below.
+            pdf = data.select(*FEATURE_NAMES, "label").toPandas()
+            X = np.empty((len(pdf), d + 1))
+            for i, f in enumerate(FEATURE_NAMES):
+                X[:, i] = (pdf[f].to_numpy(np.float64) - mean[f]) / std[f]
+            X[:, d] = 1.0
+            y = pdf["label"].to_numpy(np.float64)
+            for _ in range(int(max_iter)):
+                p = 1.0 / (1.0 + np.exp(-(X @ beta)))
+                s = p * (1.0 - p)
+                grad = X.T @ (y - p)
+                hess = (X * s[:, None]).T @ X
+                step = newton_step(grad, hess, beta)
+                beta += step
+                if float(np.abs(step).max()) < 1e-8:
+                    break
+        else:
+            xcols = [((F.col(f) - F.lit(mean[f])) / F.lit(std[f]))
+                     for f in FEATURE_NAMES] + [F.lit(1.0)]
+            for _ in range(int(max_iter)):
+                z = F.lit(float(beta[-1]))
+                for i in range(d):
+                    z = z + xcols[i] * F.lit(float(beta[i]))
+                p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+                s = p * (F.lit(1.0) - p)
+                resid = F.col("label") - p
+                exprs = [F.sum(resid * xcols[i]).alias(f"g{i}")
+                         for i in range(d + 1)]
+                exprs += [F.sum(s * xcols[i] * xcols[j]).alias(f"h{i}_{j}")
+                          for i in range(d + 1) for j in range(i, d + 1)]
+                row = data.agg(*exprs).first()
+                grad = np.array([float(row[f"g{i}"]) for i in range(d + 1)])
+                hess = np.zeros((d + 1, d + 1))
+                for i in range(d + 1):
+                    for j in range(i, d + 1):
+                        hess[i, j] = hess[j, i] = float(row[f"h{i}_{j}"])
+                step = newton_step(grad, hess, beta)
+                beta += step
+                if float(np.abs(step).max()) < 1e-8:
+                    break
 
         # de-standardize: w_raw = w/std, b_raw = b - Σ w·mean/std
         w = {f: float(beta[i]) for i, f in enumerate(FEATURE_NAMES)}

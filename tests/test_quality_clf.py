@@ -48,6 +48,22 @@ class TestTraining:
         again = json.loads(json.dumps(model))
         assert again["coefficients"] == model["coefficients"]
 
+    def test_driver_path_matches_distributed_path(self, spark, model):
+        # `model` trained via the small-sample driver IRLS; threshold=0
+        # forces the distributed per-iteration aggregation loop. Same
+        # updates, same stop rule — coefficients must agree to float
+        # accumulation order (ridge keeps the optimum well-conditioned)
+        trusted = spark.createDataFrame([(t,) for t in PROSE], "text string")
+        crawl = spark.createDataFrame([(t,) for t in JUNK], "text string")
+        dist = train_quality_classifier(trusted, crawl,
+                                        driver_rows_threshold=0)
+        for f in FEATURE_NAMES:
+            assert model["coefficients"][f] == pytest.approx(
+                dist["coefficients"][f], rel=1e-5, abs=1e-7)
+        assert model["intercept"] == pytest.approx(
+            dist["intercept"], rel=1e-5, abs=1e-7)
+        assert dist["auc"] == model["auc"]
+
 
 class TestScoring:
     def test_prose_scores_above_junk(self, spark, model):

@@ -529,8 +529,18 @@ _GATED_DETAIL = {}
 
 def _gated_setup(spark):
     """Train the curate gate models once (model training is the
-    text_models bench's job; here they are pipeline inputs)."""
-    from fever_spark.functions.ngram_lm import train_ngram_lm
+    text_models bench's job; here they are pipeline inputs), and build a
+    PLANTED input: the sf documents plus two adversary families the
+    basic quality filter does NOT catch (both pass min_quality=0.3), so
+    each model gate visibly drops its own targets in the stage counts —
+    `quality_clf` kills the symbol-spam family it was trained against,
+    `ccnet_band` kills out-of-vocabulary word salad (featurally clean,
+    so the classifier passes it; the LM floors it to huge perplexity).
+    The perplexity cap is set from the REAL docs' p99 × 4 so genuine
+    pages survive the band by construction."""
+    import tempfile
+
+    from fever_spark.functions.ngram_lm import perplexity, train_ngram_lm
     from fever_spark.functions.quality_clf import train_quality_classifier
 
     if "lm" in _GATED_SETUP:
@@ -541,7 +551,32 @@ def _gated_setup(spark):
         F.concat(F.lit("$$$ 111 !!! buy "), F.col("id").cast("string"),
                  F.lit(" ### 999 win")).alias("text"))
     clf = train_quality_classifier(docs.limit(2000), junk)
-    _GATED_SETUP.update(lm=lm, clf=clf)
+    [p99] = (perplexity(docs, lm)
+             .approxQuantile("perplexity", [0.99], 0.001))
+
+    def bait(df, tag):
+        return df.select(
+            (-1 - F.col("id")).alias("doc_id"), F.col("t").alias("text"),
+            F.lit("en").alias("lang"), F.lit(tag).alias("source"),
+            F.length("t").cast("long").alias("n_chars"))
+
+    # clf bait is EXACTLY the family the classifier trained against —
+    # featural drift (even just longer text) moves log_n_chars enough
+    # to cross the 0.5 threshold (measured 0.015 vs 0.53)
+    clf_bait = bait(spark.range(150).select("id", F.concat(
+        F.lit("$$$ 111 !!! buy "), F.col("id").cast("string"),
+        F.lit(" ### 999 win")).alias("t")), "bait_clf")
+    lm_bait = bait(spark.range(150, 300).select("id", F.concat(
+        F.lit("zqxv kwjq vbnx qprt gzkl wmfy xbdn "),
+        F.col("id").cast("string"),
+        F.lit(" jqzt pvxk nmwr tlgb fhdz qykc zzvw xqjm wkpn rvtz "
+              "bmgx qltd znfc vwph kjxr mzqy")).alias("t")), "bait_lm")
+
+    mixed = tempfile.mkdtemp(prefix="fever_bench_gated_input_")
+    docs.unionByName(clf_bait).unionByName(lm_bait) \
+        .write.mode("overwrite").parquet(mixed)
+    _GATED_SETUP.update(lm=lm, clf=clf, input=mixed,
+                        max_perplexity=float(p99) * 4.0)
     return _GATED_SETUP
 
 
@@ -558,11 +593,12 @@ def bench_crawl_gated(spark):
     s = _gated_setup(spark)
     out = tempfile.mkdtemp(prefix="fever_bench_gated_")
     try:
-        man = curate(spark, f"{SF_DIR}/documents.parquet", out,
+        man = curate(spark, s["input"], out,
                      min_quality=0.3, min_tokens=3,
                      near_dup_threshold=0.7,
                      quality_model=s["clf"], min_quality_proba=0.5,
-                     perplexity_lm=s["lm"], max_perplexity=100000.0)
+                     perplexity_lm=s["lm"],
+                     max_perplexity=s["max_perplexity"])
         best = _GATED_DETAIL.get("total_s")
         total = sum(man["stage_seconds"].values())
         if best is None or total < best:

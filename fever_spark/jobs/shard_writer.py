@@ -33,7 +33,8 @@ def write_training_shards(spark: SparkSession, input_path: str,
                           id_col: str = "doc_id", text_col: str = "text",
                           token_col: str | None = None,
                           n_buckets: int = 64,
-                          bpe_merges: list | None = None) -> dict:
+                          bpe_merges: list | None = None,
+                          shuffle_seed: int | None = None) -> dict:
     """Pack documents into token-budget shards and write them.
 
     Returns the manifest (also written to ``_shards_manifest.json``):
@@ -46,8 +47,26 @@ def write_training_shards(spark: SparkSession, input_path: str,
     budget from whitespace words to REAL tokenizer tokens: docs are
     encoded once in the same pass (broadcast ranks, Zipfian word cache)
     and shards budget on the count the training loader will actually see.
+
+    ``shuffle_seed`` packs in a seeded GLOBAL pseudo-random order instead
+    of id order: crawl ids are host/time-clustered, so id-ordered shards
+    feed a training loader correlated batches. The order key is
+    zero-padded-hex ``xxhash64(id, seed)`` with the id appended (unique
+    by construction — no collision can merge two docs), and the packer's
+    bucketed prefix sum orders by it exactly as it would by id: the
+    shuffle costs NO new plan shape, no global sort, same two bounded
+    aggregations. Deterministic per (corpus, seed) for resumability.
     """
     docs = spark.read.parquet(input_path)
+    if shuffle_seed is not None:
+        shuffle_key = F.concat(
+            F.lpad(F.hex(F.xxhash64(F.col(id_col),
+                                    F.lit(int(shuffle_seed)))), 16, "0"),
+            F.lit(":"), F.col(id_col).cast("string"))
+        docs = docs.withColumn("_ord", shuffle_key)
+        pack_id = "_ord"
+    else:
+        pack_id = id_col
     if bpe_merges is not None:
         from fever_spark.functions.bpe import bpe_encode
 
@@ -55,7 +74,7 @@ def write_training_shards(spark: SparkSession, input_path: str,
                            out_col="_bpe")
                 .withColumn("n_tokens", F.size("_bpe")).drop("_bpe"))
         token_col = "n_tokens"
-    assign = pack_documents(docs, budget, id_col=id_col,
+    assign = pack_documents(docs, budget, id_col=pack_id,
                             token_col=token_col, text_col=text_col,
                             n_buckets=n_buckets)
 
@@ -64,7 +83,8 @@ def write_training_shards(spark: SparkSession, input_path: str,
     # column (parquet refuses to write one)
     base = docs.drop("n_tokens") if "n_tokens" in docs.columns else docs
     out = (base.join(assign.withColumnRenamed("bin_id", "shard"),
-                     id_col)
+                     pack_id)
+           .drop("_ord")
            .repartition(F.col("shard")))
     out.write.mode("overwrite").partitionBy("shard").parquet(output_path)
 
@@ -92,6 +112,8 @@ def write_training_shards(spark: SparkSession, input_path: str,
         "tokenizer": ("bpe" if bpe_merges is not None else
                       (f"column:{token_col}" if token_col
                        else "whitespace")),
+        "order": (f"shuffled:{int(shuffle_seed)}"
+                  if shuffle_seed is not None else "id"),
     }
     tmp = os.path.join(output_path, "_shards_manifest.json.tmp")
     final = os.path.join(output_path, "_shards_manifest.json")
@@ -117,6 +139,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--bpe-merges", default=None,
                     help="JSON file of [[a, b], ...] trained merges: "
                          "budget on real tokenizer tokens")
+    ap.add_argument("--shuffle-seed", type=int, default=None,
+                    help="pack in seeded global pseudo-random order "
+                         "instead of id order (decorrelates batches)")
     args = ap.parse_args(argv)
     merges = None
     if args.bpe_merges:
@@ -127,7 +152,8 @@ def main(argv: list[str] | None = None) -> None:
                                 id_col=args.id_col, text_col=args.text_col,
                                 token_col=args.token_col,
                                 n_buckets=args.n_buckets,
-                                bpe_merges=merges)
+                                bpe_merges=merges,
+                                shuffle_seed=args.shuffle_seed)
     print(json.dumps({k: v for k, v in man.items() if k != "shards"}))
 
 

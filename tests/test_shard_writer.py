@@ -108,3 +108,53 @@ def test_bpe_budgeted_shards(spark, tmp_path):
         if srec["shard"] not in man["overbudget_doc_shards"]:
             assert srec["tokens"] <= 120 + max(
                 r["tokens"] for r in man["shards"])
+
+
+def test_shuffled_packing(spark, tmp_path):
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(10)))
+            for i in range(40)]
+    src = str(tmp_path / "src_shuf")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    def shard_map(out):
+        return {r["doc_id"]: r["shard"] for r in
+                spark.read.parquet(out).select("doc_id", "shard").collect()}
+
+    out_id = str(tmp_path / "sh_id")
+    man_id = write_training_shards(spark, src, out_id, budget=50,
+                                   n_buckets=4)
+    out_a = str(tmp_path / "sh_a")
+    man_a = write_training_shards(spark, src, out_a, budget=50,
+                                  n_buckets=4, shuffle_seed=7)
+    out_a2 = str(tmp_path / "sh_a2")
+    write_training_shards(spark, src, out_a2, budget=50, n_buckets=4,
+                          shuffle_seed=7)
+    out_b = str(tmp_path / "sh_b")
+    write_training_shards(spark, src, out_b, budget=50, n_buckets=4,
+                          shuffle_seed=8)
+
+    # conservation: same docs, same token total, same shard count math
+    assert man_a["total_docs"] == man_id["total_docs"] == 40
+    assert man_a["total_tokens"] == man_id["total_tokens"] == 400
+    assert man_a["order"] == "shuffled:7" and man_id["order"] == "id"
+    assert sorted(shard_map(out_a)) == list(range(40))
+
+    # the shuffle actually decorrelates: id-contiguous runs are broken
+    # (40 docs over >= 8 shards — id-ordered assignment is monotone in
+    # doc_id; a seeded hash order is not)
+    ids_by_shard_a = {}
+    for d, s in shard_map(out_a).items():
+        ids_by_shard_a.setdefault(s, []).append(d)
+    monotone = all(max(ids_by_shard_a[a]) < min(ids_by_shard_a[b])
+                   for a, b in zip(sorted(ids_by_shard_a),
+                                   sorted(ids_by_shard_a)[1:]))
+    assert not monotone
+    # deterministic per seed, different across seeds
+    assert shard_map(out_a) == shard_map(out_a2)
+    assert shard_map(out_a) != shard_map(out_b)
+    # every shard except possibly the last still respects the budget
+    # shape: docs are whole, budget 50, docs are 10 tokens -> 5 per shard
+    sizes = {s: len(v) for s, v in ids_by_shard_a.items()}
+    assert set(sizes.values()) == {5}
+    # the internal order key never leaks into the written schema
+    assert "_ord" not in spark.read.parquet(out_a).columns

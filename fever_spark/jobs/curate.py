@@ -69,7 +69,8 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
            perplexity_lm=None,
            max_perplexity: float | None = None,
            quality_model: dict | None = None,
-           min_quality_proba: float = 0.5) -> dict:
+           min_quality_proba: float = 0.5,
+           keep_best_quality: bool = False) -> dict:
     docs = spark.read.parquet(input_path)
     counts = {"input": docs.count()}
     # wall seconds per pipeline stage (stage = work up to its survivor
@@ -286,7 +287,12 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
         pairs = dedup.minhash_near_duplicates(
             exact, text_col, id_col, threshold=near_dup_threshold) \
             .select("id_a", "id_b")
-        return dedup.dedup_keep_canonical(exact, pairs, id_col), {}
+        # keep_best_quality: the quality stage already scored every doc —
+        # keep each near-dup cluster's best-scoring member (clean page
+        # over boilerplate copies) instead of the min id
+        return dedup.dedup_keep_canonical(
+            exact, pairs, id_col,
+            rank_col="quality" if keep_best_quality else None), {}
 
     neardup = _stage(5, "near_dup", "after_near_dup", _build_near_dup)
 
@@ -388,6 +394,9 @@ def main(argv: list[str] | None = None) -> None:
                     help="C4 line cleanup + document predicate")
     ap.add_argument("--gopher-rules", action="store_true",
                     help="Gopher document-quality predicate")
+    ap.add_argument("--keep-best-quality", action="store_true",
+                    help="near-dup survivor = highest quality score per "
+                         "cluster (default: min id)")
     ap.add_argument("--blocked-domains", default="",
                     help="comma-separated domains to drop (subdomains "
                          "included) before any content processing")
@@ -410,7 +419,8 @@ def main(argv: list[str] | None = None) -> None:
         workdir=args.workdir, normalize=args.normalize,
         c4_rules=args.c4_rules, gopher_rules=args.gopher_rules,
         blocked_domains=[d for d in args.blocked_domains.split(",") if d]
-        or None)
+        or None,
+        keep_best_quality=args.keep_best_quality)
     print(json.dumps(manifest))
     spark.stop()
 

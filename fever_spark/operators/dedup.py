@@ -586,14 +586,43 @@ def near_dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
 
 
 def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
-                         id_col: str = "doc_id") -> DataFrame:
-    """End-to-end near-dup dedup: keep ONE canonical doc (the min id) per
-    connected component of `pairs`, plus every doc that paired with
-    nothing. This is the "pairs → survivors" step a training-data pipeline
-    runs after any candidate generator (LSH/SimHash/Jaccard/embedding)."""
+                         id_col: str = "doc_id",
+                         rank_col: str | None = None) -> DataFrame:
+    """End-to-end near-dup dedup: keep ONE canonical doc per connected
+    component of `pairs`, plus every doc that paired with nothing. This
+    is the "pairs → survivors" step a training-data pipeline runs after
+    any candidate generator (LSH/SimHash/Jaccard/embedding).
+
+    Default canonical = min id (deterministic, no extra data needed).
+    ``rank_col`` names a numeric column of ``df`` (e.g. a quality score)
+    to keep the HIGHEST-ranked member instead — near-dup clusters often
+    mix a clean page with boilerplate-laden copies, and min-id throws
+    away quality information the pipeline already computed. Ties (and
+    null ranks, which sort below every real rank) break to min id, so
+    the choice is deterministic. Cost: one extra hash join of the
+    cluster frame (paired docs only — tiny next to the corpus) against
+    an (id, rank) projection; per-cluster argmax is a map-side-combined
+    min_by, no window."""
     clusters = near_dup_clusters(pairs)
-    losers = clusters.filter(F.col("id") != F.col("cluster_id")) \
-        .select(F.col("id").alias(id_col))
+    if rank_col is not None:
+        ranked = clusters.join(
+            df.select(F.col(id_col).alias("id"),
+                      F.coalesce(F.col(rank_col).cast("double"),
+                                 F.lit(float("-inf"))).alias("_rank")),
+            "id", "left")
+        winners = (ranked.groupBy("cluster_id")
+                   .agg(F.min_by(
+                       F.col("id"),
+                       F.struct((-F.coalesce(F.col("_rank"),
+                                             F.lit(float("-inf"))))
+                                .alias("neg_rank"),
+                                F.col("id").alias("id"))).alias("keep_id")))
+        losers = (clusters.join(winners, "cluster_id")
+                  .filter(F.col("id") != F.col("keep_id"))
+                  .select(F.col("id").alias(id_col)))
+    else:
+        losers = clusters.filter(F.col("id") != F.col("cluster_id")) \
+            .select(F.col("id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
 
 

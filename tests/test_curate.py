@@ -354,3 +354,35 @@ def test_curate_blocked_domains_survive_normalize(spark, tmp_path):
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {3}
     assert man["counts"]["after_quality_filter"] == 1
+
+
+def test_curate_keep_best_quality_canonical(spark, tmp_path):
+    # near-dup pair where the HIGHER id is the cleaner page: a prose doc
+    # (id 5) and the same prose drowned in link-spam chrome (id 1). With
+    # keep_best_quality the survivor is the higher-quality id 5; the
+    # default min-id path keeps id 1.
+    prose = ("The committee reviewed the evidence carefully and published "
+             "a detailed and thoughtful report about the findings. " * 6)
+    spammy = prose + " click | here | now | " * 15 + "$$$ !!! ### @@@ %%%"
+    rows = [(1, spammy, "en"), (5, prose, "en"),
+            (9, "An unrelated page about rivers and the slow evening "
+                "light that settles over the water in autumn. " * 5, "en")]
+    src = str(tmp_path / "bq_src")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.parquet(src)
+
+    man = curate(spark, src, str(tmp_path / "bq_out"), min_quality=0.1,
+                 min_tokens=3, near_dup_threshold=0.5,
+                 keep_best_quality=True)
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(str(tmp_path / "bq_out"))
+            .select("doc_id").collect()}
+    assert man["counts"]["after_near_dup"] == 2
+    assert kept == {5, 9}
+
+    man2 = curate(spark, src, str(tmp_path / "bq_out2"), min_quality=0.1,
+                  min_tokens=3, near_dup_threshold=0.5)
+    kept2 = {r["doc_id"] for r in
+             spark.read.parquet(str(tmp_path / "bq_out2"))
+             .select("doc_id").collect()}
+    assert kept2 == {1, 9}

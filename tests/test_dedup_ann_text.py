@@ -322,6 +322,25 @@ class TestNearDupClusters:
         docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         assert dedup.dedup_keep_canonical(docs, pairs).count() == 1
 
+    def test_rank_col_keeps_best_quality_member(self, spark):
+        # chain 1-2-3-4: best quality sits at the HIGHEST id (4) — min-id
+        # would discard it; island 10-11 ties on quality -> min id wins;
+        # 20-21: null rank loses to a real rank even a terrible one
+        pairs = spark.createDataFrame(
+            [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21)],
+            "id_a long, id_b long")
+        docs = spark.createDataFrame(
+            [(1, 0.2), (2, 0.5), (3, 0.4), (4, 0.9),
+             (10, 0.7), (11, 0.7), (20, None), (21, 0.01), (99, None)],
+            "doc_id long, quality double")
+        kept = sorted(r["doc_id"] for r in dedup.dedup_keep_canonical(
+            docs, pairs, rank_col="quality").collect())
+        assert kept == [4, 10, 21, 99]
+        # default stays min-id
+        kept_id = sorted(r["doc_id"] for r in
+                         dedup.dedup_keep_canonical(docs, pairs).collect())
+        assert kept_id == [1, 10, 20, 99]
+
     def test_end_to_end_with_lsh(self, planted):
         pairs = dedup.minhash_near_duplicates(planted, threshold=0.5) \
             .select("id_a", "id_b")

@@ -139,12 +139,18 @@ def host_suffixes(url: Column, max_labels: int = 6) -> Column:
     host = F.lower(F.try_parse_url(url, F.lit("HOST")))
     labels = F.split(host, r"\.")
     # cap by keeping the SHORTEST max_labels suffixes: blocklist entries
-    # are shallow registrable domains, so a deep host (a.b.c.d.e.f.bad.tld)
-    # must still emit 'bad.tld' — start positions run from
-    # size-max_labels+1 .. size, not 1 .. max_labels
+    # are mostly shallow registrable domains, so a deep host
+    # (a.b.c.d.e.f.bad.tld) must still emit 'bad.tld' — start positions
+    # run from size-max_labels+1 .. size, not 1 .. max_labels. Position 1
+    # (the FULL host) is always prepended on top of the cap so an exact
+    # deep-hostname blocklist entry keeps matching too; dedup via
+    # array_distinct for shallow hosts where 1 is already in range.
     first = F.greatest(F.lit(1), F.size(labels) - F.lit(max_labels) + 1)
+    starts = F.array_distinct(F.concat(
+        F.array(F.lit(1)),
+        F.sequence(first, F.greatest(F.size(labels), F.lit(1)))))
     return F.filter(
-        F.transform(F.sequence(first, F.greatest(F.size(labels), F.lit(1))),
+        F.transform(starts,
                     lambda i: F.array_join(F.slice(labels, i, F.size(labels)),
                                            ".")),
         lambda s: s != "")

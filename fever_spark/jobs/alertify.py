@@ -66,15 +66,18 @@ def main(argv=None):
     spark = get_spark(master=args.master, app_name="fever_spark_alertify")
     lines = spark.read.text(args.input)
     alerts = alertify(lines, iocs, prefix=args.prefix)
-    out = alerts.select("alert_json")
-    if args.spool:
-        # publish BEFORE the count-materializing write so one job serves
-        # both sinks; executor-side, idempotent on re-run
-        from fever_spark.sources.submitter import submit_dataframe
-        submit_dataframe(out, args.spool, "alertify.alerts",
-                         compress=args.compress)
-    out.write.mode("overwrite").text(args.output)
-    print(f'{{"alerts": {alerts.count()}, "output": "{args.output}"}}')
+    # the match pipeline feeds up to three actions (spool publish, text
+    # write, count) — persist so parse + IOC matching run once
+    out = alerts.select("alert_json").persist()
+    try:
+        if args.spool:
+            from fever_spark.sources.submitter import submit_dataframe
+            submit_dataframe(out, args.spool, "alertify.alerts",
+                             compress=args.compress)
+        out.write.mode("overwrite").text(args.output)
+        print(f'{{"alerts": {out.count()}, "output": "{args.output}"}}')
+    finally:
+        out.unpersist()
     spark.stop()
 
 

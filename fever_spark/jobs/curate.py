@@ -124,7 +124,8 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
              "blocked_domains": sorted(blocked_domains or []),
              "max_perplexity": max_perplexity,
              "quality_model": (quality_model or {}).get("coefficients"),
-             "min_quality_proba": min_quality_proba},
+             "min_quality_proba": min_quality_proba,
+             "keep_best_quality": keep_best_quality},
             sort_keys=True)
         resume_key = hashlib.sha256(payload.encode()).hexdigest()[:16]
         os.makedirs(workdir, exist_ok=True)
@@ -346,7 +347,8 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
                    "blocked_domains": blocked_domains,
                    "max_perplexity": max_perplexity,
                    "quality_classifier": quality_model is not None,
-                   "min_quality_proba": min_quality_proba},
+                   "min_quality_proba": min_quality_proba,
+                   "keep_best_quality": keep_best_quality},
         "workdir": workdir,
         "resumed_stages": resumed,
     }

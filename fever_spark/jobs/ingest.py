@@ -44,7 +44,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fever_spark.functions.text import fingerprint, normalize_text
-from fever_spark.operators.dedup import (corpus_fingerprint_bloom,
+from fever_spark.operators.dedup import (SIGNATURE_HASH_FAMILY,
+                                         corpus_fingerprint_bloom,
                                          dedup_keep_canonical,
                                          incremental_exact_dedup,
                                          incremental_near_duplicates,
@@ -88,7 +89,12 @@ def ingest(spark: SparkSession, batch_path: str, corpus_dir: str,
               "bloom_fpp": float(bloom_fpp),
               "num_hashes": int(num_hashes),
               "shingle_size": int(shingle_size),
-              "text_col": text_col, "id_col": id_col}
+              "text_col": text_col, "id_col": id_col,
+              # the shingle-hash KERNEL version: an index built by an
+              # older family would band-match nothing — fail loud, not
+              # silently re-append every near-dup (a pre-family-key
+              # state dir fails this same check by lacking the key)
+              "signature_hash_family": SIGNATURE_HASH_FAMILY}
     if os.path.exists(params_path):
         with open(params_path) as f:
             stored = json.load(f)

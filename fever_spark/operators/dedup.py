@@ -129,6 +129,14 @@ _SHINGLE_MULT = (_splitmix64_vec(np.arange(64, dtype=np.uint64),
                                  seed=0x5113)
                  | np.uint64(1))
 
+# Version of the shingle-hash kernel behind MinHash signatures. Family 1
+# siphashed joined shingle STRINGS; family 2 (round-5) combines per-token
+# hashes with the multipliers above. Signatures from different families
+# never collide in LSH bands, so persisted signature indexes carry this
+# in their state params and refuse to screen against a mismatched build
+# instead of silently matching nothing.
+SIGNATURE_HASH_FAMILY = 2
+
 
 def _hashed_shingles(texts: pd.Series, n: int,
                      seed: int) -> tuple[np.ndarray, np.ndarray]:

@@ -212,11 +212,16 @@ def extract_main_text(raw: bytes) -> str:
     tag-stripper behavior, never silently empty a short legit page).
     Parser failure → regex-stripper fallback."""
     if b"<" not in raw:
-        # no markup at all (text/plain payloads): one whitespace-collapse,
-        # no parse. Identical result by construction — the parser would
-        # emit this text as the single block, and both its classifications
-        # (content, or no-content → degrade-to-all-blocks) return it.
-        return _WS.sub(" ", raw.decode("utf-8", "replace")).strip()
+        # no markup at all (text/plain payloads): resolve character
+        # references then one whitespace-collapse, no parse. Identical
+        # result by construction — the parser (convert_charrefs=True)
+        # would unescape the same entities into its single block before
+        # either classification path returns it.
+        text = raw.decode("utf-8", "replace")
+        if "&" in text:
+            from html import unescape
+            text = unescape(text)
+        return _WS.sub(" ", text).strip()
     if b"\x00" in raw[:1024]:
         # binary payload mislabeled as HTML (the NUL sniff every browser
         # runs): the block parser would chew replacement-char soup —

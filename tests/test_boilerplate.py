@@ -137,6 +137,18 @@ class TestExtractorProperties:
 
         prop()
 
+    def test_markup_free_fast_path_resolves_charrefs(self):
+        # the no-'<' fast path must match the parser path byte-for-byte,
+        # INCLUDING character-reference resolution (convert_charrefs=True
+        # unescapes &amp; even in an entity-only payload)
+        plain = (b"Fish &amp; Chips at the pier \xc2\xa0 opened in 1952 "
+                 b"and the queue runs long every single summer evening.")
+        fast = extract_main_text(plain)
+        parsed = extract_main_text(
+            b"<html><body><p>" + plain + b"</p></body></html>")
+        assert "Fish & Chips" in fast
+        assert fast == parsed
+
     def test_never_crashes_on_random_markup(self):
         from hypothesis import given, settings
         from hypothesis import strategies as st

@@ -949,10 +949,24 @@ class TestDeepSubdomainSuffixes:
         [row] = spark.createDataFrame(
             [("https://a.b.c.d.e.f.bad.example/x",)], "u string") \
             .select(host_suffixes(F.col("u")).alias("s")).collect()
-        # 8 labels, cap 6: keep the 6 SHORTEST suffixes
+        # 8 labels, cap 6: the FULL host (exact deep-hostname blocklist
+        # entries must keep matching) plus the 6 SHORTEST suffixes
         assert row["s"] == [
+            "a.b.c.d.e.f.bad.example",
             "c.d.e.f.bad.example", "d.e.f.bad.example", "e.f.bad.example",
             "f.bad.example", "bad.example", "example"]
+
+    def test_exact_deep_host_entry_matches(self, spark):
+        from fever_spark.functions.urls import filter_blocked_domains
+
+        df = spark.createDataFrame(
+            [(1, "https://a.b.c.d.e.f.bad.example/x"),
+             (2, "https://z.b.c.d.e.f.bad.example/x")], "i long, url string")
+        kept = {r["i"] for r in filter_blocked_domains(
+            df, ["a.b.c.d.e.f.bad.example"]).collect()}
+        # the exact 8-label entry blocks row 1 only; row 2 differs in the
+        # deepest label and shares no listed suffix
+        assert kept == {2}
 
     def test_deep_host_blocked(self, spark):
         from fever_spark.functions.urls import filter_blocked_domains

@@ -133,6 +133,27 @@ class TestIngest:
             ingest(spark, b1, corpus, state, batch_id="b2",
                    bloom_capacity=5_000)
 
+    def test_stale_signature_hash_family_rejected(self, spark, tmp_path):
+        # a signature index persisted by an older shingle-hash kernel
+        # would band-match NOTHING against new-batch signatures — the
+        # screen must refuse it loudly, not silently re-append near-dups
+        import json
+        import pytest
+        corpus = str(tmp_path / "corpus")
+        state = str(tmp_path / "state")
+        b1 = str(tmp_path / "b1")
+        _write_batch(spark, b1, [_doc(1)])
+        ingest(spark, b1, corpus, state, batch_id="b1")
+        pf = os.path.join(state, "_params.json")
+        with open(pf) as f:
+            stored = json.load(f)
+        assert stored["signature_hash_family"] >= 2
+        stored["signature_hash_family"] = 1   # pre-round-5 string shingles
+        with open(pf, "w") as f:
+            json.dump(stored, f)
+        with pytest.raises(ValueError, match="state params differ"):
+            ingest(spark, b1, corpus, state, batch_id="b2")
+
     def test_incomplete_batch_blocks_new_ingests(self, spark, tmp_path):
         import pytest
         corpus = str(tmp_path / "corpus")

@@ -171,6 +171,50 @@ class TestAsofBucketed:
         assert out.filter(F.col("px").isNotNull()).count() == 0
 
 
+class TestAsofRandomized:
+    """Random corpora vs DuckDB's native ASOF JOIN — both directions,
+    with and without the hot-key pre-split, duplicate timestamps and
+    sparse keys included (the edge shapes fixed fixtures can miss)."""
+
+    @pytest.mark.parametrize("direction", ["backward", "forward"])
+    @pytest.mark.parametrize("seed", [11, 12])
+    def test_random_corpus_matches_duckdb(self, spark, direction, seed):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        nl, nr = 400, 250
+        lkeys = rng.integers(0, 12, nl)          # some keys only on left
+        rkeys = rng.integers(4, 16, nr)          # some only on right
+        # integer-valued ts with heavy duplication → tie cases everywhere
+        lts = rng.integers(0, 60, nl).astype(float)
+        rts = rng.integers(0, 60, nr).astype(float)
+        lpdf = pd.DataFrame({"k": lkeys, "ts": lts, "v": np.arange(nl)})
+        rpdf = pd.DataFrame({"k": rkeys, "ts": rts,
+                             "payload": np.arange(nr) * 10.0})
+        # DuckDB ASOF breaks right-side ties arbitrarily; make the right
+        # side tie-free per (k, ts) to keep the oracle deterministic
+        rpdf = rpdf.drop_duplicates(["k", "ts"]).reset_index(drop=True)
+
+        left = spark.createDataFrame(lpdf)
+        right = spark.createDataFrame(rpdf)
+        con = duckdb.connect()
+        con.register("l", lpdf)
+        con.register("r", rpdf)
+        op = ">=" if direction == "backward" else "<="
+        expect = sorted(con.execute(f"""
+            SELECT l.k, l.ts, l.v, r.ts AS ts_right, r.payload
+            FROM l ASOF LEFT JOIN r
+              ON l.k = r.k AND l.ts {op} r.ts""").fetchall())
+
+        for bucket in (None, 16.0):
+            got = sorted(
+                (r["k"], r["ts"], r["v"], r["ts_right"], r["payload"])
+                for r in asof_join(left, right, on="k", left_ts="ts",
+                                   direction=direction,
+                                   coarse_bucket_seconds=bucket).collect())
+            assert got == expect, f"bucket={bucket}"
+
+
 class TestRangeJoin:
     """Bucketed point-in-interval join vs a DuckDB inequality join —
     random data, boundary inclusivity, long-interval broadcast path."""

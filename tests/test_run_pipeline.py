@@ -1,0 +1,113 @@
+"""Composed EVE streaming pipeline (jobs/run_pipeline.py): the fever
+main-loop chain — parse → Bloom alerting → forwards → sketch stats — over
+a drop dir, with exactly-once restart semantics."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fever_spark.jobs.run_pipeline import run_pipeline
+from fever_spark.sources.submitter import consume_spool
+
+L_HTTP_EVIL = ('{"event_type": "http", "timestamp": "2026-06-01T12:00:00.0+0000",'
+               ' "src_ip": "10.0.0.1",'
+               ' "http": {"hostname": "evil.example.com", "url": "/x"}}')
+L_HTTP_OK = ('{"event_type": "http", "timestamp": "2026-06-01T12:00:01.0+0000",'
+             ' "src_ip": "10.0.0.2",'
+             ' "http": {"hostname": "ok.example.org", "url": "/y"}}')
+L_DNS_BAD = ('{"event_type": "dns", "timestamp": "2026-06-01T12:00:02.0+0000",'
+             ' "src_ip": "10.0.0.3",'
+             ' "dns": {"type": "query", "rrname": "bad.dns.example"}}')
+L_FLOW = ('{"event_type": "flow", "timestamp": "2026-06-01T12:00:03.0+0000",'
+          ' "src_ip": "10.0.0.4", "flow": {"bytes_toclient": 10}}')
+
+IOCS = ["evil.example.com", "bad.dns.example"]
+
+
+def _drop(path, name, lines):
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, os.path.join(path, name))
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {k: str(tmp_path / k)
+            for k in ("in", "out", "ckpt", "spool", "state")}
+
+
+class TestRunPipeline:
+    def test_end_to_end_chain(self, spark, dirs):
+        _drop(dirs["in"], "a.jsonl", [L_HTTP_EVIL, L_HTTP_OK, L_FLOW])
+        _drop(dirs["in"], "b.jsonl", [L_DNS_BAD, L_FLOW])
+        summary = run_pipeline(
+            spark, dirs["in"], dirs["out"], IOCS, checkpoint=dirs["ckpt"],
+            spool=dirs["spool"],
+            forwards={"dns_only": ["dns"], "all": []})
+        assert summary["alerts"] == 2
+        alerts = spark.read.parquet(os.path.join(dirs["out"], "alerts"))
+        by_ioc = {r["ioc"] for r in alerts.collect()}
+        assert by_ioc == {"evil.example.com", "bad.dns.example"}
+
+        # forwards: type filter respected, all batches present
+        dns_fw = spark.read.json(
+            os.path.join(dirs["out"], "forward", "dns_only", "batch=*"))
+        assert {r["event_type"] for r in dns_fw.collect()} == {"dns"}
+        all_fw = spark.read.json(
+            os.path.join(dirs["out"], "forward", "all", "batch=*"))
+        assert all_fw.count() == 5
+
+        # spool carries the alert payloads
+        msgs = consume_spool(dirs["spool"], ack=False)
+        rows = [r for m in msgs for r in json.loads(m["payload"])]
+        assert {r["ioc"] for r in rows} == set(IOCS)
+
+        # manifest written and matches
+        man = json.load(open(os.path.join(dirs["out"],
+                                          "_run_manifest.json")))
+        assert man["alerts"] == 2 and man["batches"] == summary["batches"]
+
+    def test_stats_accumulate_per_event_type(self, spark, dirs):
+        _drop(dirs["in"], "a.jsonl",
+              [L_HTTP_EVIL, L_HTTP_OK, L_DNS_BAD, L_FLOW, L_FLOW])
+        run_pipeline(spark, dirs["in"], dirs["out"], IOCS,
+                     checkpoint=dirs["ckpt"],
+                     stats_state_dir=dirs["state"])
+        merged = (spark.read.parquet(
+            os.path.join(dirs["state"], "batch=0")))
+        kinds = {(r["event_type"], r["sketch"]) for r in merged.collect()}
+        # HLL src_ips for every type; CMS http_hosts rides along
+        assert ("http", "src_ips") in kinds and ("dns", "src_ips") in kinds
+        assert ("flow", "src_ips") in kinds
+
+    def test_restart_is_exactly_once(self, spark, dirs):
+        _drop(dirs["in"], "a.jsonl", [L_HTTP_EVIL])
+        s1 = run_pipeline(spark, dirs["in"], dirs["out"], IOCS,
+                          checkpoint=dirs["ckpt"], spool=dirs["spool"])
+        assert s1["alerts"] == 1
+        spool_files = sorted(os.listdir(dirs["spool"]))
+
+        # restart with NO new input: checkpoint says nothing to do
+        s2 = run_pipeline(spark, dirs["in"], dirs["out"], IOCS,
+                          checkpoint=dirs["ckpt"], spool=dirs["spool"])
+        assert s2["alerts"] == 1
+        assert sorted(os.listdir(dirs["spool"])) == spool_files
+
+        # a NEW file is processed incrementally; old alerts survive
+        _drop(dirs["in"], "b.jsonl", [L_DNS_BAD, L_HTTP_OK])
+        s3 = run_pipeline(spark, dirs["in"], dirs["out"], IOCS,
+                          checkpoint=dirs["ckpt"], spool=dirs["spool"])
+        assert s3["alerts"] == 2
+        alerts = spark.read.parquet(os.path.join(dirs["out"], "alerts"))
+        assert {r["ioc"] for r in alerts.collect()} == set(IOCS)
+
+    def test_no_match_no_alert_rows(self, spark, dirs):
+        _drop(dirs["in"], "a.jsonl", [L_HTTP_OK, L_FLOW])
+        s = run_pipeline(spark, dirs["in"], dirs["out"],
+                         ["nothing.matches.example"],
+                         checkpoint=dirs["ckpt"])
+        assert s["alerts"] == 0

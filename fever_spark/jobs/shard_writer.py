@@ -88,18 +88,19 @@ def write_training_shards(spark: SparkSession, input_path: str,
            .repartition(F.col("shard")))
     out.write.mode("overwrite").partitionBy("shard").parquet(output_path)
 
+    # ONE read-back of the written dataset serves both manifest facts:
+    # per-shard doc/token counts, and the over-budget flag — a doc alone
+    # larger than the budget spans its shard regardless of where it
+    # starts, so the flag keys on the doc's own size, not shard occupancy
+    # (a shard can legitimately hold small docs plus one oversized tail)
     per_shard = (spark.read.parquet(output_path)
                  .groupBy("shard")
                  .agg(F.count(F.lit(1)).alias("docs"),
-                      F.sum("n_tokens").alias("tokens"))
+                      F.sum("n_tokens").alias("tokens"),
+                      (F.max("n_tokens") > budget).alias("has_overbudget"))
                  .orderBy("shard").collect())
-    # a doc alone larger than the budget spans its shard regardless of
-    # where it starts — flag by the doc's own size, not by shard occupancy
-    # (a shard can legitimately hold small docs plus one oversized tail)
-    oversized = sorted({int(r["shard"]) for r in
-                        (spark.read.parquet(output_path)
-                         .filter(F.col("n_tokens") > budget)
-                         .select("shard").distinct().collect())})
+    oversized = sorted(int(r["shard"]) for r in per_shard
+                       if r["has_overbudget"])
     manifest = {
         "input": input_path, "output": output_path,
         "budget_tokens": int(budget),

@@ -162,8 +162,9 @@ def is_blocked_domain(url: Column, blocklist) -> Column:
     boilerplate hosts) that runs before content ever parses.
 
     ``blocklist`` is an iterable of domains; it becomes a literal array in
-    the plan and the check is ``arrays_overlap`` with the row's ≤6 host
-    suffixes — pure whole-stage codegen, ZERO shuffle, zero join, zero
+    the plan and the check is ``arrays_overlap`` with the row's host
+    suffixes (the full host + up to ``max_labels`` shortest suffixes, ≤7
+    entries at the default) — pure whole-stage codegen, ZERO shuffle, zero join, zero
     Python, never a regex alternation that grows with the list. Literal
     arrays are the right shape for real blocklists (the public ones are
     thousands of entries, kilobytes of plan); for a million-domain list,

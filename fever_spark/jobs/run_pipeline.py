@@ -115,7 +115,10 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
         return writer.start()
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
-    # summary from the durable outputs, not driver counters
+    # summary from the durable outputs, not driver counters. A run with
+    # ZERO batches (empty drop dir, or everything already checkpointed)
+    # never had a sink write create output_dir — make it for the manifest
+    os.makedirs(output_dir, exist_ok=True)
     batches = sorted(d for d in (os.listdir(alerts_root)
                                  if os.path.isdir(alerts_root) else [])
                      if d.startswith("batch="))

@@ -105,6 +105,14 @@ class TestRunPipeline:
         alerts = spark.read.parquet(os.path.join(dirs["out"], "alerts"))
         assert {r["ioc"] for r in alerts.collect()} == set(IOCS)
 
+    def test_empty_drop_dir_yields_empty_summary(self, spark, dirs):
+        os.makedirs(dirs["in"], exist_ok=True)
+        s = run_pipeline(spark, dirs["in"], dirs["out"], IOCS,
+                         checkpoint=dirs["ckpt"])
+        assert s["batches"] == 0 and s["alerts"] == 0
+        assert os.path.exists(os.path.join(dirs["out"],
+                                           "_run_manifest.json"))
+
     def test_no_match_no_alert_rows(self, spark, dirs):
         _drop(dirs["in"], "a.jsonl", [L_HTTP_OK, L_FLOW])
         s = run_pipeline(spark, dirs["in"], dirs["out"],

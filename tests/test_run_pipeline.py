@@ -105,6 +105,17 @@ class TestRunPipeline:
         alerts = spark.read.parquet(os.path.join(dirs["out"], "alerts"))
         assert {r["ioc"] for r in alerts.collect()} == set(IOCS)
 
+    def test_continuous_mode_returns_live_query(self, spark, dirs):
+        _drop(dirs["in"], "a.jsonl", [L_HTTP_EVIL])
+        q = run_pipeline(spark, dirs["in"], dirs["out"], IOCS,
+                         checkpoint=dirs["ckpt"], available_now=False)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        alerts = spark.read.parquet(os.path.join(dirs["out"], "alerts"))
+        assert alerts.count() == 1
+
     def test_empty_drop_dir_yields_empty_summary(self, spark, dirs):
         os.makedirs(dirs["in"], exist_ok=True)
         s = run_pipeline(spark, dirs["in"], dirs["out"], IOCS,

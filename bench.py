@@ -29,8 +29,12 @@ Queries:
   crawl_gated       curate with the model gates ON (trusted-vs-crawl
                     classifier + CCNet perplexity band) so their stage
                     wall time is visible as `crawl_gated_stages`
+  eve_pipeline      the composed EVE daemon loop (jobs/run_pipeline.py):
+                    200k synth events as a JSONL drop dir → parse →
+                    Bloom alerting → forwards → sketch stats; events/s
+                    + alerts land as `eve_pipeline_stages`
 
-text_models/ingest/crawl_gated are ONE-SHOT entries: they run once after
+text_models/ingest/crawl_gated/eve_pipeline are ONE-SHOT entries: they run once after
 the interleaved rep loop (training/state setup is too heavy to repeat
 per rep) and are excluded from the headline `value` so it stays
 comparable across rounds.
@@ -523,6 +527,79 @@ def bench_ingest(spark):
     return man["counts"]["after_near_dup_screen"]
 
 
+_EVE_SETUP = {}
+_EVE_DETAIL = {}
+
+
+def _eve_setup(spark, n_events: int = 200_000, n_files: int = 8):
+    """Render synth fever events as EVE JSON-lines drop-dir files once
+    (generation excluded from the timed run). IOC values reuse the
+    fever-fixture style — hostN/nameN/sniN — which the synth generator's
+    value domains contain, so alerts really fire."""
+    import tempfile
+
+    from fever_spark.sources.synth import synth_events
+
+    if "drop" in _EVE_SETUP:
+        return _EVE_SETUP
+    base = tempfile.mkdtemp(prefix="fever_bench_eve_")
+    drop = os.path.join(base, "drop")
+    pdf = synth_events(n_events)
+    ev = spark.createDataFrame(pdf)
+    line = F.to_json(F.struct(
+        F.col("event_type"),
+        F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.S"),
+                 F.lit("+0000")).alias("timestamp"),
+        "src_ip", "dest_ip", "src_port", "dest_port", "proto",
+        F.struct(F.col("http_host").alias("hostname"),
+                 F.col("http_url").alias("url")).alias("http"),
+        F.struct(F.col("dns_rrname").alias("rrname"),
+                 F.col("dns_type").alias("type"),
+                 F.col("dns_rrtype").alias("rrtype")).alias("dns"),
+        F.struct(F.col("tls_sni").alias("sni"),
+                 F.col("tls_fingerprint").alias("fingerprint")).alias("tls"),
+        F.struct(F.col("bytes_toserver"), F.col("bytes_toclient"),
+                 F.col("pkts_toserver"), F.col("pkts_toclient")).alias("flow"),
+        "flow_id"), {"ignoreNullFields": "true"})
+    ev.select(line.alias("value")).repartition(n_files) \
+        .write.mode("overwrite").text(drop)
+    _EVE_SETUP.update(base=base, drop=drop, n=n_events)
+    return _EVE_SETUP
+
+
+def bench_eve_pipeline(spark):
+    """The composed EVE daemon loop (jobs/run_pipeline.py): drop-dir
+    stream → parse → Bloom alerting → forwards → sketch stats, drained
+    with availableNow. events/s + alert count land as
+    `eve_pipeline_stages`; each rep uses a fresh checkpoint/output so
+    the whole drop dir is processed every time."""
+    import shutil
+    import tempfile
+
+    from fever_spark.jobs.run_pipeline import run_pipeline
+
+    s = _eve_setup(spark)
+    out = tempfile.mkdtemp(prefix="fever_bench_eve_out_")
+    t0 = time.time()
+    try:
+        summary = run_pipeline(
+            spark, s["drop"], os.path.join(out, "o"),
+            iocs=["host3", "name7", "sni5"],
+            checkpoint=os.path.join(out, "ckpt"),
+            forwards={"dns_only": ["dns"]})
+        wall = time.time() - t0
+        best = _EVE_DETAIL.get("wall_s")
+        if best is None or wall < best:
+            _EVE_DETAIL.update(
+                wall_s=round(wall, 3),
+                events_per_sec=round(s["n"] / wall, 1),
+                n_events=s["n"], batches=summary["batches"],
+                alerts=summary["alerts"])
+        return summary["alerts"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 _GATED_SETUP = {}
 _GATED_DETAIL = {}
 
@@ -636,12 +713,13 @@ BENCHES = {
     "text_models": bench_text_models,
     "ingest": bench_ingest,
     "crawl_gated": bench_crawl_gated,
+    "eve_pipeline": bench_eve_pipeline,
 }
 
 # Heavy composed entries (model training / corpus-index state per run):
 # run ONCE after the rep loop, recorded in `queries` but excluded from
 # the headline `value` so the comparable subset stays stable per round.
-ONE_SHOT = {"text_models", "ingest", "crawl_gated"}
+ONE_SHOT = {"text_models", "ingest", "crawl_gated", "eve_pipeline"}
 
 
 def main(argv=None):
@@ -765,6 +843,8 @@ def main(argv=None):
         result["ingest_stages"] = _INGEST_DETAIL
     if "crawl_gated" in timings and _GATED_DETAIL:
         result["crawl_gated_stages"] = _GATED_DETAIL
+    if "eve_pipeline" in timings and _EVE_DETAIL:
+        result["eve_pipeline_stages"] = _EVE_DETAIL
     if one_shot:
         result["one_shot"] = one_shot
     print(json.dumps(result))

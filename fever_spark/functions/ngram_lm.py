@@ -117,7 +117,13 @@ class _VectorLM:
         tokset = set(vocab_tokens)
         tokens = vocab_tokens + [t for t in (BOS, EOS, UNK)
                                  if t not in tokset]
-        self.index = pd.Index(np.asarray(tokens, dtype=object))
+        # document tokens UNK-map against the KEPT unigram vocab only —
+        # the padding ids appended above are reserved for synthetic BOS/
+        # EOS positions. If BOS/EOS were truncated out of the kept table,
+        # a literal '<s>' document token must become UNK here exactly as
+        # NgramLM.doc_logprob maps it (vocab positions are a prefix of
+        # ``tokens``, so indexer hits are already the right ids).
+        self.index = pd.Index(np.asarray(vocab_tokens, dtype=object))
         ids = {t: i for i, t in enumerate(tokens)}
         self.bos, self.eos, self.unk = ids[BOS], ids[EOS], ids[UNK]
         self.tok_hash = _splitmix64(

@@ -42,6 +42,17 @@ from fever_spark.streaming.sketch_stream import StreamingSketchAccumulator
 __all__ = ["run_pipeline"]
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count of a just-written parquet dir from file FOOTERS —
+    driver-side metadata only, no Spark job, no data read."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows
+               for f in glob.glob(os.path.join(path, "*.parquet")))
+
+
 def default_stats_specs() -> list[SketchSpec]:
     """The daemon's default per-event-type stats: distinct source IPs
     (HLL) and heavy-hitter HTTP hosts (CMS) — the fever flow/stats
@@ -83,25 +94,45 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
         state_dir=stats_state_dir)
 
     alerts_root = os.path.join(output_dir, "alerts")
+    # per-RUN tallies (not all-time): a second incremental run against the
+    # same output_dir must report ITS batches/alerts, so the summary comes
+    # from what this run's foreachBatch actually processed, with alert
+    # counts read from the just-written parquet FOOTERS (driver-side
+    # metadata, no Spark job, no all-time re-read of alerts_root)
+    run_batches: list[int] = []
+    run_alerts = [0]
+    run_events = [0]
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         parsed = (parse_eve(batch_df)
                   .filter(F.col("event_type").isNotNull())
                   .persist())
         try:
+            # one tiny partial-agg job over the cached parse: per-type
+            # counts gate the forward writes (an empty type slice skips
+            # its scan+write job entirely) and give the run's event total
+            type_counts = {r["event_type"]: int(r["n"]) for r in
+                           parsed.groupBy("event_type")
+                           .agg(F.count(F.lit(1)).alias("n")).collect()}
             alerts = bloom_match_events(parsed, bc, blacklist=blacklist)
-            alerts.write.mode("overwrite").parquet(
-                os.path.join(alerts_root, f"batch={batch_id}"))
+            batch_dir = os.path.join(alerts_root, f"batch={batch_id}")
+            alerts.write.mode("overwrite").parquet(batch_dir)
             if spool:
                 from fever_spark.sources.submitter import submit_dataframe
                 submit_dataframe(alerts, spool, f"fever.alerts.b{batch_id}")
             for name, types_ in (forwards or {}).items():
+                if (not any(type_counts.get(t, 0) for t in types_)
+                        if types_ else not type_counts):
+                    continue  # nothing routes here this batch
                 part = (parsed.filter(F.col("event_type").isin(types_))
                         if types_ else parsed)
                 part.drop("json_line").write.mode("overwrite").json(
                     os.path.join(output_dir, "forward", name,
                                  f"batch={batch_id}"))
             acc.process_batch(parsed, batch_id)
+            run_batches.append(batch_id)
+            run_alerts[0] += _parquet_rows(batch_dir)
+            run_events[0] += sum(type_counts.values())
         finally:
             parsed.unpersist()
 
@@ -115,16 +146,14 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
         return writer.start()
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
-    # summary from the durable outputs, not driver counters. A run with
-    # ZERO batches (empty drop dir, or everything already checkpointed)
-    # never had a sink write create output_dir — make it for the manifest
+    # summary of THIS run: batch ids this foreachBatch saw, alert counts
+    # from the batch dirs' parquet footers at write time. A run with ZERO
+    # batches (empty drop dir, or everything already checkpointed) never
+    # had a sink write create output_dir — make it for the manifest
     os.makedirs(output_dir, exist_ok=True)
-    batches = sorted(d for d in (os.listdir(alerts_root)
-                                 if os.path.isdir(alerts_root) else [])
-                     if d.startswith("batch="))
-    n_alerts = (spark.read.parquet(alerts_root).count() if batches else 0)
     summary = {"input": input_dir, "output": output_dir,
-               "batches": len(batches), "alerts": int(n_alerts),
+               "batches": len(run_batches), "batch_ids": run_batches,
+               "events": run_events[0], "alerts": run_alerts[0],
                "stats_groups": (len(acc.sketches)
                                 if stats_state_dir is None else None),
                "spool": spool}

@@ -202,6 +202,13 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        shingle_size: int = 3, seed: int = 0) -> DataFrame:
     """→ (id_col, minhash: array<bigint>). K-M double hashing gives the
     num_hashes permutations from two SipHash passes over each shingle."""
+    if not 1 <= int(shingle_size) <= len(_SHINGLE_MULT):
+        # the vectorized shingle kernel combines a window of token hashes
+        # with one fixed multiplier per position — fail loudly here rather
+        # than as an IndexError inside the executor-side UDF
+        raise ValueError(
+            f"shingle_size must be in [1, {len(_SHINGLE_MULT)}], "
+            f"got {shingle_size}")
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(texts: pd.Series) -> pd.Series:

@@ -95,9 +95,14 @@ class SpoolSubmitter:
                             headers: dict | None) -> str:
         """Publish one message; returns its spool file name.
 
-        The name is a content hash of (key, payload), so re-submitting
-        an identical message lands on the same file — the idempotence
-        that makes Spark task retries safe."""
+        The name is a content hash of the FULL message identity — routing
+        key, content type, encoding, headers, and the (pre-compression)
+        payload — so re-submitting an identical message lands on the same
+        file (the idempotence that makes Spark task retries safe), while
+        two submits that differ in any metadata field land on distinct
+        files instead of last-writer-wins overwriting each other. Hashing
+        the raw payload rather than the gzip output keeps the name
+        deterministic across gzip implementations/mtimes."""
         if self.compress:
             payload, encoding, compressed = (
                 _gzip.compress(raw_data), "gzip", "true")
@@ -115,8 +120,12 @@ class SpoolSubmitter:
             "headers": all_headers,
             "payload_b64": b64encode(payload).decode("ascii"),
         }, sort_keys=True).encode("utf-8")
+        meta = json.dumps(
+            {"key": key, "content_type": content_type,
+             "content_encoding": encoding, "headers": all_headers},
+            sort_keys=True).encode("utf-8")
         name = hashlib.sha256(
-            key.encode("utf-8") + b"\x00" + raw_data).hexdigest()[:40] + ".msg"
+            meta + b"\x00" + raw_data).hexdigest()[:40] + ".msg"
         final = os.path.join(self.spool_dir, name)
         tmp = os.path.join(self.spool_dir, f".tmp-{os.getpid()}-{name}")
         err: Exception | None = None

@@ -425,6 +425,20 @@ class TestIVFSampleDeterminism:
             ann.train_ivf_centroids(empty, n_cells=4)
 
 
+class TestShingleSizeValidation:
+    def test_oversized_shingle_raises_clearly(self, spark, planted):
+        # the vectorized kernel has one multiplier per window position —
+        # beyond that must fail loudly at entry, not as an executor-side
+        # IndexError
+        with pytest.raises(ValueError, match="shingle_size"):
+            dedup.minhash_signatures(planted, shingle_size=65)
+        with pytest.raises(ValueError, match="shingle_size"):
+            dedup.minhash_signatures(planted, shingle_size=0)
+        # the documented max is fine
+        dedup.minhash_signatures(planted, num_hashes=4,
+                                 shingle_size=64).limit(1).collect()
+
+
 class TestLSHNumHashesParam:
     def test_explicit_matches_probed(self, spark, planted):
         sigs = dedup.minhash_signatures(planted, num_hashes=64).cache()

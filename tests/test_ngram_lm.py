@@ -134,6 +134,25 @@ class TestVectorizedScorer:
             lp, n = lm.doc_logprob(d.split())
             assert g == pytest.approx(2 ** (-lp / n), rel=1e-9), d
 
+    def test_literal_padding_tokens_when_bos_truncated(self, spark):
+        """If BOS is truncated out of the kept unigram table, a literal
+        '<s>' DOCUMENT token must UNK-map in the vectorized scorer exactly
+        as doc_logprob maps it — padding ids are reserved for synthetic
+        positions only."""
+        # unigram counts: the=15 > </s>=3 = <s>=3 = zap=3; tie-break is
+        # lexicographic on the gram, so max_ngrams=2 keeps {the, </s>}
+        # and BOS is truncated OUT of the vocab
+        df = spark.createDataFrame(
+            [("the the the the the zap",)] * 3, "text string")
+        lm = train_ngram_lm(df, order=2, max_ngrams=2)
+        assert (BOS,) not in lm.counts[0] and (EOS,) in lm.counts[0]
+        vm = lm.vectorized()
+        for doc in ["<s> the", "</s> the zap", "<s> </s> <unk>"]:
+            toks = doc.split()
+            lp, n = lm.doc_logprob(toks)
+            got = vm.score_tokens([toks])[0]
+            assert got == pytest.approx(2 ** (-lp / n), rel=1e-9), doc
+
     def test_distributed_parity_and_nulls(self, spark, train_df):
         lm = train_ngram_lm(train_df, order=2)
         rows = [(0, "the cat sat"), (1, None), (2, "   "),

@@ -91,17 +91,19 @@ class TestRunPipeline:
         assert s1["alerts"] == 1
         spool_files = sorted(os.listdir(dirs["spool"]))
 
-        # restart with NO new input: checkpoint says nothing to do
+        # restart with NO new input: checkpoint says nothing to do, and
+        # the summary reports THIS run (zero batches), not all-time totals
         s2 = run_pipeline(spark, dirs["in"], dirs["out"], IOCS,
                           checkpoint=dirs["ckpt"], spool=dirs["spool"])
-        assert s2["alerts"] == 1
+        assert s2["batches"] == 0 and s2["alerts"] == 0
         assert sorted(os.listdir(dirs["spool"])) == spool_files
 
-        # a NEW file is processed incrementally; old alerts survive
+        # a NEW file is processed incrementally (one batch, one alert in
+        # the per-run summary); old alerts survive in the durable output
         _drop(dirs["in"], "b.jsonl", [L_DNS_BAD, L_HTTP_OK])
         s3 = run_pipeline(spark, dirs["in"], dirs["out"], IOCS,
                           checkpoint=dirs["ckpt"], spool=dirs["spool"])
-        assert s3["alerts"] == 2
+        assert s3["batches"] == 1 and s3["alerts"] == 1
         alerts = spark.read.parquet(os.path.join(dirs["out"], "alerts"))
         assert {r["ioc"] for r in alerts.collect()} == set(IOCS)
 
@@ -130,3 +132,19 @@ class TestRunPipeline:
                          ["nothing.matches.example"],
                          checkpoint=dirs["ckpt"])
         assert s["alerts"] == 0
+
+    def test_empty_forward_slice_skips_write(self, spark, dirs):
+        # no tls events in the drop → the tls forward's scan+write job is
+        # skipped outright (no batch dir), while the http forward lands
+        _drop(dirs["in"], "a.jsonl", [L_HTTP_EVIL, L_HTTP_OK, L_FLOW])
+        s = run_pipeline(spark, dirs["in"], dirs["out"], IOCS,
+                         checkpoint=dirs["ckpt"],
+                         forwards={"tls_only": ["tls"],
+                                   "http_only": ["http"]})
+        assert not os.path.exists(
+            os.path.join(dirs["out"], "forward", "tls_only"))
+        http_fw = spark.read.json(
+            os.path.join(dirs["out"], "forward", "http_only", "batch=*"))
+        assert http_fw.count() == 2
+        # the per-run summary carries the event total for throughput math
+        assert s["events"] == 3 and s["batch_ids"] == [0]

@@ -76,6 +76,21 @@ class TestSpoolSubmitter:
         sub.submit(b"other", "k", "t")
         assert len(list(tmp_path.glob("*.msg"))) == 3
 
+    def test_metadata_is_part_of_idempotence_key(self, tmp_path):
+        # same key+payload but different content_type / headers / compress
+        # flag are DIFFERENT messages — no last-writer-wins overwrite
+        sub = SpoolSubmitter(str(tmp_path))
+        sub.submit(b"same", "k", "application/json")
+        sub.submit(b"same", "k", "text/plain")
+        sub.submit_with_headers(b"same", "k", "application/json",
+                                {"trace": "abc"})
+        gz = SpoolSubmitter(str(tmp_path), compress=True)
+        gz.submit(b"same", "k", "application/json")
+        assert len(list(tmp_path.glob("*.msg"))) == 4
+        # and each variant stays idempotent with itself
+        sub.submit(b"same", "k", "text/plain")
+        assert len(list(tmp_path.glob("*.msg"))) == 4
+
     def test_partials_invisible_to_consumer(self, tmp_path):
         # a crashed-mid-write tmp has the REAL tmp naming (ends in .msg —
         # the dot prefix alone must hide it)

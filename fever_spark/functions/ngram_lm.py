@@ -8,9 +8,10 @@ original uses a KenLM 5-gram model; this is the same signal from a
 Jelinek–Mercer-interpolated word n-gram model small enough to broadcast —
 trained distributed, scored in one Arrow pass.
 
-Scale shape mirrors functions/bpe.py: TRAINING's only raw-text scan is
-one explode + map-side-combined groupBy per order (n-gram counts);
-the model is the top-``max_ngrams`` counts per order (truncation loud in
+Scale shape mirrors functions/bpe.py: TRAINING is ONE raw-text scan
+(all 1..order grams explode in a single map-side-combined groupBy) and
+ONE driver collect (two-level per-order rank — see train_ngram_lm); the
+model is the top-``max_ngrams`` counts per order (truncation loud in
 stats — the tail carries negligible probability mass), broadcast once.
 SCORING is a pandas iterator over docs: per-token log-prob from the
 highest matching order, backing off with fixed interpolation weights;
@@ -301,12 +302,7 @@ def train_ngram_lm(df: DataFrame, order: int = 3, text_col: str = "text",
                  F.array(F.lit(EOS))).alias("t"))
     # ONE scan + ONE map-side-combined shuffle for EVERY order: each
     # document explodes all its 1..order-grams in a single pass (a gram's
-    # length IS its order, so no extra shuffle key), and the per-order
-    # top-K collects below are filtered TakeOrdereds over the same
-    # aggregated lineage — Spark reuses the shuffle files (skipped
-    # stages), so the aggregation executes once. Replaces the former
-    # per-order explode loop: raw-text/token scans 3→1 at order 3, and
-    # the token table no longer needs a persist. (BOS padding keeps
+    # length IS its order, so no extra shuffle key). (BOS padding keeps
     # size(t) - n >= 0 for every n <= order, so no descending-sequence
     # trap.)
     grams = padded.select(F.explode(F.flatten(F.transform(
@@ -315,27 +311,43 @@ def train_ngram_lm(df: DataFrame, order: int = 3, text_col: str = "text",
             F.sequence(F.lit(0), F.size("t") - n),
             lambda i: F.slice("t", i + 1, n))))).alias("g")) \
         .groupBy("g").agg(F.count(F.lit(1)).alias("c")) \
-        .filter(F.col("c") >= min_count) \
-        .persist()
-    # the persist is the materialization BARRIER that makes the one-scan
-    # claim true: without it Catalyst pushes each order's size(g)==n
-    # filter below the aggregate (it's a grouping-key predicate), which
-    # rewrites the shuffle subtree per order and re-runs the full explode
-    # three times (measured 2x SLOWER than the per-order loop). The
-    # cached frame is the post-agg count table — the same bytes the
-    # shuffle already materialized, and it spills under memory pressure.
-    counts: list[dict] = []
+        .filter(F.col("c") >= min_count)
+    # per-order top-K in ONE collect job (was: persist + 3 filtered
+    # TakeOrdered jobs + 3 driver merge-sorts of numPartitions*K rows).
+    # Two-level rank keeps the scale shape: a LOCAL row_number within
+    # (order, post-agg partition) prunes each shuffle partition to its
+    # own top-K first — parallel across order*P window groups — so the
+    # GLOBAL per-order rank (the unavoidable `order`-way partitioned
+    # sort) only ever sees <= P*K*order pre-ranked rows, not the full
+    # Zipf-tail gram table. Any partition assignment works (a local
+    # top-K is always a superset of its share of the global top-K), so
+    # task retries with different partition ids stay correct. The driver
+    # receives exactly the kept grams (<= order*K rows — which must fit:
+    # the model broadcasts). Ordering (c desc, g asc) is total per order
+    # (g is the groupBy key), so the kept set is byte-identical to the
+    # old per-order orderBy().limit() — tested against the pure-python
+    # reference counts. No persist needed: one job, no re-scan, and no
+    # grouping-key filter for Catalyst to push below the aggregate (the
+    # round-4 trap — the rank filters are on computed columns).
+    from pyspark.sql import Window
+
+    w_loc = Window.partitionBy("n", "p").orderBy(F.col("c").desc(),
+                                                 F.col("g"))
+    w_glob = Window.partitionBy("n").orderBy(F.col("c").desc(),
+                                             F.col("g"))
+    rows = (grams
+            .withColumn("n", F.size("g"))
+            .withColumn("p", F.spark_partition_id())
+            .withColumn("r", F.row_number().over(w_loc))
+            .filter(F.col("r") <= int(max_ngrams))
+            .withColumn("r", F.row_number().over(w_glob))
+            .filter(F.col("r") <= int(max_ngrams))
+            .select("g", "c").collect())
+    counts = [dict() for _ in range(order)]
+    for r in rows:
+        counts[len(r["g"]) - 1][tuple(r["g"])] = int(r["c"])
+    truncated = [len(c) == int(max_ngrams) for c in counts]
     totals: list[dict] = []
-    truncated = []
-    try:
-        for n in range(1, order + 1):
-            rows = grams.filter(F.size("g") == n) \
-                .orderBy(F.col("c").desc(), F.col("g")) \
-                .limit(int(max_ngrams)).collect()
-            truncated.append(len(rows) == int(max_ngrams))
-            counts.append({tuple(r["g"]): int(r["c"]) for r in rows})
-    finally:
-        grams.unpersist()
     # context totals from the counts themselves (consistent when
     # truncated: a context's total covers exactly the grams we kept)
     for n in range(1, order + 1):

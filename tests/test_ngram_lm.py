@@ -43,6 +43,23 @@ class TestTraining:
             assert lm.counts[n] == dict(expect[n]), f"order {n+1}"
         assert lm.stats["truncated"] == [False, False, False]
 
+    def test_training_is_one_action(self, spark, train_df):
+        """The per-order top-K collects were collapsed into ONE window-
+        ranked collect: one action, no persist. AQE materializes each
+        exchange as its own job, so the event log shows <= 4 jobs
+        (explode+agg shuffle, local rank shuffle, global rank shuffle,
+        result) — measured 5 for the old persist + 3-collect path, and
+        the old path additionally merge-sorted numPartitions*K rows on
+        the driver per order."""
+        sc = spark.sparkContext
+        sc.setJobGroup("lm_train_jobcount", "train_ngram_lm")
+        try:
+            train_ngram_lm(train_df, order=3)
+        finally:
+            sc.setJobGroup("", "")
+        jobs = sc.statusTracker().getJobIdsForGroup("lm_train_jobcount")
+        assert len(jobs) <= 4, f"expected <= 4 training jobs, saw {len(jobs)}"
+
     def test_partitioning_invariance(self, spark, train_df):
         a = train_ngram_lm(train_df.repartition(1), order=2)
         b = train_ngram_lm(train_df.repartition(5), order=2)

@@ -14,6 +14,7 @@ correctness gate genuinely fails if a sketch drifts out of bounds.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import numpy as np
@@ -287,16 +288,71 @@ def q_eve_pipeline(spark, sf_dir):
     """Full EVE path over the committed JSON-lines fixture (which DuckDB
     reads too, via read_json_auto): raw lines → parse_eve (26-path
     projection, Suricata ts parse) → trigram search strings → per-type
-    counts. The oracle re-derives searchability from the nested JSON."""
+    counts. The oracle re-derives searchability from the nested JSON.
+
+    Round-6 fold (50-entry cap): the COMPOSED daemon (jobs/run_pipeline.py,
+    fever's main loop as one streaming job) and the S12 submitter spool
+    (sources/submitter.py; reference util/submitter.go:7-12 contract) get
+    independent driver coverage on this row. ``pipeline_n`` is the
+    per-type event count read back from the forward sink of an ACTUAL
+    drained run over the same fixture — the oracle computes count(*), so
+    any drop or duplicate anywhere in stream → parse → forward breaks the
+    hash. ``spool_ok`` gates the submitter digest: a checkpoint-replay
+    run must leave the spool's content-hash name set byte-identical,
+    spool payload rows must equal the alert rows the run wrote, and every
+    envelope must carry the sensor_id/compressed headers."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from fever_spark.jobs.run_pipeline import run_pipeline
     from fever_spark.sources.eve import parse_eve, trigram_search_string
     from fever_spark.sources.fixtures import eve_jsonl
+    from fever_spark.sources.submitter import consume_spool
+
+    base = tempfile.mkdtemp(prefix="fever_gate_eve_")
+    try:
+        drop = os.path.join(base, "drop")
+        os.makedirs(drop)
+        shutil.copy(eve_jsonl(), os.path.join(drop, "events.jsonl"))
+        out = os.path.join(base, "out")
+        spool = os.path.join(base, "spool")
+        kw = dict(iocs=["host3", "name7", "sni5"],
+                  checkpoint=os.path.join(base, "ckpt"), spool=spool,
+                  forwards={"all": []})
+        s1 = run_pipeline(spark, drop, out, **kw)
+        names1 = sorted(os.listdir(spool))
+        s2 = run_pipeline(spark, drop, out, **kw)  # replay: nothing new
+        msgs = consume_spool(spool, ack=False)
+        spool_rows = sum(len(_json.loads(m["payload"])) for m in msgs)
+        ok = (s1["batches"] == 1 and s2["batches"] == 0
+              and sorted(os.listdir(spool)) == names1 and len(names1) > 0
+              and spool_rows == s1["alerts"] and s1["alerts"] > 0
+              and all(m["headers"].get("sensor_id")
+                      and m["headers"].get("compressed") == "false"
+                      for m in msgs))
+        # materialize the forward read-back NOW (<= 4 rows) so the
+        # tmpdir can be removed before the lazy result is collected
+        fw_rows = (spark.read.json(
+            os.path.join(out, "forward", "all", "batch=*"))
+            .groupBy("event_type").agg(F.count(F.lit(1)).alias("pipeline_n"))
+            .collect())
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    pipe = spark.createDataFrame(
+        [(r["event_type"], r["pipeline_n"]) for r in fw_rows],
+        "event_type string, pipeline_n long")
 
     lines = spark.read.text(eve_jsonl())
     parsed = parse_eve(lines)
     return (parsed.withColumn("search", trigram_search_string(parsed))
             .groupBy("event_type").agg(
                 F.count(F.lit(1)).alias("n"),
-                F.count(F.when(F.col("search") != "", 1)).alias("n_searchable")))
+                F.count(F.when(F.col("search") != "", 1)).alias("n_searchable"))
+            .join(pipe, "event_type", "left")
+            .select("event_type", "n", "n_searchable",
+                    F.coalesce("pipeline_n", F.lit(0)).alias("pipeline_n"),
+                    F.lit(1 if ok else 0).alias("spool_ok")))
 
 
 # --------------------------------------------------------------------------
@@ -1455,7 +1511,8 @@ def oracle_sql() -> dict[str, str]:
         "q_simhash": ngram_exact,
         "q_eve_pipeline": f"""
             SELECT event_type, count(*) AS n,
-                   count(CASE WHEN search <> '' THEN 1 END) AS n_searchable
+                   count(CASE WHEN search <> '' THEN 1 END) AS n_searchable,
+                   count(*) AS pipeline_n, 1 AS spool_ok
             FROM (
               SELECT event_type,
                 CASE event_type

@@ -531,19 +531,31 @@ _EVE_SETUP = {}
 _EVE_DETAIL = {}
 
 
-def _eve_setup(spark, n_events: int = 200_000, n_files: int = 8):
-    """Render synth fever events as EVE JSON-lines drop-dir files once
-    (generation excluded from the timed run). IOC values reuse the
-    fever-fixture style — hostN/nameN/sniN — which the synth generator's
-    value domains contain, so alerts really fire."""
+def _eve_setup(spark):
+    """Render synth fever events as EVE JSON-lines drop dirs at TWO sizes
+    once (generation excluded from the timed run): 200k in 8 files and 1M
+    in 32 files — the second drop both scales the size 5x and can be
+    drained across 8 micro-batches, so the recorded entry carries the
+    events/s-vs-drop-size datum plus a fixed-vs-variable cost split. IOC
+    values reuse the fever-fixture style — hostN/nameN/sniN — which the
+    synth generator's value domains contain, so alerts really fire."""
     import tempfile
 
-    from fever_spark.sources.synth import synth_events
-
-    if "drop" in _EVE_SETUP:
+    if "drops" in _EVE_SETUP:
         return _EVE_SETUP
     base = tempfile.mkdtemp(prefix="fever_bench_eve_")
-    drop = os.path.join(base, "drop")
+    drops = {}
+    for n_events, n_files in ((200_000, 8), (1_000_000, 32)):
+        drops[n_events] = (_render_eve_drop(
+            spark, os.path.join(base, f"drop_{n_events}"),
+            n_events, n_files), n_files)
+    _EVE_SETUP.update(base=base, drops=drops)
+    return _EVE_SETUP
+
+
+def _render_eve_drop(spark, drop, n_events, n_files):
+    from fever_spark.sources.synth import synth_events
+
     pdf = synth_events(n_events)
     ev = spark.createDataFrame(pdf)
     line = F.to_json(F.struct(
@@ -563,41 +575,62 @@ def _eve_setup(spark, n_events: int = 200_000, n_files: int = 8):
         "flow_id"), {"ignoreNullFields": "true"})
     ev.select(line.alias("value")).repartition(n_files) \
         .write.mode("overwrite").text(drop)
-    _EVE_SETUP.update(base=base, drop=drop, n=n_events)
-    return _EVE_SETUP
+    return drop
 
 
 def bench_eve_pipeline(spark):
     """The composed EVE daemon loop (jobs/run_pipeline.py): drop-dir
     stream → parse → Bloom alerting → forwards → sketch stats, drained
-    with availableNow. events/s + alert count land as
-    `eve_pipeline_stages`; each rep uses a fresh checkpoint/output so
-    the whole drop dir is processed every time."""
+    with availableNow. Three runs: 200k single-batch, 1M single-batch
+    (does events/s rise with drop size — the amortization datum), and
+    1M across 8 micro-batches (max_files_per_trigger=4 over 32 files —
+    what a long-running daemon pays per trigger). From the two 1M runs
+    the fixed-vs-variable split: extra wall / extra 7 batches = fixed
+    per-batch cost; the rest is per-event work. All three land in
+    `eve_pipeline_stages` with the daemon's own phase_seconds."""
     import shutil
     import tempfile
 
     from fever_spark.jobs.run_pipeline import run_pipeline
 
     s = _eve_setup(spark)
-    out = tempfile.mkdtemp(prefix="fever_bench_eve_out_")
-    t0 = time.time()
-    try:
-        summary = run_pipeline(
-            spark, s["drop"], os.path.join(out, "o"),
-            iocs=["host3", "name7", "sni5"],
-            checkpoint=os.path.join(out, "ckpt"),
-            forwards={"dns_only": ["dns"]})
-        wall = time.time() - t0
-        best = _EVE_DETAIL.get("wall_s")
-        if best is None or wall < best:
-            _EVE_DETAIL.update(
-                wall_s=round(wall, 3),
-                events_per_sec=round(s["n"] / wall, 1),
-                n_events=s["n"], batches=summary["batches"],
-                alerts=summary["alerts"])
-        return summary["alerts"]
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    runs = {}
+    alerts = 0
+    for label, n_events, files_per_trigger in (
+            ("warmup", 200_000, 64),  # untimed: JIT + codegen + sink init
+            ("200k_1batch", 200_000, 64),
+            ("1m_1batch", 1_000_000, 64),
+            ("1m_8batch", 1_000_000, 4)):
+        drop, _n_files = s["drops"][n_events]
+        out = tempfile.mkdtemp(prefix="fever_bench_eve_out_")
+        t0 = time.time()
+        try:
+            summary = run_pipeline(
+                spark, drop, os.path.join(out, "o"),
+                iocs=["host3", "name7", "sni5"],
+                checkpoint=os.path.join(out, "ckpt"),
+                forwards={"dns_only": ["dns"]},
+                max_files_per_trigger=files_per_trigger)
+            wall = time.time() - t0
+            if label == "warmup":
+                continue
+            runs[label] = {
+                "wall_s": round(wall, 3),
+                "events_per_sec": round(n_events / wall, 1),
+                "n_events": n_events, "batches": summary["batches"],
+                "alerts": summary["alerts"],
+                "phase_seconds": summary["phase_seconds"]}
+            alerts = summary["alerts"]
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+    w1, w8 = runs["1m_1batch"]["wall_s"], runs["1m_8batch"]["wall_s"]
+    fixed = max(w8 - w1, 0.0) / 7  # 7 extra triggers' worth of overhead
+    _EVE_DETAIL.update(
+        runs=runs,
+        events_per_sec=runs["1m_1batch"]["events_per_sec"],
+        fixed_cost_per_batch_s=round(fixed, 3),
+        variable_cost_1m_s=round(w1 - fixed, 3))
+    return alerts
 
 
 _GATED_SETUP = {}
@@ -722,6 +755,20 @@ BENCHES = {
 ONE_SHOT = {"text_models", "ingest", "crawl_gated", "eve_pipeline"}
 
 
+def _host_speed_probe() -> float:
+    """One deterministic unit of single-core numpy work (~0.2-0.5s on an
+    idle core) — the bench's weather gauge. Identical every run, so its
+    wall time measures the HOST, not the code."""
+    import numpy as np
+
+    a = np.arange(20_000_000, dtype=np.uint64)
+    t0 = time.time()
+    for _ in range(5):
+        a = (a ^ (a >> np.uint64(13))) * np.uint64(0x9E3779B97F4A7C15)
+    _ = float(a[::4096].sum())  # keep the loop live
+    return round(time.time() - t0, 4)
+
+
 def main(argv=None):
     import argparse
 
@@ -788,6 +835,14 @@ def main(argv=None):
     requested = args.queries.split(",")
     names = [n for n in requested if n not in ONE_SHOT]
     one_shot = [n for n in requested if n in ONE_SHOT]
+    # host-weather probe: a FIXED single-core numpy kernel timed before
+    # the rep loop and again after the one-shot tier. The rep-timed set
+    # always runs before the one-shots (same-session ordering guaranteed
+    # below), but rounds land in different multi-tenant weather (r4→r5:
+    # +13% uniform drift on untouched code) — cross-round comparisons can
+    # divide by this deterministic unit of work to separate code change
+    # from host change.
+    probe_before = _host_speed_probe()
     timings = {name: float("inf") for name in names}
     windows = {}  # best rep's [start_ms, end_ms] epoch window per query
     for _ in range(reps):
@@ -847,6 +902,8 @@ def main(argv=None):
         result["eve_pipeline_stages"] = _EVE_DETAIL
     if one_shot:
         result["one_shot"] = one_shot
+    result["host_probe_sec"] = {"before_reps": probe_before,
+                                "after_one_shot": _host_speed_probe()}
     print(json.dumps(result))
     spark.stop()
 

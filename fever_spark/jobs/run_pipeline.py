@@ -102,37 +102,60 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
     run_batches: list[int] = []
     run_alerts = [0]
     run_events = [0]
+    # per-phase wall seconds across the run's batches — the daemon's
+    # perf observability (fever exposes the same through its perf stats
+    # submitter); driver-side time.time() pairs, negligible cost
+    phases = {"parse_counts": 0.0, "alerts_write": 0.0, "spool": 0.0,
+              "forwards": 0.0, "stats": 0.0}
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _t
+
         parsed = (parse_eve(batch_df)
                   .filter(F.col("event_type").isNotNull())
+                  # no consumer in this chain reads the raw line (alerts
+                  # are typed rows, forwards re-serialize the parsed
+                  # fields, stats probe two columns) — dropping it here
+                  # halves the per-batch cache footprint
+                  .drop("json_line")
                   .persist())
         try:
             # one tiny partial-agg job over the cached parse: per-type
             # counts gate the forward writes (an empty type slice skips
             # its scan+write job entirely) and give the run's event total
+            t0 = _t.time()
             type_counts = {r["event_type"]: int(r["n"]) for r in
                            parsed.groupBy("event_type")
                            .agg(F.count(F.lit(1)).alias("n")).collect()}
+            t1 = _t.time()
             alerts = bloom_match_events(parsed, bc, blacklist=blacklist)
             batch_dir = os.path.join(alerts_root, f"batch={batch_id}")
             alerts.write.mode("overwrite").parquet(batch_dir)
+            t2 = _t.time()
             if spool:
                 from fever_spark.sources.submitter import submit_dataframe
                 submit_dataframe(alerts, spool, f"fever.alerts.b{batch_id}")
+            t3 = _t.time()
             for name, types_ in (forwards or {}).items():
                 if (not any(type_counts.get(t, 0) for t in types_)
                         if types_ else not type_counts):
                     continue  # nothing routes here this batch
                 part = (parsed.filter(F.col("event_type").isin(types_))
                         if types_ else parsed)
-                part.drop("json_line").write.mode("overwrite").json(
+                part.write.mode("overwrite").json(
                     os.path.join(output_dir, "forward", name,
                                  f"batch={batch_id}"))
+            t4 = _t.time()
             acc.process_batch(parsed, batch_id)
+            t5 = _t.time()
             run_batches.append(batch_id)
             run_alerts[0] += _parquet_rows(batch_dir)
             run_events[0] += sum(type_counts.values())
+            phases["parse_counts"] += t1 - t0
+            phases["alerts_write"] += t2 - t1
+            phases["spool"] += t3 - t2
+            phases["forwards"] += t4 - t3
+            phases["stats"] += t5 - t4
         finally:
             parsed.unpersist()
 
@@ -156,6 +179,7 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
                "events": run_events[0], "alerts": run_alerts[0],
                "stats_groups": (len(acc.sketches)
                                 if stats_state_dir is None else None),
+               "phase_seconds": {k: round(v, 3) for k, v in phases.items()},
                "spool": spool}
     with open(os.path.join(output_dir, "_run_manifest.json"), "w") as f:
         json.dump(summary, f, indent=1)

@@ -434,6 +434,16 @@ def bench_text_models(spark):
     n_tokens = (bpe_encode(docs, model["merges"])
                 .select(F.sum(F.size("bpe_tokens"))).first()[0])
     stages["bpe_encode"] = round(time.time() - t0, 3)
+    # adversarial encode: 256k DISTINCT url-ish identifiers — zero
+    # cross-batch cache reuse, so this times the vectorized rank-order
+    # sweep kernel itself (the non-Zipf worst case: URLs, code tokens)
+    t0 = time.time()
+    adv = spark.range(256_000).select(F.concat(
+        F.lit("www-"), F.sha1(F.col("id").cast("string")), F.lit("-"),
+        F.col("id").cast("string")).alias("text"))
+    n_adv = (bpe_encode(adv, model["merges"])
+             .select(F.sum(F.size("bpe_tokens"))).first()[0])
+    stages["bpe_encode_adversarial"] = round(time.time() - t0, 3)
     t0 = time.time()
     lm = train_ngram_lm(docs, order=3)
     stages["lm_train"] = round(time.time() - t0, 3)
@@ -455,6 +465,7 @@ def bench_text_models(spark):
     if best is None or total < best:
         _MODELS_DETAIL.update(total_s=total, stages=stages,
                               bpe_tokens=int(n_tokens),
+                              bpe_adversarial_tokens=int(n_adv),
                               clf_auc=round(clf["auc"], 4),
                               clf_kept=kept)
     return kept

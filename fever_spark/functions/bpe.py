@@ -24,6 +24,7 @@ from __future__ import annotations
 from collections import Counter, defaultdict
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -119,6 +120,9 @@ def train_bpe(counts: DataFrame, num_merges: int, min_freq: int = 2,
 
 
 def _encode_word(word: str, ranks: dict) -> list[str]:
+    """Scalar reference encoder (and the fallback for pathological word
+    lengths): repeatedly merge the lowest-rank pair present. Retained as
+    the parity oracle for the vectorized batch path below."""
     syms = _symbols(word)
     while len(syms) > 1:
         best = None
@@ -133,34 +137,328 @@ def _encode_word(word: str, ranks: dict) -> list[str]:
     return syms
 
 
+# Symbol-id space for the vectorized encoder: single chars map to their
+# codepoint, END_OF_WORD to _EOW_ID, each distinct merge-output string to
+# _EOW_ID + 1 + k. Ids stay < 2^32 so a pair packs into one uint64 key.
+_EOW_ID = 0x110000
+# words longer than this skip the dense codepoint matrix (whose memory is
+# n_words x max_len x 4 bytes — one megabyte-long token would blow it up)
+# and take the scalar path; natural-language words never get close
+_VEC_MAX_WORD_LEN = 256
+
+
+def _build_pair_table(merges: list) -> tuple:
+    """Driver-side precompute: (sorted packed pair keys, rank per key,
+    merged-symbol id per key, merged-string list, per-rank (a, b, new)
+    id arrays, consistency flag). Later duplicates of a pair overwrite
+    earlier ones, matching ``{pair: i for i, p in enumerate(merges)}``
+    dict semantics in the scalar encoder.
+
+    ``consistent`` is True when every multi-char merge component was
+    created by an EARLIER merge — always the case for train_bpe output.
+    It licenses the rank-order sweep in _encode_distinct (a merge can
+    then only ever create higher-rank pairs, so one ascending pass over
+    ranks equals lowest-rank-first)."""
+    tok_id: dict[str, int] = {}
+    merged_strs: list[str] = []
+    for a, b in merges:
+        s = a + b
+        if s not in tok_id:
+            tok_id[s] = _EOW_ID + 1 + len(merged_strs)
+            merged_strs.append(s)
+
+    def sid(s: str) -> int | None:
+        if len(s) == 1:
+            return ord(s)
+        if s == END_OF_WORD:
+            return _EOW_ID
+        return tok_id.get(s)  # None: symbol unreachable, pair can't occur
+
+    n_r = len(merges)
+    rank_a = np.full(n_r, -1, dtype=np.int64)
+    rank_b = np.full(n_r, -1, dtype=np.int64)
+    rank_new = np.full(n_r, -1, dtype=np.int64)
+    consistent = True
+    created_at: dict[str, int] = {}
+    entries: dict[int, tuple[int, int]] = {}
+    for rank, (a, b) in enumerate(merges):
+        for comp in (a, b):
+            if len(comp) > 1 and comp != END_OF_WORD:
+                c = created_at.get(comp)
+                if c is None or c >= rank:
+                    consistent = False
+        created_at.setdefault(a + b, rank)
+        ia, ib = sid(a), sid(b)
+        if ia is None or ib is None:
+            continue
+        entries[(ia << 32) | ib] = (rank, tok_id[a + b])
+        rank_a[rank], rank_b[rank] = ia, ib
+        rank_new[rank] = tok_id[a + b]
+    keys = np.array(sorted(entries), dtype=np.uint64)
+    ranks = np.array([entries[int(k)][0] for k in keys], dtype=np.int64)
+    newids = np.array([entries[int(k)][1] for k in keys], dtype=np.int64)
+    return keys, ranks, newids, merged_strs, rank_a, rank_b, rank_new, consistent
+
+
+def _encode_distinct(words, keys, ranks, newids, merged_strs,
+                     rank_a, rank_b, rank_new, consistent) -> list:
+    """Vectorized BPE segmentation of a batch of DISTINCT words: all words
+    live in one flat symbol-id array. With a training-consistent merge
+    list (the normal case) the rank-order sweep runs — one linked-list
+    pass over ranks ascending, total work O(symbols log symbols + merges
+    applied), independent of how many rounds any word needs. Arbitrary
+    merge lists fall back to the per-word lowest-rank-first loop. Zero
+    per-word Python either way; parity-tested against _encode_word."""
+    n = len(words)
+    if n == 0:
+        return []
+    u = np.array(words, dtype=str)
+    width = u.dtype.itemsize // 4
+    mat = u.view(np.uint32).reshape(n, width)
+    lens = pd.Series(words).str.len().to_numpy(np.int64)
+
+    out_len = lens + 1  # + END_OF_WORD
+    offs = np.concatenate([[0], np.cumsum(out_len)])
+    sym = np.empty(offs[-1], dtype=np.uint64)
+    colmask = np.arange(width)[None, :] < lens[:, None]
+    charpos = (offs[:-1, None] + np.arange(width)[None, :])[colmask]
+    sym[charpos] = mat[colmask]
+    sym[offs[1:] - 1] = _EOW_ID  # the one pad slot per word
+    wid = np.repeat(np.arange(n, dtype=np.int64), out_len)
+
+    if len(keys) and len(sym) > 1:
+        if consistent:
+            sym, wid = _merge_sweep(sym, wid, offs, keys, ranks,
+                                    rank_a, rank_b, rank_new)
+        else:
+            sym, wid = _merge_minrank(sym, wid, keys, ranks, newids)
+
+    uq, inv = np.unique(sym, return_inverse=True)
+    uq_strs = np.array(
+        [END_OF_WORD if i == _EOW_ID
+         else merged_strs[i - _EOW_ID - 1] if i > _EOW_ID
+         else chr(i) for i in uq.tolist()], dtype=object)
+    strs = uq_strs[inv].tolist()
+    woffs = np.concatenate([[0], np.cumsum(np.bincount(wid, minlength=n))])
+    return [strs[a:b] for a, b in zip(woffs[:-1].tolist(), woffs[1:].tolist())]
+
+
+def _merge_sweep(sym, wid, offs, keys, ranks, rank_a, rank_b, rank_new):
+    """Rank-order sweep over a tombstone linked list. Consistency means a
+    merge can only create pairs of HIGHER rank, so processing ranks
+    ascending — merging every live occurrence of each rank's pair at
+    once, queueing the (few) newly-formed neighbor pairs into their
+    rank's bucket — is exactly lowest-rank-first per word. Per-rank work
+    is proportional to that rank's occurrence count; nothing ever
+    rescans the corpus."""
+    import heapq
+
+    u32 = np.uint64(32)
+    L = len(sym)
+    nxt = np.arange(1, L + 1, dtype=np.int64)
+    nxt[offs[1:] - 1] = -1  # word ends
+    prv = np.arange(-1, L - 1, dtype=np.int64)
+    prv[offs[:-1]] = -1  # word starts
+    alive = np.ones(L, dtype=bool)
+
+    i0 = np.flatnonzero(nxt >= 0)
+    k0 = (sym[i0] << u32) | sym[i0 + 1]
+    pc = np.minimum(np.searchsorted(keys, k0), len(keys) - 1)
+    okm = keys[pc] == k0
+    pos_s = i0[okm]
+    r_s = ranks[pc[okm]]
+    order = np.argsort(r_s, kind="stable")
+    pos_s, r_s = pos_s[order], r_s[order]
+    uniq_r, starts_u = np.unique(r_s, return_index=True)
+    bounds = np.append(starts_u, len(r_s))
+    pending: dict[int, list] = {
+        int(r): [pos_s[bounds[t]:bounds[t + 1]]]
+        for t, r in enumerate(uniq_r.tolist())}
+    heap = sorted(pending)
+    inheap = set(heap)
+
+    while heap:
+        r = heapq.heappop(heap)
+        inheap.discard(r)
+        P = np.concatenate(pending.pop(r))
+        if len(P) > 1:
+            P = np.unique(P)  # a pair can be queued twice (left+right)
+        a_id, b_id = np.uint64(rank_a[r]), np.uint64(rank_b[r])
+        j = nxt[P]
+        ok = alive[P] & (j >= 0)
+        jj = np.where(ok, j, 0)
+        ok &= (sym[P] == a_id) & (sym[jj] == b_id)
+        P, j = P[ok], j[ok]
+        if not len(P):
+            continue
+        if rank_a[r] == rank_b[r] and len(P) > 1:
+            # (x,x) chains like "xxxx": keep the 0th, 2nd, ... occurrence
+            # of each chain — _merge_symbols' left-to-right greedy
+            m = len(P)
+            newrun = np.concatenate([[True], P[1:] != j[:-1]])
+            rstart = np.maximum.accumulate(
+                np.where(newrun, np.arange(m), -1))
+            keep = ((np.arange(m) - rstart) & 1) == 0
+            P, j = P[keep], j[keep]
+        sym[P] = np.uint64(rank_new[r])
+        alive[j] = False
+        nj = nxt[j]
+        nxt[P] = nj
+        has_n = nj >= 0
+        prv[nj[has_n]] = P[has_n]
+        # the merge can form at most two new pairs per site: (left, new)
+        # and (new, right); look them up (small arrays) and queue them
+        lft = prv[P]
+        has_l = lft >= 0
+        cand_i = np.concatenate([lft[has_l], P[has_n]])
+        cand_j = np.concatenate([P[has_l], nj[has_n]])
+        if not len(cand_i):
+            continue
+        kk = (sym[cand_i] << u32) | sym[cand_j]
+        pc2 = np.minimum(np.searchsorted(keys, kk), len(keys) - 1)
+        ok2 = keys[pc2] == kk
+        if not ok2.any():
+            continue
+        ci = cand_i[ok2]
+        rr = ranks[pc2[ok2]]
+        o2 = np.argsort(rr, kind="stable")
+        ci, rr = ci[o2], rr[o2]
+        ur, si = np.unique(rr, return_index=True)
+        bb = np.append(si, len(rr))
+        for t, r2 in enumerate(ur.tolist()):
+            r2 = int(r2)
+            pending.setdefault(r2, []).append(ci[bb[t]:bb[t + 1]])
+            if r2 not in inheap:
+                heapq.heappush(heap, r2)
+                inheap.add(r2)
+
+    return sym[alive], wid[alive]
+
+
+def _merge_minrank(sym, wid, keys, ranks, newids):
+    """Fallback for merge lists that are NOT training-consistent (a
+    component created by a later merge): per-round, every word merges its
+    lowest-rank present pair. Two cost controls: finished words leave the
+    working arrays each round, and the pair-rank array is maintained
+    incrementally (only pairs touching a merge site are recomputed)."""
+    newids_u = newids.astype(np.uint64)
+    done_sym: list = [sym[:0]]
+    done_wid: list = [wid[:0]]
+    big = np.iinfo(np.int64).max
+    u32 = np.uint64(32)
+    key = (sym[:-1] << u32) | sym[1:]
+    pos_c = np.minimum(np.searchsorted(keys, key), len(keys) - 1)
+    found = (wid[:-1] == wid[1:]) & (keys[pos_c] == key)
+    rank_arr = np.where(found, ranks[pos_c], big)
+    newid_arr = np.where(found, newids_u[pos_c], np.uint64(0))
+    while len(keys) and len(sym) > 1:
+        # per-word min rank: positions are word-sorted, so one reduceat
+        # over the big-padded rank array (pad makes every segment
+        # non-empty, incl. a single-symbol last word)
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(wid)) + 1])
+        counts = np.diff(np.append(starts, len(sym)))
+        wmin = np.minimum.reduceat(np.append(rank_arr, big), starts)
+        word_min = np.repeat(wmin, counts)
+        chosen = (rank_arr != big) & (rank_arr == word_min[:-1])
+        cidx = np.flatnonzero(chosen)
+        if not len(cidx):
+            break
+        # left-to-right non-overlap: in a run of consecutive chosen
+        # positions (same pair, e.g. (x,x) over "xxxx"), greedy keeps the
+        # 0th, 2nd, ... of the run — exactly _merge_symbols' scan.
+        # Resolved over the (small) chosen index list, not the corpus.
+        m = len(cidx)
+        newrun = np.concatenate([[True], np.diff(cidx) > 1])
+        rstart = np.maximum.accumulate(np.where(newrun, np.arange(m), -1))
+        kpos = cidx[((np.arange(m) - rstart) & 1) == 0]
+        merged_newids = newid_arr[kpos]
+        sym[kpos] = merged_newids
+        delete = np.zeros(len(sym), dtype=bool)
+        delete[kpos + 1] = True
+        changed = np.zeros(len(sym), dtype=bool)
+        changed[kpos] = True
+        finished = np.repeat(wmin == big, counts)
+        move = finished & ~delete
+        if move.any():
+            done_sym.append(sym[move])
+            done_wid.append(wid[move])
+            keep_mask = ~delete & ~finished
+        else:
+            keep_mask = ~delete
+        kidx = np.flatnonzero(keep_mask)
+        sym = sym[kidx]
+        wid = wid[kidx]
+        if len(sym) < 2:
+            break
+        # incremental pair maintenance: new pair j = old pair
+        # (kidx[j], kidx[j]+1) exactly when the two were old-adjacent and
+        # neither symbol changed; everything else (merge sites, junctions
+        # left by deletions/moved words) is recomputed from the table
+        reuse = ((kidx[1:] == kidx[:-1] + 1)
+                 & ~changed[kidx[:-1]] & ~changed[kidx[1:]])
+        rank_arr = np.where(reuse, rank_arr[kidx[:-1]], big)
+        newid_arr = np.where(reuse, newid_arr[kidx[:-1]], np.uint64(0))
+        rec = np.flatnonzero(~reuse)
+        if len(rec):
+            kk = (sym[rec] << u32) | sym[rec + 1]
+            pc = np.minimum(np.searchsorted(keys, kk), len(keys) - 1)
+            ok = (wid[rec] == wid[rec + 1]) & (keys[pc] == kk)
+            rank_arr[rec] = np.where(ok, ranks[pc], big)
+            newid_arr[rec] = np.where(ok, newids_u[pc], np.uint64(0))
+
+    done_sym.append(sym)
+    done_wid.append(wid)
+    sym = np.concatenate(done_sym)
+    wid = np.concatenate(done_wid)
+    order = np.argsort(wid, kind="stable")  # words whole in each chunk →
+    return sym[order], wid[order]           # stable sort restores order
+
+
 def bpe_encode(df: DataFrame, merges: list, text_col: str = "text",
                out_col: str = "bpe_tokens", lowercase: bool = True,
                cache_size: int = 200_000) -> DataFrame:
-    """Corpus encoding with a trained merge list: broadcast the ranks,
-    segment every word rank-lowest-first inside one Arrow pass, cache
-    per-word results (Zipfian reuse). Adds ``out_col`` array<string>."""
+    """Corpus encoding with a trained merge list: broadcast the packed
+    pair-rank table, factorize each Arrow batch's words and segment the
+    DISTINCT ones in one vectorized numpy scan (_encode_distinct); a
+    bounded per-worker dict carries results across batches (Zipfian
+    reuse). Per-word Python survives only in the final per-row token
+    concatenation and for words > 256 chars (scalar fallback). Adds
+    ``out_col`` array<string>."""
+    table = _build_pair_table(merges)
     ranks = {tuple(p): i for i, p in enumerate(merges)}
-    bc = df.sparkSession.sparkContext.broadcast(ranks)
+    bc = df.sparkSession.sparkContext.broadcast((table, ranks))
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from functools import lru_cache
-
-        r = bc.value
-
-        @lru_cache(maxsize=cache_size)
-        def one(word: str) -> tuple:
-            return tuple(_encode_word(word, r))
+        tbl, scalar_ranks = bc.value
+        cache: dict[str, list] = {}
 
         for pdf in batches:
+            texts = pdf[text_col].fillna("")
+            if lowercase:
+                texts = texts.str.lower()
+            word_lists = texts.str.split()
+            row_len = word_lists.str.len().to_numpy(np.int64)
+            exploded = word_lists.explode()
+            flat = exploded[exploded.notna()].to_numpy(object)
+            codes, uniq = pd.factorize(flat)
+            todo = [w for w in uniq if w not in cache]
+            vec = [w for w in todo if len(w) <= _VEC_MAX_WORD_LEN]
+            for w, toks in zip(vec, _encode_distinct(vec, *tbl)):
+                cache[w] = toks
+            for w in todo:
+                if len(w) > _VEC_MAX_WORD_LEN:
+                    cache[w] = _encode_word(w, scalar_ranks)
+            word_tokens = [cache[w] for w in uniq]
             toks = []
-            for t in pdf[text_col]:
-                t = (t or "")
-                if lowercase:
-                    t = t.lower()
+            p = 0
+            for ln in row_len:
                 out = []
-                for w in t.split():
-                    out.extend(one(w))
+                for c in codes[p:p + ln]:
+                    out.extend(word_tokens[c])
                 toks.append(out)
+                p += ln
+            if len(cache) > cache_size:
+                cache.clear()  # bounded worker memory; refills from reuse
             pdf = pdf.copy()
             pdf[out_col] = toks
             yield pdf

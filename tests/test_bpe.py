@@ -130,3 +130,63 @@ class TestEncode:
         got = {r["text"]: list(r["bpe_tokens"]) for r in
                bpe_encode(one_word, model["merges"]).collect()}
         assert got == words
+
+
+class TestVectorizedKernel:
+    """The numpy batch encoder (_encode_distinct: rank-order sweep +
+    min-rank fallback) against the scalar oracle _encode_word, over
+    adversarial word shapes the corpus tests don't reach."""
+
+    def _table_and_ranks(self, word_freqs, num_merges):
+        from fever_spark.functions.bpe import _build_pair_table
+
+        merges = naive_bpe(word_freqs, num_merges)
+        return merges, _build_pair_table(merges), \
+            {tuple(p): i for i, p in enumerate(merges)}
+
+    def test_sweep_parity_adversarial(self):
+        import random
+        import string
+
+        from fever_spark.functions.bpe import (_build_pair_table,
+                                               _encode_distinct,
+                                               _encode_word)
+
+        random.seed(13)
+        freqs = Counter()
+        for _ in range(3000):
+            freqs["".join(random.choices("abxyz", k=random.randint(1, 9)))] += 1
+        freqs.update({"aaaa": 50, "xxxx": 50, "the": 90})
+        merges, table, ranks = self._table_and_ranks(freqs, 80)
+        assert table[-1] is True  # trainer output is consistent
+        words = (list(freqs) + ["a" * k for k in range(1, 30)]
+                 + ["ü" * 6, "日本語", "", "q"]
+                 + ["".join(random.choices(string.printable.strip(), k=k))
+                    for k in range(1, 40)])
+        words = [w for w in words if w]
+        got = _encode_distinct(words, *table)
+        assert got == [_encode_word(w, ranks) for w in words]
+
+    def test_minrank_fallback_parity(self):
+        from fever_spark.functions.bpe import (_encode_distinct,
+                                               _encode_word)
+
+        freqs = Counter({"banana": 10, "bandana": 8, "anna": 6})
+        merges, table, ranks = self._table_and_ranks(freqs, 30)
+        forced = table[:-1] + (False,)  # force the fallback path
+        words = ["banana", "bandana", "anna", "ban", "nab", "aa", "b"]
+        assert _encode_distinct(words, *forced) == \
+            [_encode_word(w, ranks) for w in words]
+
+    def test_inconsistent_merge_list_detected_and_correct(self):
+        from fever_spark.functions.bpe import (_build_pair_table,
+                                               _encode_distinct,
+                                               _encode_word)
+
+        bad = [("ab", "c"), ("a", "b")]  # component created LATER
+        table = _build_pair_table(bad)
+        assert table[-1] is False
+        ranks = {tuple(p): i for i, p in enumerate(bad)}
+        words = ["abc", "ab", "cab", "abcabc", "aabbc"]
+        assert _encode_distinct(words, *table) == \
+            [_encode_word(w, ranks) for w in words]

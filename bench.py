@@ -30,14 +30,20 @@ Queries:
                     classifier + CCNet perplexity band) so their stage
                     wall time is visible as `crawl_gated_stages`
   eve_pipeline      the composed EVE daemon loop (jobs/run_pipeline.py):
-                    200k synth events as a JSONL drop dir → parse →
-                    Bloom alerting → forwards → sketch stats; events/s
-                    + alerts land as `eve_pipeline_stages`
+                    synth events as JSONL drop dirs at 200k and 1M →
+                    parse → Bloom alerting → forwards → sketch stats;
+                    events/s at both sizes + the fixed-vs-variable
+                    per-batch cost split land as `eve_pipeline_stages`
+  streaming         the stateful streaming tier: one availableNow drain
+                    of a 500k-doc drop (30% planted dups) through exact
+                    dedup, bounded Bloom-state dedup, and watermarked
+                    window counts; per-stage events/s as
+                    `streaming_stages`
 
-text_models/ingest/crawl_gated/eve_pipeline are ONE-SHOT entries: they run once after
-the interleaved rep loop (training/state setup is too heavy to repeat
-per rep) and are excluded from the headline `value` so it stays
-comparable across rounds.
+text_models/ingest/crawl_gated/eve_pipeline/streaming are ONE-SHOT
+entries: they run once after the interleaved rep loop (training/state
+setup is too heavy to repeat per rep) and are excluded from the headline
+`value` so it stays comparable across rounds.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), FEVER_BENCH_PAGES (default 1_000_000).
@@ -740,6 +746,91 @@ def bench_grouped_sums(spark):
     return _materialize(agg)
 
 
+_STREAM_SETUP = {}
+_STREAM_DETAIL = {}
+
+
+def _stream_setup(spark, n_events: int = 500_000, n_files: int = 16):
+    """Parquet drop dir of timestamped docs with 30% planted duplicates
+    (every 10th..3rd id maps back onto an earlier doc's text), rendered
+    once outside the timed drains."""
+    import tempfile
+
+    if "drop" in _STREAM_SETUP:
+        return _STREAM_SETUP
+    base = tempfile.mkdtemp(prefix="fever_bench_stream_")
+    drop = os.path.join(base, "drop")
+    ev = spark.range(n_events).select(
+        F.col("id").alias("doc_id"),
+        (F.timestamp_seconds(F.lit(1700000000) + F.col("id") / 100))
+        .alias("ts"),
+        F.concat(F.lit("web page body number "),
+                 # 30% of rows reuse an earlier id's text -> duplicates
+                 F.when(F.col("id") % 10 < 3, F.col("id") % (n_events // 10))
+                 .otherwise(F.col("id")).cast("string")).alias("text"))
+    ev.repartition(n_files).write.mode("overwrite").parquet(drop)
+    n_distinct = spark.read.parquet(drop).select(
+        F.countDistinct("text")).first()[0]
+    _STREAM_SETUP.update(base=base, drop=drop, n=n_events,
+                         n_distinct=int(n_distinct))
+    return _STREAM_SETUP
+
+
+def bench_streaming(spark):
+    """The streaming tier's throughput entry (correctness lives in
+    tests/test_dedup_stream + test_sketch_stream): one availableNow drain
+    of a 500k-doc drop (30% planted dups) through each stateful path —
+    exact dedup (dropDuplicatesWithinWatermark), bounded Bloom-state
+    dedup (applyInPandasWithState), and watermarked tumbling-window
+    counts. Per-stage events/s + kept counts land as
+    `streaming_stages`; each drain uses a fresh checkpoint."""
+    import shutil
+    import tempfile
+
+    from fever_spark.streaming.dedup_stream import (bloom_stream_dedup,
+                                                    exact_stream_dedup)
+    from fever_spark.streaming.sketch_stream import windowed_counts_stream
+
+    s = _stream_setup(spark)
+    schema = "doc_id long, ts timestamp, text string"
+    stages = {}
+
+    def drain(name, make_query):
+        out_rows = [0]
+
+        def _count(bdf, _bid):
+            out_rows[0] += bdf.count()
+
+        ck = tempfile.mkdtemp(prefix=f"fever_bench_stream_ck_{name}_")
+        stream = spark.readStream.schema(schema).parquet(s["drop"])
+        t0 = time.time()
+        try:
+            q = (make_query(stream).writeStream.foreachBatch(_count)
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            wall = time.time() - t0
+            stages[name] = {"wall_s": round(wall, 3),
+                            "events_per_sec": round(s["n"] / wall, 1),
+                            "out_rows": out_rows[0]}
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
+
+    drain("exact_dedup", lambda st: exact_stream_dedup(
+        st, F.xxhash64("text"), "ts", "10 minutes"))
+    drain("bloom_dedup", lambda st: bloom_stream_dedup(
+        st, n_buckets=32, capacity=1_000_000, fpp=1e-6, ttl_ms=None))
+    drain("windowed_counts", lambda st: windowed_counts_stream(
+        st, [], "ts", window="1 minute", watermark="2 minutes"))
+    # both dedup paths must actually drop the planted ~30% (bloom may
+    # over-drop by its FPR — sub-ppm at this capacity, allow 5)
+    ok = all(s["n_distinct"] - 5 <= stages[k]["out_rows"] < s["n"]
+             for k in ("exact_dedup", "bloom_dedup"))
+    _STREAM_DETAIL.update(stages=stages, n_events=s["n"],
+                          n_distinct=s["n_distinct"], dedup_effective=ok)
+    return stages["bloom_dedup"]["out_rows"]
+
+
 BENCHES = {
     "scan_pages": bench_scan_pages,
     "sketch_pipeline": bench_sketch_pipeline,
@@ -758,12 +849,14 @@ BENCHES = {
     "ingest": bench_ingest,
     "crawl_gated": bench_crawl_gated,
     "eve_pipeline": bench_eve_pipeline,
+    "streaming": bench_streaming,
 }
 
 # Heavy composed entries (model training / corpus-index state per run):
 # run ONCE after the rep loop, recorded in `queries` but excluded from
 # the headline `value` so the comparable subset stays stable per round.
-ONE_SHOT = {"text_models", "ingest", "crawl_gated", "eve_pipeline"}
+ONE_SHOT = {"text_models", "ingest", "crawl_gated", "eve_pipeline",
+            "streaming"}
 
 
 def _host_speed_probe() -> float:
@@ -911,6 +1004,8 @@ def main(argv=None):
         result["crawl_gated_stages"] = _GATED_DETAIL
     if "eve_pipeline" in timings and _EVE_DETAIL:
         result["eve_pipeline_stages"] = _EVE_DETAIL
+    if "streaming" in requested and _STREAM_DETAIL:
+        result["streaming_stages"] = _STREAM_DETAIL
     if one_shot:
         result["one_shot"] = one_shot
     result["host_probe_sec"] = {"before_reps": probe_before,

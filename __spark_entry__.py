@@ -492,8 +492,16 @@ def q_kmv_distinct(spark, sf_dir):
         (so the gate holds at any sf, not just where cardinality < k);
     (c) within_bound — a k=64 sketch, always in whichever regime applies;
     (d) sample_is_subset — the deterministic bottom-k sample contains only
-        genuine user_ids of its group."""
-    from fever_spark.ops import kmv_estimate_col, kmv_sample_col
+        genuine user_ids of its group;
+    (e) overlap_ok (round-6 fold: KMV SET OPERATIONS) — every type's
+        k=256 state is compared against the lexicographically-first
+        type's state: the Jaccard estimate (fraction of the union's
+        bottom-k present in both sides, Beyer et al. 2007 §5) must land
+        within 4·sqrt(J(1-J)/k)+0.02 of the exact array-computed Jaccard,
+        and the intersection estimate (J × union) within the compounded
+        relative bound. Exact when the union fits in k."""
+    from fever_spark.ops import (kmv_estimate_col, kmv_intersection_col,
+                                 kmv_jaccard_col, kmv_sample_col)
     from fever_spark.sketch import KMVSketch
 
     ev = _read(spark, sf_dir, "events")
@@ -503,7 +511,7 @@ def q_kmv_distinct(spark, sf_dir):
             SketchSpec("kmv_64", "kmv", "user_id", {"k": 64}),
         ]), ["event_type"])
     big = (merged.filter(F.col("sketch") == "kmv_256")
-           .select("event_type",
+           .select("event_type", F.col("state").alias("_state"),
                    kmv_estimate_col(F.col("state")).alias("_est256"),
                    kmv_sample_col(F.col("state")).alias("_sample")))
     small = (merged.filter(F.col("sketch") == "kmv_64")
@@ -512,13 +520,32 @@ def q_kmv_distinct(spark, sf_dir):
     users = ev.groupBy("event_type").agg(
         F.collect_set(F.col("user_id").cast("string")).alias("_users"),
         F.countDistinct("user_id").alias("_x"))
+    # 1-row anchor (first event type): its state and exact user set join
+    # onto every row — a broadcast of one sketch, the fever "compare two
+    # sensors' populations" shape
+    anchor = (big.join(users, "event_type")
+              .orderBy("event_type").limit(1)
+              .select(F.col("_state").alias("_astate"),
+                      F.col("_users").alias("_ausers")))
 
     def regime_ok(est, k):
         bound = 4 * KMVSketch(k=k).relative_error
         return (F.when(F.col("_x") < k, est == F.col("_x"))
                 .otherwise(F.abs(est - F.col("_x")) / F.col("_x") <= bound))
 
+    j_est = kmv_jaccard_col(F.col("_state"), F.col("_astate"))
+    i_est = kmv_intersection_col(F.col("_state"), F.col("_astate"))
+    j_true = (F.size(F.array_intersect("_users", "_ausers"))
+              / F.size(F.array_union("_users", "_ausers")))
+    i_true = F.size(F.array_intersect("_users", "_ausers"))
+    j_bound = 4 * F.sqrt(j_true * (1 - j_true) / 256) + F.lit(0.02)
+    overlap_ok = ((F.abs(j_est - j_true) <= j_bound)
+                  & (F.abs(i_est - i_true)
+                     <= j_bound * F.size(F.array_union("_users", "_ausers"))
+                     + 4 * KMVSketch(k=256).relative_error * i_true))
+
     return (big.join(small, "event_type").join(users, "event_type")
+            .crossJoin(F.broadcast(anchor))
             .select(
                 "event_type",
                 F.col("_x").alias("n_distinct"),
@@ -526,7 +553,8 @@ def q_kmv_distinct(spark, sf_dir):
                 regime_ok(F.col("_est64"), 64).cast("int")
                 .alias("within_bound"),
                 (F.size(F.array_except("_sample", "_users")) == 0)
-                .cast("int").alias("sample_is_subset")))
+                .cast("int").alias("sample_is_subset"),
+                overlap_ok.cast("int").alias("overlap_ok")))
 
 
 def q_hll_windowed(spark, sf_dir):
@@ -1430,7 +1458,8 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_distinct,
                    1 AS kmv_ok,
                    1 AS within_bound,
-                   1 AS sample_is_subset
+                   1 AS sample_is_subset,
+                   1 AS overlap_ok
             FROM events GROUP BY event_type
         """,
         "q_hll_windowed": """

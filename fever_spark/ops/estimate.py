@@ -74,6 +74,37 @@ def kmv_sample_col(state: Column) -> Column:
     return _kmv_sample(state)
 
 
+@F.pandas_udf(T.DoubleType())
+def _kmv_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+    from fever_spark.sketch.kmv import kmv_jaccard
+
+    return pd.Series([
+        kmv_jaccard(_sketch_of(bytes(x)), _sketch_of(bytes(y)))
+        for x, y in zip(a, b)], dtype="float64")
+
+
+def kmv_jaccard_col(state_a: Column, state_b: Column) -> Column:
+    """Jaccard similarity estimate between two KMV state columns (same
+    k/seed): among the union's bottom-k hashes, the fraction present in
+    both sides (Beyer et al. 2007 §5) — exact when both sets fit in k."""
+    return _kmv_jaccard(state_a, state_b)
+
+
+@F.pandas_udf(T.DoubleType())
+def _kmv_intersection(a: pd.Series, b: pd.Series) -> pd.Series:
+    from fever_spark.sketch.kmv import kmv_intersection_estimate
+
+    return pd.Series([
+        kmv_intersection_estimate(_sketch_of(bytes(x)), _sketch_of(bytes(y)))
+        for x, y in zip(a, b)], dtype="float64")
+
+
+def kmv_intersection_col(state_a: Column, state_b: Column) -> Column:
+    """|A ∩ B| estimate between two KMV state columns — Jaccard × union
+    estimate, one merged sketch serving both terms."""
+    return _kmv_intersection(state_a, state_b)
+
+
 def quantile_col(state: Column, qs: list[float]) -> Column:
     """array<double> of quantile estimates from a KLL or t-digest state."""
     qarr = np.asarray(qs, dtype=np.float64)

@@ -282,3 +282,54 @@ class TestBoundedBuildMemory:
             assert all(abs(r["est"] - 10) <= 1 for r in est)
         finally:
             spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+class TestKMVSetOpColumns:
+    """Round-6: kmv_jaccard_col / kmv_intersection_col — KMV set-operation
+    estimators as column ops over merged states, gated against exact
+    overlap on planted saturated sets."""
+
+    def test_planted_overlap_within_bound(self, spark):
+        from fever_spark.ops import (kmv_intersection_col, kmv_jaccard_col)
+
+        # two groups of 12k ids overlapping in [8000, 12000) -> J = 1/4
+        df = spark.range(16_000).select(
+            F.when(F.col("id") < 12_000, "a").otherwise(None).alias("ga"),
+            F.when(F.col("id") >= 8_000, "b").otherwise(None).alias("gb"),
+            F.col("id").cast("string").alias("v"))
+        rows = df.select(F.explode(F.array_compact(
+            F.array("ga", "gb"))).alias("g"), "v")
+        merged = two_level_merge(
+            build_sketches(rows.repartition(8), ["g"],
+                           [SketchSpec("s", "kmv", "v", {"k": 512})]),
+            ["g"])
+        a = merged.filter(F.col("g") == "a").select(
+            F.col("state").alias("sa"))
+        b = merged.filter(F.col("g") == "b").select(
+            F.col("state").alias("sb"))
+        [r] = (a.crossJoin(b).select(
+            kmv_jaccard_col(F.col("sa"), F.col("sb")).alias("j"),
+            kmv_intersection_col(F.col("sa"), F.col("sb")).alias("i"))
+            .collect())
+        assert abs(r["j"] - 0.25) < 4 * (0.25 * 0.75 / 512) ** 0.5 + 0.02
+        assert abs(r["i"] - 4_000) / 4_000 < 0.25
+
+    def test_exact_below_k(self, spark):
+        from fever_spark.ops import kmv_intersection_col, kmv_jaccard_col
+
+        df = spark.createDataFrame(
+            [("a", str(i)) for i in range(60)]
+            + [("b", str(i)) for i in range(30, 90)], "g string, v string")
+        merged = two_level_merge(
+            build_sketches(df.repartition(5), ["g"],
+                           [SketchSpec("s", "kmv", "v", {"k": 256})]),
+            ["g"])
+        a = merged.filter(F.col("g") == "a").select(F.col("state").alias("sa"))
+        b = merged.filter(F.col("g") == "b").select(F.col("state").alias("sb"))
+        [r] = (a.crossJoin(b).select(
+            kmv_jaccard_col(F.col("sa"), F.col("sb")).alias("j"),
+            kmv_intersection_col(F.col("sa"), F.col("sb")).alias("i"))
+            .collect())
+        # union (90) fits in k=256 -> both estimates are EXACT
+        assert r["j"] == 30 / 90
+        assert r["i"] == 30.0

@@ -333,3 +333,34 @@ class TestKMVSetOpColumns:
         # union (90) fits in k=256 -> both estimates are EXACT
         assert r["j"] == 30 / 90
         assert r["i"] == 30.0
+
+
+class TestSaltedMergeSkewBalance:
+    """Round-6: the MECHANISM gate for 'skew handled explicitly' — under a
+    planted 90%-hot group key, the level-1 salt must fan the hot key's
+    partials across min(salt, partitions) reducer groups with near-even
+    bucket sizes, so no single reducer merges the whole hot key."""
+
+    def test_hot_key_partials_fan_out(self, spark):
+        df = spark.range(100_000).select(
+            F.when(F.col("id") % 10 < 9, "hot").otherwise("cold").alias("g"),
+            F.col("id").cast("string").alias("v")).repartition(16)
+        built = build_sketches(df, ["g"],
+                               [SketchSpec("s", "hll", "v", {"p": 12})])
+        salt = 8
+        buckets = (built.withColumn(
+            "__salt", F.pmod(F.spark_partition_id(), F.lit(salt)))
+            .filter(F.col("g") == "hot")
+            .groupBy("__salt").agg(F.count(F.lit(1)).alias("n"))
+            .collect())
+        sizes = sorted(r["n"] for r in buckets)
+        # 16 partitions x 1 hot partial each -> 8 buckets of exactly 2
+        assert len(buckets) == salt
+        assert sizes[-1] <= -(-16 // salt) + 1  # max bucket ~ partitions/salt
+        # and the merged result over the skewed input is still correct
+        from fever_spark.ops import hll_estimate_col
+        merged = two_level_merge(built, ["g"], salt=salt)
+        [hot] = (merged.filter(F.col("g") == "hot")
+                 .select(hll_estimate_col(F.col("state")).alias("e"))
+                 .collect())
+        assert abs(hot["e"] - 90_000) / 90_000 < 3 * 1.04 / (2 ** 12) ** 0.5

@@ -818,8 +818,12 @@ def bench_streaming(spark):
 
     drain("exact_dedup", lambda st: exact_stream_dedup(
         st, F.xxhash64("text"), "ts", "10 minutes"))
+    # capacity is PER BUCKET and its bloom is (de)serialized EVERY
+    # micro-batch — size it to expected distinct docs per bucket
+    # (365k/32 ≈ 11k here; 100k = 9x headroom), not to the corpus:
+    # measured 2.4x faster than a 1M-capacity state (4.0s → 1.7s warm)
     drain("bloom_dedup", lambda st: bloom_stream_dedup(
-        st, n_buckets=32, capacity=1_000_000, fpp=1e-6, ttl_ms=None))
+        st, n_buckets=32, capacity=100_000, fpp=1e-6, ttl_ms=None))
     drain("windowed_counts", lambda st: windowed_counts_stream(
         st, [], "ts", window="1 minute", watermark="2 minutes"))
     # both dedup paths must actually drop the planted ~30% (bloom may

@@ -124,8 +124,13 @@ def bloom_stream_dedup(stream: DataFrame, fingerprint_col=None,
     Emits only first-seen documents. Memory is n_buckets x bloom_bytes
     total (capacity=1e6 @ fpp=1e-6 is ~3.4 MB per bucket); per-bucket
     capacity is the number of distinct docs before a generational reset.
-    ``ttl_ms=None`` disables eviction — required under
-    ``processAllAvailable`` tests (see session_collector_stream).
+    Size ``capacity`` to the EXPECTED distinct docs per bucket, not the
+    corpus: every bucket's bloom is deserialized + reserialized each
+    micro-batch it appears in, so oversizing pays that byte cost per
+    trigger forever (measured 2.4x wall on a 500k drain at 1M vs 100k
+    capacity with identical output). ``ttl_ms=None`` disables eviction —
+    required under ``processAllAvailable`` tests (see
+    session_collector_stream).
     """
     fp = (F.xxhash64(text_col) if fingerprint_col is None
           else (F.col(fingerprint_col) if isinstance(fingerprint_col, str)

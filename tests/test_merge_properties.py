@@ -185,3 +185,60 @@ def test_cmstopk_merge_order_invariants(chunks):
         for item, est in reports[0]:
             assert est >= exact[item]
             assert est - exact[item] <= build_order([0, 1, 2]).error_bound()
+
+
+# ---------------------------------------------------------------- round 6
+# KMV set-operation estimator properties: identities that hold EXACTLY on
+# the bottom-k lattice for any inputs, plus the sampling bound on random
+# overlapping sets.
+
+kmv_sets = st.tuples(
+    st.lists(st.integers(0, 3000), min_size=0, max_size=400),
+    st.lists(st.integers(1500, 4500), min_size=0, max_size=400),
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(kmv_sets)
+def test_kmv_setop_identities(ab):
+    from fever_spark.sketch import (KMVSketch, kmv_intersection_estimate,
+                                    kmv_jaccard, kmv_union_estimate)
+
+    a_vals, b_vals = ab
+    a, b = KMVSketch(k=64, seed=3), KMVSketch(k=64, seed=3)
+    if a_vals:
+        a.update(np.array([f"x{i}" for i in a_vals], dtype=object))
+    if b_vals:
+        b.update(np.array([f"x{i}" for i in b_vals], dtype=object))
+    # symmetry, range, self-identity
+    assert kmv_jaccard(a, b) == kmv_jaccard(b, a)
+    assert 0.0 <= kmv_jaccard(a, b) <= 1.0
+    assert kmv_intersection_estimate(a, b) == kmv_intersection_estimate(b, a)
+    if len(a.hashes):
+        assert kmv_jaccard(a, a) == 1.0
+    # union >= each side's estimate is NOT guaranteed by the estimator,
+    # but intersection <= union always is (it's J * union with J <= 1)
+    assert kmv_intersection_estimate(a, b) <= kmv_union_estimate(a, b) + 1e-9
+    # exact regime: union fits in k -> exact values
+    sa, sb = {f"x{i}" for i in a_vals}, {f"x{i}" for i in b_vals}
+    if len(sa | sb) <= 64 and (sa or sb):
+        assert kmv_jaccard(a, b) == len(sa & sb) / len(sa | sb)
+        assert kmv_intersection_estimate(a, b) == float(len(sa & sb))
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(0, 10_000))
+def test_kmv_jaccard_sampling_bound(seed_overlap):
+    """Saturated regime: J estimate within 6*sqrt(J(1-J)/k) + 2/k of truth
+    for planted 10k∪10k sets with variable overlap (loose, deterministic
+    per overlap because the hash seed is fixed)."""
+    from fever_spark.sketch import KMVSketch, kmv_jaccard
+
+    n = 10_000
+    ov = seed_overlap
+    a, b = KMVSketch(k=1024, seed=5), KMVSketch(k=1024, seed=5)
+    a.update(np.arange(0, n))
+    b.update(np.arange(n - ov, 2 * n - ov))
+    j_true = ov / (2 * n - ov)
+    bound = 6 * (j_true * (1 - j_true) / 1024) ** 0.5 + 2 / 1024
+    assert abs(kmv_jaccard(a, b) - j_true) <= bound

@@ -733,8 +733,40 @@ def q_bloom_zero_fn(spark, sf_dir):
     n = non_members.count()
     fp = non_members.filter(bloom_contains_col(fbc, F.col("probe"))).count()
     fpr_ok = int(fp <= max(3, 1e-3 * 3 * n))
+
+    # Round-6 fold: the bloomctl control-plane CLI (jobs/bloomctl.py, the
+    # mgmt entry-point analog — reference cmd/fever/cmds/bloom.go:24-69).
+    # Drive create → add → show --check through main() on a temp file and
+    # require: all verbs exit 0, the zero-FN invariant through the CLI
+    # (both added values report present), a non-member reports absent,
+    # and the file round-trips through BloomFilter.load with matching
+    # insert count. Any breakage flips ctl_ok to 0 on every row.
+    import io as _io
+    import json as _json
+    import tempfile as _tf
+    from contextlib import redirect_stdout
+
+    from fever_spark.jobs.bloomctl import main as _bloomctl
+
+    with _tf.TemporaryDirectory(prefix="fever_gate_bloomctl_") as td:
+        fpath = os.path.join(td, "iocs.bloom.gz")
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            rc1 = _bloomctl(["create", "--out", fpath, "--capacity", "1000",
+                             "--fpp", "1e-6", "evil.example"])
+            rc2 = _bloomctl(["add", "--file", fpath, "bad.example"])
+            rc3 = _bloomctl(["show", "--file", fpath, "--check",
+                             "evil.example", "bad.example", "absent.example"])
+        show = _json.loads(buf.getvalue().strip().splitlines()[-1])
+        ctl_ok = int(
+            rc1 == rc2 == rc3 == 0
+            and show["check"] == {"evil.example": True, "bad.example": True,
+                                  "absent.example": False}
+            and BloomFilter.load(fpath).n_inserted == 2)
+
     return (docs.filter(bloom_contains_col(bc, F.col("doc_id")) & member)
-            .select("doc_id", F.lit(fpr_ok).alias("fpr_ok")))
+            .select("doc_id", F.lit(fpr_ok).alias("fpr_ok"),
+                    F.lit(ctl_ok).alias("ctl_ok")))
 
 
 # --------------------------------------------------------------------------
@@ -1496,7 +1528,7 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT unnest([0.1, 0.5, 0.9]) AS q) qs
         """,
         "q_bloom_zero_fn": """
-            SELECT doc_id, 1 AS fpr_ok FROM documents
+            SELECT doc_id, 1 AS fpr_ok, 1 AS ctl_ok FROM documents
             WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
         """,
         "q_bloom_sharded": """

@@ -535,13 +535,12 @@ def q_kmv_distinct(spark, sf_dir):
 
     j_est = kmv_jaccard_col(F.col("_state"), F.col("_astate"))
     i_est = kmv_intersection_col(F.col("_state"), F.col("_astate"))
-    j_true = (F.size(F.array_intersect("_users", "_ausers"))
-              / F.size(F.array_union("_users", "_ausers")))
+    union_size = F.size(F.array_union("_users", "_ausers"))
     i_true = F.size(F.array_intersect("_users", "_ausers"))
+    j_true = i_true / union_size
     j_bound = 4 * F.sqrt(j_true * (1 - j_true) / 256) + F.lit(0.02)
     overlap_ok = ((F.abs(j_est - j_true) <= j_bound)
-                  & (F.abs(i_est - i_true)
-                     <= j_bound * F.size(F.array_union("_users", "_ausers"))
+                  & (F.abs(i_est - i_true) <= j_bound * union_size
                      + 4 * KMVSketch(k=256).relative_error * i_true))
 
     return (big.join(small, "event_type").join(users, "event_type")

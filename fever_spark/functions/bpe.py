@@ -351,7 +351,7 @@ def _merge_minrank(sym, wid, keys, ranks, newids):
     found = (wid[:-1] == wid[1:]) & (keys[pos_c] == key)
     rank_arr = np.where(found, ranks[pos_c], big)
     newid_arr = np.where(found, newids_u[pos_c], np.uint64(0))
-    while len(keys) and len(sym) > 1:
+    while len(sym) > 1:  # caller guarantees keys is non-empty
         # per-word min rank: positions are word-sorted, so one reduceat
         # over the big-padded rank array (pad makes every segment
         # non-empty, incl. a single-symbol last word)
@@ -371,8 +371,7 @@ def _merge_minrank(sym, wid, keys, ranks, newids):
         newrun = np.concatenate([[True], np.diff(cidx) > 1])
         rstart = np.maximum.accumulate(np.where(newrun, np.arange(m), -1))
         kpos = cidx[((np.arange(m) - rstart) & 1) == 0]
-        merged_newids = newid_arr[kpos]
-        sym[kpos] = merged_newids
+        sym[kpos] = newid_arr[kpos]
         delete = np.zeros(len(sym), dtype=bool)
         delete[kpos + 1] = True
         changed = np.zeros(len(sym), dtype=bool)

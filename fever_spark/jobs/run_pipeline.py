@@ -65,14 +65,15 @@ def default_stats_specs() -> list[SketchSpec]:
 
 
 def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
-                 iocs: list[str], checkpoint: str,
+                 iocs: list[str] | None = None, checkpoint: str = "",
                  blacklist: list[str] | None = None,
                  spool: str | None = None,
                  forwards: dict[str, list[str]] | None = None,
                  stats_specs: list[SketchSpec] | None = None,
                  stats_state_dir: str | None = None,
                  max_files_per_trigger: int = 16,
-                 available_now: bool = True):
+                 available_now: bool = True,
+                 bloom_file: str | None = None):
     """Run the composed pipeline over ``input_dir``.
 
     ``forwards`` maps output name → event-type list ([] = everything);
@@ -83,11 +84,47 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
     domains); default accumulates driver-side over the bounded
     event-type domain.
 
+    The IOC filter comes from exactly one of ``iocs`` (a static value
+    list, built once) or ``bloom_file`` (a filter FILE, e.g. maintained
+    by jobs/bloomctl.py): in file mode each micro-batch stats the file
+    and, when its mtime changed, loads + re-broadcasts before matching —
+    the reference daemon's mgmt reload → live-filter swap
+    (mgmt/mgmtserver.go:141-158, bloom_handler.go reload) composed into
+    the main loop. Tolerant load mirrors daemon startup (empty/corrupt/
+    missing file → empty default filter, alerting continues).
+
     ``available_now=True`` (default) drains everything currently in the
     drop dir and returns a summary dict; ``False`` returns the running
     ``StreamingQuery`` (caller manages its lifecycle)."""
-    bf = build_ioc_filter(iocs, fpp=1e-7)
-    bc = spark.sparkContext.broadcast(bf.to_bytes())
+    if (iocs is None) == (bloom_file is None):
+        raise ValueError("pass exactly one of iocs= or bloom_file=")
+    # "reloads" counts filter (re)loads THIS RUN: >= 1 in file mode
+    bloom_state = {"mtime": None, "bc": None, "reloads": 0}
+    if iocs is not None:
+        bf = build_ioc_filter(iocs, fpp=1e-7)
+        bloom_state.update(bc=spark.sparkContext.broadcast(bf.to_bytes()),
+                           reloads=0)
+
+    def _current_bc():
+        """File mode: stat-and-swap per micro-batch (the reload seam)."""
+        if bloom_file is None:
+            return bloom_state["bc"]
+        try:
+            mtime = os.stat(bloom_file).st_mtime_ns
+        except OSError:
+            mtime = -1  # absent: empty filter now, reload on appearance
+        if mtime != bloom_state["mtime"]:
+            from fever_spark.sketch.bloom import BloomFilter
+
+            bf = BloomFilter.load_or_empty(bloom_file)
+            old = bloom_state["bc"]
+            bloom_state.update(
+                bc=spark.sparkContext.broadcast(bf.to_bytes()),
+                mtime=mtime, reloads=bloom_state["reloads"] + 1)
+            if old is not None:
+                old.unpersist()
+        return bloom_state["bc"]
+
     acc = StreamingSketchAccumulator(
         keys=["event_type"],
         specs=stats_specs if stats_specs is not None else default_stats_specs(),
@@ -128,7 +165,8 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
                            parsed.groupBy("event_type")
                            .agg(F.count(F.lit(1)).alias("n")).collect()}
             t1 = _t.time()
-            alerts = bloom_match_events(parsed, bc, blacklist=blacklist)
+            alerts = bloom_match_events(parsed, _current_bc(),
+                                        blacklist=blacklist)
             batch_dir = os.path.join(alerts_root, f"batch={batch_id}")
             alerts.write.mode("overwrite").parquet(batch_dir)
             t2 = _t.time()
@@ -180,6 +218,8 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
                "stats_groups": (len(acc.sketches)
                                 if stats_state_dir is None else None),
                "phase_seconds": {k: round(v, 3) for k, v in phases.items()},
+               "bloom_reloads": (None if bloom_file is None
+                                 else bloom_state["reloads"]),
                "spool": spool}
     with open(os.path.join(output_dir, "_run_manifest.json"), "w") as f:
         json.dump(summary, f, indent=1)

@@ -148,3 +148,74 @@ class TestRunPipeline:
         assert http_fw.count() == 2
         # the per-run summary carries the event total for throughput math
         assert s["events"] == 3 and s["batch_ids"] == [0]
+
+
+class TestBloomFileReload:
+    """Round-6: the reference's mgmt reload → live-filter swap composed
+    into the daemon (mgmt/mgmtserver.go:141-158): run_pipeline in
+    bloom_file mode stats the filter file per micro-batch and
+    re-broadcasts when bloomctl (or anything) replaces it."""
+
+    def test_ctl_mutation_picked_up_between_batches(self, spark, dirs):
+        from fever_spark.jobs.bloomctl import main as bloomctl
+
+        bloom = os.path.join(dirs["state"], "iocs.bloom.gz")
+        os.makedirs(dirs["state"], exist_ok=True)
+        assert bloomctl(["create", "--out", bloom, "--capacity", "1000",
+                         "--fpp", "1e-6", "evil.example.com"]) == 0
+
+        # batch 0: only the http IOC is in the filter
+        _drop(dirs["in"], "a.jsonl", [L_HTTP_EVIL, L_DNS_BAD])
+        s1 = run_pipeline(spark, dirs["in"], dirs["out"],
+                          checkpoint=dirs["ckpt"], bloom_file=bloom)
+        assert s1["alerts"] == 1 and s1["bloom_reloads"] == 1
+
+        # control plane extends the live filter; batch 1 must use it
+        assert bloomctl(["add", "--file", bloom, "bad.dns.example"]) == 0
+        _drop(dirs["in"], "b.jsonl", [L_HTTP_EVIL, L_DNS_BAD])
+        s2 = run_pipeline(spark, dirs["in"], dirs["out"],
+                          checkpoint=dirs["ckpt"], bloom_file=bloom)
+        assert s2["alerts"] == 2 and s2["bloom_reloads"] == 1
+
+        alerts = spark.read.parquet(os.path.join(dirs["out"], "alerts"))
+        assert {r["ioc"] for r in alerts.collect()} == {
+            "evil.example.com", "bad.dns.example"}
+
+    def test_unchanged_file_reloads_once(self, spark, dirs):
+        from fever_spark.jobs.bloomctl import main as bloomctl
+
+        bloom = os.path.join(dirs["state"], "iocs.bloom")
+        os.makedirs(dirs["state"], exist_ok=True)
+        bloomctl(["create", "--out", bloom, "evil.example.com"])
+        _drop(dirs["in"], "a.jsonl", [L_HTTP_EVIL])
+        _drop(dirs["in"], "b.jsonl", [L_HTTP_EVIL])
+        s = run_pipeline(spark, dirs["in"], dirs["out"],
+                         checkpoint=dirs["ckpt"], bloom_file=bloom,
+                         max_files_per_trigger=1)
+        # two micro-batches, one load: the stat matched, no re-broadcast
+        assert s["batches"] == 2 and s["bloom_reloads"] == 1
+        assert s["alerts"] == 2
+
+    def test_missing_file_alerts_nothing_until_created(self, spark, dirs):
+        from fever_spark.jobs.bloomctl import main as bloomctl
+
+        bloom = os.path.join(dirs["state"], "later.bloom")
+        os.makedirs(dirs["state"], exist_ok=True)
+        _drop(dirs["in"], "a.jsonl", [L_HTTP_EVIL])
+        s1 = run_pipeline(spark, dirs["in"], dirs["out"],
+                          checkpoint=dirs["ckpt"], bloom_file=bloom)
+        assert s1["alerts"] == 0  # tolerant: empty default filter
+
+        bloomctl(["create", "--out", bloom, "evil.example.com"])
+        _drop(dirs["in"], "b.jsonl", [L_HTTP_EVIL])
+        s2 = run_pipeline(spark, dirs["in"], dirs["out"],
+                          checkpoint=dirs["ckpt"], bloom_file=bloom)
+        assert s2["alerts"] == 1
+
+    def test_exactly_one_filter_source_required(self, spark, dirs):
+        with pytest.raises(ValueError):
+            run_pipeline(spark, dirs["in"], dirs["out"],
+                         checkpoint=dirs["ckpt"])
+        with pytest.raises(ValueError):
+            run_pipeline(spark, dirs["in"], dirs["out"], IOCS,
+                         checkpoint=dirs["ckpt"], bloom_file="x.bloom")

@@ -234,7 +234,10 @@ def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="EVE JSONL drop dir")
     ap.add_argument("--output", required=True)
-    ap.add_argument("--iocs", required=True, help="one IOC per line")
+    ap.add_argument("--iocs", help="file with one IOC value per line")
+    ap.add_argument("--bloom-file", default=None,
+                    help="filter FILE (bloomctl-maintained): hot-reloaded "
+                         "per micro-batch when it changes")
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--spool", default=None)
     ap.add_argument("--forward", action="append", default=[],
@@ -245,8 +248,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
-    with open(args.iocs) as f:
-        iocs = [ln.strip() for ln in f if ln.strip()]
+    iocs = None
+    if args.iocs:
+        with open(args.iocs) as f:
+            iocs = [ln.strip() for ln in f if ln.strip()]
     forwards = {}
     for spec in args.forward:
         name, _, types_ = spec.partition("=")
@@ -256,7 +261,8 @@ def main(argv: list[str] | None = None) -> None:
                        checkpoint=args.checkpoint, spool=args.spool,
                        forwards=forwards or None,
                        stats_state_dir=args.stats_state_dir,
-                       available_now=not args.continuous)
+                       available_now=not args.continuous,
+                       bloom_file=args.bloom_file)
     if args.continuous:
         out.awaitTermination()
     else:

@@ -612,31 +612,53 @@ def q_hll_windowed(spark, sf_dir):
 
 
 def q_hll_overlap(spark, sf_dir):
-    """HLL set-operation estimators: distinct-user overlap between the two
-    busiest event types via inclusion-exclusion on the per-type sketches
-    (the "how much do these crawls/segments overlap" question), gated on
-    the compounded additive bound."""
+    """HLL set-operation estimators over EVERY unordered event-type pair
+    (round-6 enrichment of the old 1-row gate): distinct-user
+    intersection via inclusion-exclusion, union, and Jaccard from the
+    per-type sketches — the "how much do these crawls/segments overlap"
+    battery. Exact pair truths come from ONE distinct self-join; each
+    estimator is gated on its compounded bound (intersection: 4x the
+    additive inclusion-exclusion bound; union: the plain HLL relative
+    bound; Jaccard: the intersection bound scaled by the exact union)."""
     from fever_spark.ops.build import sketches_to_dict
     from fever_spark.sketch.hll import (intersection_error_bound,
-                                        intersection_estimate)
+                                        intersection_estimate,
+                                        jaccard_estimate, union_estimate)
 
     ev = _read(spark, sf_dir, "events")
-    types = [r["event_type"] for r in
-             ev.groupBy("event_type").count()
-             .orderBy(F.desc("count"), "event_type").limit(2).collect()]
     merged = two_level_merge(build_sketches(
-        ev.filter(F.col("event_type").isin(types)), ["event_type"],
+        ev, ["event_type"],
         [SketchSpec("u", "hll", "user_id", {"p": 14})]), ["event_type"])
     sk = sketches_to_dict(merged, ["event_type"])
-    a, b = sk[(types[0], "u")], sk[(types[1], "u")]
-    exact = (ev.filter(F.col("event_type") == types[0]).select("user_id")
-             .intersect(ev.filter(F.col("event_type") == types[1])
-                        .select("user_id")).count())
-    ok = (abs(intersection_estimate(a, b) - exact)
-          <= 4 * intersection_error_bound(a, b))
+
+    tu = ev.select("event_type", "user_id").distinct()
+    n_by_type = {r["event_type"]: r["n"] for r in
+                 tu.groupBy("event_type")
+                 .agg(F.count(F.lit(1)).alias("n")).collect()}
+    pairs = {(r["ta"], r["tb"]): r["i"] for r in
+             (tu.alias("a").join(tu.alias("b"), "user_id")
+              .filter(F.col("a.event_type") < F.col("b.event_type"))
+              .groupBy(F.col("a.event_type").alias("ta"),
+                       F.col("b.event_type").alias("tb"))
+              .agg(F.count(F.lit(1)).alias("i"))).collect()}
+
+    rows = []
+    types = sorted(n_by_type)
+    rel = 1.04 / (1 << 14) ** 0.5
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            a, b = sk[(ta, "u")], sk[(tb, "u")]
+            i_exact = pairs.get((ta, tb), 0)
+            u_exact = n_by_type[ta] + n_by_type[tb] - i_exact
+            i_bound = 4 * intersection_error_bound(a, b)
+            i_ok = abs(intersection_estimate(a, b) - i_exact) <= i_bound
+            u_ok = abs(union_estimate(a, b) - u_exact) <= 4 * rel * u_exact
+            j_ok = (abs(jaccard_estimate(a, b) - i_exact / u_exact)
+                    <= (i_bound + 4 * rel * i_exact) / u_exact)
+            rows.append((ta, tb, int(i_ok), int(u_ok), int(j_ok)))
     return spark.createDataFrame(
-        [(types[0], types[1], int(ok))],
-        "type_a string, type_b string, within_bound int")
+        rows, "type_a string, type_b string, within_bound int, "
+              "union_ok int, jaccard_ok int")
 
 
 def q_cms_bound(spark, sf_dir):
@@ -1509,14 +1531,10 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "q_hll_overlap": """
-            WITH ranked AS (
-              SELECT event_type,
-                     row_number() OVER (ORDER BY count(*) DESC, event_type)
-                       AS rn
-              FROM events GROUP BY event_type)
-            SELECT (SELECT event_type FROM ranked WHERE rn = 1) AS type_a,
-                   (SELECT event_type FROM ranked WHERE rn = 2) AS type_b,
-                   1 AS within_bound
+            WITH t AS (SELECT DISTINCT event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   1 AS within_bound, 1 AS union_ok, 1 AS jaccard_ok
+            FROM t a JOIN t b ON a.event_type < b.event_type
         """,
         "q_cms_bound": """
             SELECT event_type, 1 AS within_bound FROM events GROUP BY event_type

@@ -869,14 +869,16 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    # threshold 0.5: the driver embeddings are near-orthogonal random
+    # threshold 0.35: the driver embeddings are near-orthogonal random
     # vectors with NO pairs above 0.9 — at 0.9 the gate compared empty
-    # against empty (vacuous). 0.5 yields a real pair set to hash-match;
-    # the ≥0.9 near-dup regime is gated by the planted-pairs test
+    # against empty (vacuous), and even 0.5 yielded 0-1 pairs by sf.
+    # 0.35 yields ~270 pairs at every driver sf, so the cosine kernel is
+    # value-gated at the threshold boundary across hundreds of pairs; the
+    # ≥0.9 near-dup regime is gated by the planted-pairs test
     # (test_dedup_ann_text.TestEmbeddingDedup).
     emb = _read(spark, sf_dir, "embeddings") \
         .withColumn("embedding", F.col("embedding").cast("array<double>"))
-    return dedup.embedding_near_duplicates(emb, threshold=0.5,
+    return dedup.embedding_near_duplicates(emb, threshold=0.35,
                                            brute_force=True) \
         .select("id_a", "id_b")
 
@@ -1651,7 +1653,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                         CAST(b.embedding AS DOUBLE[])) >= 0.5
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.35
         """,
         "q_ann_topk": """
             SELECT vec_id FROM (

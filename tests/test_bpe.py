@@ -190,3 +190,41 @@ class TestVectorizedKernel:
         words = ["abc", "ab", "cab", "abcabc", "aabbc"]
         assert _encode_distinct(words, *table) == \
             [_encode_word(w, ranks) for w in words]
+
+
+class TestKernelHypothesis:
+    """Fuzz the vectorized encoder against the scalar oracle with ARBITRARY
+    merge lists — duplicates, unreachable components, inconsistent order
+    (component created later), unicode — exercising table build, the
+    rank-order sweep, the min-rank fallback, and the dispatch between
+    them."""
+
+    def test_arbitrary_merges_and_words_match_scalar(self):
+        from hypothesis import given, settings, strategies as st
+
+        from fever_spark.functions.bpe import (_build_pair_table,
+                                               _encode_distinct,
+                                               _encode_word)
+
+        sym = st.one_of(
+            st.sampled_from(["a", "b", "c", "ab", "bc", "abc", "ü", "</w>",
+                             "b</w>", "c</w>"]),
+            st.text(alphabet="abcü", min_size=1, max_size=3))
+        merges_strategy = st.lists(st.tuples(sym, sym), max_size=25)
+        words_strategy = st.lists(
+            st.text(alphabet="abcü ", min_size=1, max_size=12),
+            min_size=1, max_size=30)
+
+        @settings(max_examples=120, deadline=None)
+        @given(merges_strategy, words_strategy)
+        def check(merges, raw_words):
+            words = [w for w in (w.strip() for w in raw_words) if w]
+            if not words:
+                return
+            table = _build_pair_table(merges)
+            ranks = {tuple(p): i for i, p in enumerate(merges)}
+            got = _encode_distinct(words, *table)
+            want = [_encode_word(w, ranks) for w in words]
+            assert got == want, (merges, words)
+
+        check()

@@ -98,6 +98,9 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
     ``StreamingQuery`` (caller manages its lifecycle)."""
     if (iocs is None) == (bloom_file is None):
         raise ValueError("pass exactly one of iocs= or bloom_file=")
+    if not checkpoint:
+        raise ValueError("checkpoint= is required (exactly-once depends "
+                         "on the file-source checkpoint)")
     # "reloads" counts filter (re)loads THIS RUN: >= 1 in file mode
     bloom_state = {"mtime": None, "bc": None, "reloads": 0}
     if iocs is not None:

@@ -571,10 +571,11 @@ def _eve_setup(spark):
 
 
 def _render_eve_drop(spark, drop, n_events, n_files):
-    from fever_spark.sources.synth import synth_events
+    from fever_spark.sources.synth import synth_events_df
 
-    pdf = synth_events(n_events)
-    ev = spark.createDataFrame(pdf)
+    # distributed render: the driver version would build the whole frame
+    # in driver memory and ship ~10 MB task closures at 1M events
+    ev = synth_events_df(spark, n_events)
     line = F.to_json(F.struct(
         F.col("event_type"),
         F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.S"),

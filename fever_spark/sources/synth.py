@@ -218,6 +218,43 @@ def synth_events(n: int, seed: int = 44) -> pd.DataFrame:
     return pdf
 
 
+def synth_events_df(spark, n: int, seed: int = 44,
+                    partitions: int | None = None):
+    """Distributed synth_events: spark.range drives the id space and each
+    Arrow batch renders its slice with the SAME generator, seeded by
+    (seed + first id of the slice). Value domains are identical to
+    synth_events — hostN/nameN/sniN IOC probes still fire — but rows are
+    NOT byte-identical to the driver version (independent per-slice rng
+    streams). Use this above ~100k events: the driver version builds the
+    whole frame in driver memory and ships ~10 MB task closures."""
+    from pyspark.sql import types as T
+
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    s, i, l = T.StringType(), T.IntegerType(), T.LongType()
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType())]
+        + [T.StructField(c, s) for c in
+           ("event_type", "src_ip", "dest_ip")]
+        + [T.StructField("src_port", i), T.StructField("dest_port", i)]
+        + [T.StructField(c, s) for c in ("proto", "app_proto")]
+        + [T.StructField(c, l) for c in
+           ("bytes_toserver", "bytes_toclient",
+            "pkts_toserver", "pkts_toclient")]
+        + [T.StructField(c, s) for c in
+           ("http_host", "http_url", "dns_rrname", "dns_rrtype",
+            "dns_rcode", "dns_rdata", "dns_type", "tls_sni",
+            "tls_fingerprint", "flow_id")])
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            yield synth_events(len(ids), seed=seed + int(ids[0]))
+
+    return spark.range(0, n, numPartitions=partitions).mapInPandas(
+        gen, schema=schema)
+
+
 def write_pages(spark, path: str, n: int, seed: int = 42, partitions: int | None = None):
     """Materialize a pages table, partitioned by day like the reference's
     time-rotated event tables (db/slurper_postgres.go:38-40)."""

@@ -283,3 +283,35 @@ class TestStreamingBloomMatch:
         assert (got.groupby(key).size().sort_index().to_dict()
                 == batch.groupby(key).size().sort_index().to_dict())
         assert len(got) == len(batch) > 0
+
+
+class TestSynthEventsDf:
+    """Round-6: distributed event generation (synth_events_df) — same
+    value domains as the driver generator, schema-stable, scales without
+    driver-memory or task-closure blowup."""
+
+    def test_domains_and_count(self, spark):
+        from fever_spark.sources.synth import synth_events_df
+
+        df = synth_events_df(spark, 5000, partitions=4)
+        assert df.count() == 5000
+        import pyspark.sql.functions as F
+        types_ = {r["event_type"] for r in
+                  df.select("event_type").distinct().collect()}
+        assert types_ <= {"flow", "dns", "http", "tls", "alert"}
+        hosts = [r["http_host"] for r in
+                 df.filter(F.col("event_type") == "http")
+                 .select("http_host").limit(20).collect()]
+        assert hosts and all(h.startswith("host") for h in hosts)
+        # non-flow events carry zeroed counters (generator invariant)
+        bad = df.filter((F.col("event_type") != "flow")
+                        & (F.col("bytes_toserver") != 0)).count()
+        assert bad == 0
+
+    def test_schema_matches_driver_generator(self, spark):
+        from fever_spark.sources.synth import synth_events, synth_events_df
+
+        dist = synth_events_df(spark, 100, partitions=2)
+        drv = spark.createDataFrame(synth_events(100))
+        assert [f.name for f in dist.schema.fields] == \
+            [f.name for f in drv.schema.fields]

@@ -95,6 +95,30 @@ def build_report(spark: SparkSession, input_path: str, checkpoint_dir: str,
     # already a uniform draw
     report["url_sample"] = list(kmv_row["s"])[:20]
 
+    # cross-lang URL overlap from the SAME per-cell states (no rescan):
+    # lang-level sketches merge up from the day cells (the rollup
+    # property — salt=1, states are already per-key partials), then every
+    # lang pair gets inclusion-exclusion shared-URL and Jaccard estimates
+    # — "how much do these segments share", fever's cross-sensor
+    # population comparison as sketch algebra
+    from fever_spark.ops import two_level_merge
+    from fever_spark.ops.build import sketches_to_dict
+    from fever_spark.sketch.hll import (intersection_estimate,
+                                        jaccard_estimate)
+
+    lang_states = two_level_merge(
+        per_cell.filter(F.col("sketch") == "distinct_url")
+        .select("lang", "sketch", "state"), ["lang"], salt=1)
+    sk = sketches_to_dict(lang_states, ["lang"])
+    langs = sorted(k[0] for k in sk)
+    report["lang_url_overlap"] = [
+        {"lang_a": a, "lang_b": b,
+         "shared_est": round(intersection_estimate(
+             sk[(a, "distinct_url")], sk[(b, "distinct_url")]), 1),
+         "jaccard": round(jaccard_estimate(
+             sk[(a, "distinct_url")], sk[(b, "distinct_url")]), 4)}
+        for i, a in enumerate(langs) for b in langs[i + 1:]]
+
     if with_tokens:
         toks = SketchJob(
             input_path, f"{checkpoint_dir}/tokens", keys=[],

@@ -48,6 +48,17 @@ def test_report_battery_and_resume(spark, pages_dir, tmp_path):
     assert rep["text_len_q"]["0.5"] > 0
     assert len(rep["top_tokens"]) == 10
 
+    # cross-lang URL overlap: one entry per unordered lang pair; synth
+    # urls embed the page id so langs are DISJOINT — shared estimates
+    # must sit within the compounded inclusion-exclusion bound of zero
+    langs = sorted({c["lang"] for c in url_cells})
+    n_pairs = len(langs) * (len(langs) - 1) // 2
+    assert len(rep["lang_url_overlap"]) == n_pairs
+    n_urls = pages.select("url").distinct().count()
+    for o in rep["lang_url_overlap"]:
+        assert 0.0 <= o["jaccard"] <= 1.0
+        assert abs(o["shared_est"]) <= 4 * 3 * (1.04 / 2 ** 7) * n_urls
+
     # resume: a second run must skip all chunks (manifest-complete) and
     # reproduce the identical report
     rep2 = build_report(spark, pages_dir, ckpt, with_tokens=True, topk=10)

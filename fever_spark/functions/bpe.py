@@ -448,14 +448,25 @@ def bpe_encode(df: DataFrame, merges: list, text_col: str = "text",
                 if len(w) > _VEC_MAX_WORD_LEN:
                     cache[w] = _encode_word(w, scalar_ranks)
             word_tokens = [cache[w] for w in uniq]
-            toks = []
-            p = 0
-            for ln in row_len:
-                out = []
-                for c in codes[p:p + ln]:
-                    out.extend(word_tokens[c])
-                toks.append(out)
-                p += ln
+            # ragged gather instead of a per-word extend loop: flatten the
+            # DISTINCT words' tokens once, then index every occurrence's
+            # token span and slice per row — per-row work is one list
+            # slice, not O(words) Python calls
+            tok_counts = np.fromiter((len(t) for t in word_tokens),
+                                     np.int64, len(word_tokens))
+            flat_toks = np.array(
+                [t for lst in word_tokens for t in lst], dtype=object)
+            tok_offs = np.concatenate([[0], np.cumsum(tok_counts)])
+            occ_counts = tok_counts[codes] if len(codes) else tok_counts[:0]
+            cum_occ = np.concatenate([[0], np.cumsum(occ_counts)])
+            total = int(cum_occ[-1])
+            idx = (np.repeat(tok_offs[:-1][codes] - cum_occ[:-1], occ_counts)
+                   + np.arange(total))
+            all_toks = flat_toks[idx].tolist()
+            row_offs = cum_occ[
+                np.concatenate([[0], np.cumsum(row_len)])].tolist()
+            toks = [all_toks[a:b]
+                    for a, b in zip(row_offs[:-1], row_offs[1:])]
             if len(cache) > cache_size:
                 cache.clear()  # bounded worker memory; refills from reuse
             pdf = pdf.copy()

@@ -228,3 +228,22 @@ class TestKernelHypothesis:
             assert got == want, (merges, words)
 
         check()
+
+
+def test_long_word_scalar_fallback(spark):
+    """Words beyond _VEC_MAX_WORD_LEN bypass the dense codepoint matrix
+    and take the scalar path — output identical to the oracle either way."""
+    from fever_spark.functions.bpe import (_VEC_MAX_WORD_LEN, _encode_word,
+                                           bpe_encode, train_bpe,
+                                           word_counts)
+
+    docs = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    model = train_bpe(word_counts(docs), num_merges=30)
+    long_word = "the" * (_VEC_MAX_WORD_LEN // 3 + 10)  # > the cutoff
+    mixed = spark.createDataFrame(
+        [(f"{long_word} the cat",)], "text string")
+    [row] = bpe_encode(mixed, model["merges"]).collect()
+    ranks = {tuple(p): i for i, p in enumerate(model["merges"])}
+    expect = [t for w in (long_word, "the", "cat")
+              for t in _encode_word(w, ranks)]
+    assert list(row["bpe_tokens"]) == expect

@@ -36,11 +36,16 @@ def _merge_states(states: pd.Series) -> bytes:
     return merge_many([bytes(b) for b in states]).to_bytes()
 
 
-def _merge_group_fn(group_cols: list[str]):
+def _merge_group_fn(out_cols: list[str]):
+    """Group merger for the applyInPandas fallback: ALL non-state columns
+    forward from the group head, and the returned frame carries exactly
+    the declared output schema's columns in order (extra columns included
+    — dropping them made the frame disagree with the schema at the Arrow
+    boundary, round-6 fix)."""
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         head = pdf.iloc[:1].copy()
         head["state"] = [_merge_states(pdf["state"])]
-        return head[group_cols + ["sketch", "state"]]
+        return head[out_cols]
 
     return merge_group
 
@@ -56,6 +61,7 @@ def two_level_merge(sketch_df: DataFrame, keys: list[str],
         # protection over salt=8. Pass salt explicitly for pathological keys.
         salt = max(2, min(8, sketch_df.sparkSession.sparkContext.defaultParallelism // 2))
     keys = list(keys)
+    non_salt = [f.name for f in sketch_df.schema.fields if f.name != _SALT]
     out_fields = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
         for f in sketch_df.schema.fields if f.name != _SALT)
@@ -88,7 +94,7 @@ def two_level_merge(sketch_df: DataFrame, keys: list[str],
                     .select(*keys, "sketch",
                             _merge_lists("__sts").alias("state")))
         return sketch_df.groupBy(*keys, "sketch").applyInPandas(
-            _merge_group_fn(keys), schema=out_fields)
+            _merge_group_fn(non_salt), schema=out_fields)
 
     # level 1: spread each key's partial states across `salt` reducers.
     # spark_partition_id is deterministic per map task and cheap; pmod keeps
@@ -104,10 +110,11 @@ def two_level_merge(sketch_df: DataFrame, keys: list[str],
                 .select(*keys, "sketch",
                         _merge_lists("__sts").alias("state")))
     level1 = salted.groupBy(*keys, "sketch", _SALT).applyInPandas(
-        _merge_group_fn(keys + [_SALT]), schema=f"{out_fields}, {_SALT} int")
+        _merge_group_fn(non_salt + [_SALT]),
+        schema=f"{out_fields}, {_SALT} int")
     # level 2: at most `salt` rows per (keys, sketch) remain.
     level2 = level1.drop(_SALT).groupBy(*keys, "sketch").applyInPandas(
-        _merge_group_fn(keys), schema=out_fields)
+        _merge_group_fn(non_salt), schema=out_fields)
     return level2
 
 

@@ -364,3 +364,27 @@ class TestSaltedMergeSkewBalance:
                  .select(hll_estimate_col(F.col("state")).alias("e"))
                  .collect())
         assert abs(hot["e"] - 90_000) / 90_000 < 3 * 1.04 / (2 ** 12) ** 0.5
+
+
+class TestNonCanonicalMergeFallback:
+    """Round-6 fix: frames with EXTRA columns take the applyInPandas merge
+    path, which must forward them from the group head — the old code
+    dropped them and disagreed with its own declared schema at the Arrow
+    boundary (broken for any caller, latent because every in-repo caller
+    passes canonical frames)."""
+
+    def test_extra_column_forwards_and_states_match_canonical(self, spark):
+        df = spark.range(2000).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            F.col("id").cast("string").alias("v"))
+        built = build_sketches(df.repartition(4), ["g"],
+                               [SketchSpec("s", "hll", "v", {"p": 12})])
+        extra = built.withColumn("tag", F.lit("chunk7"))
+        for salt in (1, 4):  # both fallback branches
+            out = two_level_merge(extra, ["g"], salt=salt)
+            rows = out.collect()
+            assert set(out.columns) == {"g", "sketch", "state", "tag"}
+            assert len(rows) == 3 and {r["tag"] for r in rows} == {"chunk7"}
+            canon = {r["g"]: bytes(r["state"]) for r in
+                     two_level_merge(built, ["g"], salt=salt).collect()}
+            assert all(bytes(r["state"]) == canon[r["g"]] for r in rows)

@@ -468,7 +468,13 @@ def bpe_encode(df: DataFrame, merges: list, text_col: str = "text",
             toks = [all_toks[a:b]
                     for a, b in zip(row_offs[:-1], row_offs[1:])]
             if len(cache) > cache_size:
-                cache.clear()  # bounded worker memory; refills from reuse
+                # evict the oldest (first-inserted) half: a working set
+                # slightly above cache_size keeps its hot tail instead of
+                # re-encoding every distinct word from scratch each batch
+                # (full clear() thrashed exactly at cache_size + 1)
+                from itertools import islice
+                for w in list(islice(cache, len(cache) // 2)):
+                    del cache[w]
             pdf = pdf.copy()
             pdf[out_col] = toks
             yield pdf

@@ -40,8 +40,14 @@ __all__ = ["main"]
 
 def _read_values(args) -> np.ndarray:
     vals = list(args.values)
-    if vals == ["-"]:
-        vals = [ln.rstrip("\n") for ln in sys.stdin if ln.strip()]
+    # '-' means stdin WHEREVER it appears (never a literal value — a
+    # filter can't be queried for what it holds, so a silently inserted
+    # "-" would be invisible); at most one stdin marker makes sense
+    if vals.count("-") > 1:
+        raise SystemExit("bloomctl: '-' (stdin) given more than once")
+    if "-" in vals:
+        i = vals.index("-")
+        vals[i:i + 1] = [ln.rstrip("\n") for ln in sys.stdin if ln.strip()]
     if getattr(args, "from_file", None):
         with open(args.from_file) as f:
             vals.extend(ln.rstrip("\n") for ln in f if ln.strip())
@@ -107,17 +113,29 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "add":
         # tolerant load mirrors the daemon's startup recovery
-        # (bloom_handler.go:105-129): empty/corrupt file -> fresh filter
-        bf = BloomFilter.load_or_empty(args.file, capacity=args.capacity,
-                                       fpp=args.fpp)
+        # (bloom_handler.go:105-129): empty/corrupt file -> fresh filter.
+        # A CORRUPT existing file is data loss (the prior IOC set is
+        # gone) — recover, but say so, unlike a missing file which is
+        # just a first add.
+        recovered = False
+        try:
+            bf = BloomFilter.load(args.file)
+        except Exception:
+            recovered = os.path.exists(args.file)
+            bf = BloomFilter(capacity=args.capacity, fpp=args.fpp)
+        if recovered:
+            print(f"bloomctl add: {args.file} unreadable; replacing with "
+                  "a fresh filter (prior contents lost)", file=sys.stderr)
         vals = _read_values(args)
         if not len(vals):
             print("bloomctl add: no values given", file=sys.stderr)
             return 2
         bf.update(vals)
         _atomic_save(bf, args.file)
-        print(json.dumps({"added": int(len(vals)), "file": args.file,
-                          **bf.info()}))
+        out = {"added": int(len(vals)), "file": args.file, **bf.info()}
+        if recovered:
+            out["recovered"] = True
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "show":

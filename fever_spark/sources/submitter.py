@@ -28,6 +28,14 @@ duplicating them: at-least-once task retries compose with the
 idempotent spool into exactly-once on disk for identical payloads.
 :func:`foreach_batch_submitter` adapts the same path to Structured
 Streaming's ``foreachBatch``.
+
+Spool naming format note (operational): since round 6 the file name
+hashes the full message identity — metadata (key, content_type,
+encoding, headers) PLUS payload — where earlier versions hashed the
+payload alone. Replays of pre-upgrade messages therefore land under NEW
+names and will not dedupe against their pre-upgrade spool files: drain
+the spool before deploying a version with a different naming scheme, or
+accept duplicate delivery for checkpoint replays that span the upgrade.
 """
 
 from __future__ import annotations

@@ -60,6 +60,37 @@ class TestBloomctl:
         assert rc == 0 and out["n_inserted"] == 1 and out["capacity"] == 500
         assert BloomFilter.load(str(f)).n_inserted == 1
 
+    def test_add_reports_recovery_from_corrupt_file(self, tmp_path, capsys):
+        # round-7 ADVICE: the replace-with-fresh recovery must be
+        # distinguishable from a normal load — 'recovered' flag + stderr
+        f = tmp_path / "junk.bloom"
+        f.write_bytes(b"not a filter at all")
+        rc = main(["add", "--file", str(f), "v1"])
+        cap = capsys.readouterr()
+        out = json.loads(cap.out.strip())
+        assert rc == 0 and out["recovered"] is True
+        assert "prior contents lost" in cap.err
+        # a MISSING file is a first add, not a recovery
+        g = str(tmp_path / "new.bloom")
+        rc, out = run(capsys, "add", "--file", g, "v1")
+        assert rc == 0 and "recovered" not in out
+
+    def test_stdin_marker_among_values(self, tmp_path, capsys, monkeypatch):
+        # round-7 ADVICE: '-' is stdin wherever it appears, never a
+        # literal inserted value
+        import io
+        f = str(tmp_path / "x.bloom")
+        monkeypatch.setattr("sys.stdin", io.StringIO("mid.example\n"))
+        rc, out = run(capsys, "create", "--out", f, "a.example", "-",
+                      "b.example")
+        assert rc == 0 and out["n_inserted"] == 3
+        bf = BloomFilter.load(f)
+        hits = bf.contains(np.array(
+            ["a.example", "mid.example", "b.example", "-"], dtype=object))
+        assert list(hits) == [True, True, True, False]
+        with pytest.raises(SystemExit):
+            main(["add", "--file", f, "-", "x", "-"])
+
     def test_add_without_values_errors(self, tmp_path, capsys):
         f = str(tmp_path / "x.bloom")
         run(capsys, "create", "--out", f)

@@ -90,6 +90,18 @@ class TestEncode:
             joined = "".join(r["bpe_tokens"]).replace(END_OF_WORD, " ")
             assert joined.strip() == r["text"].lower()
 
+    def test_tiny_cache_forces_eviction_same_output(self, spark, docs):
+        # cache_size far below the distinct-word count exercises the
+        # evict-oldest-half path (round-7 ADVICE: no full clear()) on
+        # every batch; output must be identical to the uncached result
+        model = train_bpe(word_counts(docs), num_merges=30)
+        ref = {r["doc_id"]: r["bpe_tokens"] for r in
+               bpe_encode(docs, model["merges"]).collect()}
+        got = {r["doc_id"]: r["bpe_tokens"] for r in
+               bpe_encode(docs.repartition(1), model["merges"],
+                          cache_size=3).collect()}
+        assert got == ref
+
     def test_frequent_words_become_single_tokens(self, spark, docs):
         model = train_bpe(word_counts(docs), num_merges=40, min_freq=2)
         enc = bpe_encode(docs, model["merges"]).collect()

@@ -7,11 +7,14 @@ directory of EVE JSON-lines files (the batch analog of the socket source,
 same seam as S3/alertify):
 
     files → parse_eve → ┬ bloom_match_events → alerts parquet [+ spool]
-                        ├ per-type forward dirs (S11 multi_forward)
+                        ├ per-type RAW-LINE forward dirs (S11, the
+                        │ reference's socket forwarders emit the
+                        │ original JSON line)
                         └ per-event-type sketch stats (HLL/CMS states)
 
-Every micro-batch runs the whole chain once over ONE parse (persisted for
-the batch, unpersisted after). Exactly-once composition — the same
+Every micro-batch runs the whole chain once over ONE pruned parse
+(persisted for the batch, unpersisted after): only the columns this
+chain reads are materialized, one from_json per line. Exactly-once composition — the same
 argument jobs/ingest.stream_ingest tests: the file-source checkpoint
 makes each input file contribute to exactly one batch id; every sink is
 keyed by ``batch=<id>`` with idempotent overwrite (a replayed batch
@@ -73,7 +76,9 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
                  stats_state_dir: str | None = None,
                  max_files_per_trigger: int = 16,
                  available_now: bool = True,
-                 bloom_file: str | None = None):
+                 bloom_file: str | None = None,
+                 stats_every: int = 1,
+                 sink_files: int = 1):
     """Run the composed pipeline over ``input_dir``.
 
     ``forwards`` maps output name → event-type list ([] = everything);
@@ -95,7 +100,27 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
 
     ``available_now=True`` (default) drains everything currently in the
     drop dir and returns a summary dict; ``False`` returns the running
-    ``StreamingQuery`` (caller manages its lifecycle)."""
+    ``StreamingQuery`` (caller manages its lifecycle).
+
+    Per-trigger cost controls (the continuous-daemon regime is many
+    SMALL batches, so fixed per-trigger work is the throughput ceiling):
+
+    - the parse materializes ONLY the columns this chain reads (the 8
+      match columns + the stats spec inputs — fever's 26-path
+      discipline, narrowed to the job), one from_json per line;
+    - forwards write the RAW event line (filtered by type), exactly what
+      the reference's socket forwarders emit (processing/
+      forward_handler.go) — no re-serialization of parsed fields;
+    - ``sink_files`` coalesces every alert/forward batch write to that
+      many files (default 1 — a fever-rate daemon writing 32 task files
+      per trigger per sink drowns the output dir in tiny files);
+    - ``stats_every`` defers the sketch build+merge shuffles: each
+      trigger spills a narrow (event_type, sketched values) projection,
+      and the build → two-level merge runs once every K batches over
+      all spilled batches together (crash-safe: spills are durable and
+      flush() recovers leftovers). The drain path flushes the tail
+      before returning; in continuous mode up to K-1 batches ride in
+      the spill between flushes."""
     if (iocs is None) == (bloom_file is None):
         raise ValueError("pass exactly one of iocs= or bloom_file=")
     if not checkpoint:
@@ -128,10 +153,54 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
                 old.unpersist()
         return bloom_state["bc"]
 
+    specs = stats_specs if stats_specs is not None else default_stats_specs()
+    stats_cols = list(dict.fromkeys(
+        ["event_type"] + [c for s in specs for c in
+                          ([s.column] + ([s.weight_column]
+                                         if s.weight_column else []))]))
+
+    def _stats_reader(sp: SparkSession, files: list[str]) -> DataFrame:
+        # deferred-stats flush path: re-read the triggers' own input
+        # files (they outlive the flush window — it's a drop dir) and
+        # parse ONLY the stats columns. This makes the per-trigger stats
+        # cost literally one driver-side json write.
+        return (parse_eve(sp.read.text(files), columns=stats_cols)
+                .filter(F.col("event_type").isNotNull()))
+
+    def _batch_files(batch_id: int) -> list[str]:
+        # the file-source checkpoint's per-batch metadata log — written
+        # before foreachBatch(batch_id) runs — IS the batch's file list
+        # (inside foreachBatch the micro-batch df reports no inputFiles)
+        import json as _json
+
+        out = []
+        with open(os.path.join(checkpoint, "sources", "0",
+                               str(batch_id))) as f:
+            for ln in f:
+                ln = ln.strip()
+                if ln and ln.startswith("{"):
+                    out.append(_json.loads(ln)["path"])
+        return out
+
     acc = StreamingSketchAccumulator(
-        keys=["event_type"],
-        specs=stats_specs if stats_specs is not None else default_stats_specs(),
-        state_dir=stats_state_dir)
+        keys=["event_type"], specs=specs, state_dir=stats_state_dir,
+        flush_every=stats_every,
+        pending_dir=(os.path.join(output_dir, "_stats_pending")
+                     if stats_every > 1 else None),
+        defer_reader=_stats_reader if stats_every > 1 else None,
+        defer_files=_batch_files if stats_every > 1 else None)
+
+    # parse exactly what the chain reads: 8 match columns + stats inputs
+    # (+ the raw line when a forward sink needs it). In deferred-stats
+    # mode the stats inputs come back through _stats_reader at flush
+    # time instead, so the per-trigger parse drops them too (unless the
+    # match already needs the column).
+    parse_cols = ["event_type", "ts", "dns_type", "http_host", "http_url",
+                  "dns_rrname", "tls_sni", "tls_fingerprint"]
+    if stats_every <= 1:
+        parse_cols += [c for c in stats_cols if c not in parse_cols]
+    if forwards:
+        parse_cols = ["json_line"] + parse_cols
 
     alerts_root = os.path.join(output_dir, "alerts")
     # per-RUN tallies (not all-time): a second incremental run against the
@@ -142,63 +211,90 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
     run_batches: list[int] = []
     run_alerts = [0]
     run_events = [0]
+    run_files = {"alerts": 0, "forwards": 0}
     # per-phase wall seconds across the run's batches — the daemon's
     # perf observability (fever exposes the same through its perf stats
     # submitter); driver-side time.time() pairs, negligible cost
-    phases = {"parse_counts": 0.0, "alerts_write": 0.0, "spool": 0.0,
-              "forwards": 0.0, "stats": 0.0}
+    phases = {"alerts_write": 0.0, "spool": 0.0,
+              "forwards": 0.0, "stats": 0.0, "stats_flush": 0.0}
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        import glob
         import time as _t
 
-        parsed = (parse_eve(batch_df)
-                  .filter(F.col("event_type").isNotNull())
-                  # no consumer in this chain reads the raw line (alerts
-                  # are typed rows, forwards re-serialize the parsed
-                  # fields, stats probe two columns) — dropping it here
-                  # halves the per-batch cache footprint
-                  .drop("json_line")
-                  .persist())
+        from pyspark.sql import Observation
+
+        # (a small trigger reads in few-file batches, but the text source
+        # splits by totalBytes/defaultParallelism, so even a 4-file batch
+        # parses ~32-way — an explicit repartition was A/B-measured to
+        # add nothing but its own shuffle)
+        # persist the parse UNFILTERED, then filter on the cached
+        # columns: a filter inside the persisted plan gets pushed below
+        # the projection and re-split into extra pruned from_json calls
+        # (measured 3 parses/line instead of 1)
+        cached = parse_eve(batch_df, columns=parse_cols).persist()
+        parsed = cached.filter(F.col("event_type").isNotNull())
         try:
-            # one tiny partial-agg job over the cached parse: per-type
-            # counts gate the forward writes (an empty type slice skips
-            # its scan+write job entirely) and give the run's event total
+            # the per-batch counts (run's event total + the per-forward
+            # gates) ride the ALERTS job as observe() metrics instead of
+            # a groupBy job of their own — one Spark job less per
+            # trigger, and the observe node sits above the cache scan
+            # the match does anyway
+            fw_items = list((forwards or {}).items())
+            obs = Observation(f"fvs_counts_{batch_id}")
+            count_exprs = [F.count(F.lit(1)).alias("_total")]
+            for i, (_name, types_) in enumerate(fw_items):
+                count_exprs.append(
+                    (F.count(F.when(F.col("event_type").isin(types_), 1))
+                     if types_ else F.count(F.lit(1))).alias(f"_fw_{i}"))
             t0 = _t.time()
-            type_counts = {r["event_type"]: int(r["n"]) for r in
-                           parsed.groupBy("event_type")
-                           .agg(F.count(F.lit(1)).alias("n")).collect()}
-            t1 = _t.time()
-            alerts = bloom_match_events(parsed, _current_bc(),
-                                        blacklist=blacklist)
+            alerts = bloom_match_events(parsed.observe(obs, *count_exprs),
+                                        _current_bc(), blacklist=blacklist)
             batch_dir = os.path.join(alerts_root, f"batch={batch_id}")
-            alerts.write.mode("overwrite").parquet(batch_dir)
+            # repartition, NOT coalesce: coalesce(1) would pull the whole
+            # Bloom-match computation into one task (measured 8s/1M); the
+            # shuffle here moves only the few alert rows, and the match
+            # stays at full parallelism
+            alerts.repartition(sink_files).write.mode("overwrite") \
+                .parquet(batch_dir)
+            counts = obs.get
             t2 = _t.time()
             if spool:
                 from fever_spark.sources.submitter import submit_dataframe
                 submit_dataframe(alerts, spool, f"fever.alerts.b{batch_id}")
             t3 = _t.time()
-            for name, types_ in (forwards or {}).items():
-                if (not any(type_counts.get(t, 0) for t in types_)
-                        if types_ else not type_counts):
-                    continue  # nothing routes here this batch
+            for i, (name, types_) in enumerate(fw_items):
+                if not counts[f"_fw_{i}"]:
+                    continue  # nothing routes here this batch: skip the job
                 part = (parsed.filter(F.col("event_type").isin(types_))
                         if types_ else parsed)
-                part.write.mode("overwrite").json(
-                    os.path.join(output_dir, "forward", name,
-                                 f"batch={batch_id}"))
+                # forward the RAW line, like the reference's socket
+                # forwarders (processing/forward_handler.go) — consumers
+                # get the original event JSON, and the daemon never
+                # re-serializes the parsed fields. coalesce (not
+                # repartition) is right HERE: the upstream is a cheap
+                # cached-column filter, and coalescing avoids shuffling
+                # the raw lines
+                fdir = os.path.join(output_dir, "forward", name,
+                                    f"batch={batch_id}")
+                part.select("json_line").coalesce(sink_files) \
+                    .write.mode("overwrite").text(fdir)
+                run_files["forwards"] += len(
+                    glob.glob(os.path.join(fdir, "part-*")))
             t4 = _t.time()
             acc.process_batch(parsed, batch_id)
             t5 = _t.time()
             run_batches.append(batch_id)
             run_alerts[0] += _parquet_rows(batch_dir)
-            run_events[0] += sum(type_counts.values())
-            phases["parse_counts"] += t1 - t0
-            phases["alerts_write"] += t2 - t1
+            run_files["alerts"] += len(
+                glob.glob(os.path.join(batch_dir, "*.parquet")))
+            run_events[0] += int(counts["_total"])
+            phases["alerts_write"] += t2 - t0
             phases["spool"] += t3 - t2
             phases["forwards"] += t4 - t3
             phases["stats"] += t5 - t4
         finally:
-            parsed.unpersist()
+            cached.unpersist()
 
     stream = (spark.readStream
               .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -207,9 +303,19 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
               .foreachBatch(_batch)
               .option("checkpointLocation", checkpoint))
     if not available_now:
-        return writer.start()
+        q = writer.start()
+        # the accumulator rides on the query handle so a continuous-mode
+        # caller can flush()/read the deferred stats tail
+        q._fever_stats_acc = acc
+        return q
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
+    if stats_every > 1:
+        import time as _t
+
+        t0 = _t.time()
+        acc.flush(spark)  # absorb the spilled tail (+ crashed-run leftovers)
+        phases["stats_flush"] += _t.time() - t0
     # summary of THIS run: batch ids this foreachBatch saw, alert counts
     # from the batch dirs' parquet footers at write time. A run with ZERO
     # batches (empty drop dir, or everything already checkpointed) never
@@ -218,6 +324,7 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
     summary = {"input": input_dir, "output": output_dir,
                "batches": len(run_batches), "batch_ids": run_batches,
                "events": run_events[0], "alerts": run_alerts[0],
+               "sink_files": dict(run_files),
                "stats_groups": (len(acc.sketches)
                                 if stats_state_dir is None else None),
                "phase_seconds": {k: round(v, 3) for k, v in phases.items()},
@@ -246,6 +353,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--forward", action="append", default=[],
                     help="name=type1,type2 (repeatable; empty types = all)")
     ap.add_argument("--stats-state-dir", default=None)
+    ap.add_argument("--stats-every", type=int, default=1,
+                    help="run the sketch build+merge once per K batches "
+                         "(spilling a narrow projection per trigger) "
+                         "instead of every trigger")
+    ap.add_argument("--sink-files", type=int, default=1,
+                    help="files per batch per sink (alerts/forwards)")
     ap.add_argument("--continuous", action="store_true",
                     help="keep running instead of drain-and-exit")
     ap.add_argument("--master", default=None)
@@ -265,7 +378,9 @@ def main(argv: list[str] | None = None) -> None:
                        forwards=forwards or None,
                        stats_state_dir=args.stats_state_dir,
                        available_now=not args.continuous,
-                       bloom_file=args.bloom_file)
+                       bloom_file=args.bloom_file,
+                       stats_every=args.stats_every,
+                       sink_files=args.sink_files)
     if args.continuous:
         out.awaitTermination()
     else:

@@ -54,45 +54,178 @@ class StreamingSketchAccumulator:
     batch tables (the sketch_job checkpoint layout, jobs/sketch_job.py)."""
 
     def __init__(self, keys: list[str], specs: list[SketchSpec], salt: int = 4,
-                 max_keys: int = 100_000, state_dir: str | None = None):
+                 max_keys: int = 100_000, state_dir: str | None = None,
+                 flush_every: int = 1, pending_dir: str | None = None,
+                 defer_reader=None, defer_files=None):
+        if (defer_reader is None) != (defer_files is None):
+            raise ValueError("defer_reader and defer_files come together: "
+                             "the reader turns the recorded file lists "
+                             "back into rows at flush time")
+        if flush_every > 1 and pending_dir is None:
+            raise ValueError("flush_every > 1 requires pending_dir= (the "
+                             "per-batch raw-projection spill location)")
         self.keys = list(keys)
         self.specs = list(specs)
         self.salt = salt
         self.max_keys = max_keys
         self.state_dir = state_dir
+        self.flush_every = flush_every
+        self.pending_dir = pending_dir
+        self.defer_reader = defer_reader
+        self.defer_files = defer_files
         self.sketches: dict[tuple, object] = {}
         self.last_batch_id = -1
         self.batches_seen = 0
+        self._pending: list[int] = []
+
+    def _input_columns(self) -> list[str]:
+        cols = list(self.keys)
+        for s in self.specs:
+            cols.append(s.column)
+            if s.weight_column:
+                cols.append(s.weight_column)
+        return list(dict.fromkeys(cols))
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= self.last_batch_id:
             return  # replayed batch — idempotence
+
+        if self.flush_every > 1:
+            # deferred mode: a continuous daemon's per-trigger cost must
+            # not include the build+merge shuffles — defer them, and run
+            # the build → two-level merge once per flush_every batches
+            # over all deferred batches together. Two spill flavors:
+            #
+            # - defer_reader/defer_files set (file-source batches): per
+            #   trigger, record only the batch's INPUT FILE LIST (from
+            #   defer_files(batch_id) — inside foreachBatch the batch
+            #   df's inputFiles() is empty) as a tiny json — a
+            #   driver-side write, ZERO Spark jobs — and let flush()
+            #   re-read those files through the reader. Right whenever
+            #   the source files outlive the flush window (a drop dir).
+            # - otherwise: spill the (keys + sketched values) projection
+            #   as ONE narrow parquet write per batch (no shuffle).
+            #
+            # Both are idempotent per batch id; both spill durably, so a
+            # crash between trigger commit and flush loses nothing
+            # (flush() recovers leftovers).
+            import json
+            import os
+
+            if self.defer_reader is not None:
+                os.makedirs(self.pending_dir, exist_ok=True)
+                meta = os.path.join(self.pending_dir,
+                                    f"batch={batch_id}.json")
+                tmp = meta + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump({"batch_id": batch_id,
+                               "files": list(self.defer_files(batch_id))},
+                              f)
+                os.replace(tmp, meta)
+            else:
+                batch_df.select(*self._input_columns()).write.mode(
+                    "overwrite").parquet(
+                    os.path.join(self.pending_dir, f"batch={batch_id}"))
+            self.last_batch_id = batch_id
+            self.batches_seen += 1
+            self._pending.append(batch_id)
+            if len(self._pending) >= self.flush_every:
+                self.flush(batch_df.sparkSession)
+            return
+
         merged = two_level_merge(
             build_sketches(batch_df, self.keys, self.specs), self.keys,
             salt=self.salt)
+        self._record(merged, batch_id)
+        self.last_batch_id = batch_id
+        self.batches_seen += 1
+
+    def _record(self, merged: DataFrame, state_id: int) -> None:
+        """Land one merged-states DataFrame: parquet in spill mode (keyed
+        by ``state_id``, idempotent overwrite), else driver-dict merge."""
         if self.state_dir is not None:
             import os
 
             merged.write.mode("overwrite").parquet(
-                os.path.join(self.state_dir, f"batch={batch_id}"))
+                os.path.join(self.state_dir, f"batch={state_id}"))
+            return
+        for row in merged.collect():
+            key = tuple(row[k] for k in self.keys) + (row["sketch"],)
+            sk = sketch_from_bytes(bytes(row["state"]))
+            if key in self.sketches:
+                self.sketches[key].merge(sk)
+            else:
+                self.sketches[key] = sk
+        if len(self.sketches) > self.max_keys:
+            raise ValueError(
+                f"StreamingSketchAccumulator holds {len(self.sketches)} "
+                f"group keys (> max_keys={self.max_keys}); the in-memory "
+                "accumulator is for bounded key domains. Pass state_dir= "
+                "to spill per-batch states to a keyed parquet state "
+                "table, or raise max_keys if the domain really is "
+                "bounded.")
+
+    def flush(self, spark) -> int:
+        """Deferred mode: build + merge every spilled pending batch in ONE
+        pass and land the result, then drop the spills. Call once more
+        after the stream drains (run_pipeline does) to absorb the tail.
+        Picks up pending dirs left by a crashed prior run, EXCEPT those
+        already covered by a landed state (state ids are flush high-water
+        marks — a pending id <= the max landed id was merged by that
+        flush, so re-merging would double-count). Returns the number of
+        batches absorbed."""
+        import glob
+        import os
+        import re
+        import shutil
+
+        if self.flush_every <= 1:
+            return 0
+        pat = (r".*batch=(\d+)\.json$" if self.defer_reader is not None
+               else r".*batch=(\d+)$")
+        on_disk = {
+            int(m.group(1)): p
+            for p in glob.glob(os.path.join(self.pending_dir, "batch=*"))
+            if (m := re.match(pat, p))}
+        landed = -1
+        if self.state_dir is not None:
+            landed = max(
+                (int(m.group(1)) for p in
+                 glob.glob(os.path.join(self.state_dir, "batch=*"))
+                 if (m := re.match(r".*batch=(\d+)$", p))), default=-1)
+        stale = [p for i, p in on_disk.items() if i <= landed]
+        for p in stale:
+            shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) \
+                else os.unlink(p)
+        todo = sorted(i for i in on_disk if i > landed)
+        if not todo:
+            self._pending = []
+            return 0
+        if self.defer_reader is not None:
+            import json
+
+            files = []
+            for i in todo:
+                with open(on_disk[i]) as f:
+                    files.extend(json.load(f)["files"])
+            if not files:  # only empty triggers pending — nothing to build
+                for i in todo:
+                    os.unlink(on_disk[i])
+                self._pending = []
+                return 0
+            df = self.defer_reader(spark, files)
         else:
-            for row in merged.collect():
-                key = tuple(row[k] for k in self.keys) + (row["sketch"],)
-                sk = sketch_from_bytes(bytes(row["state"]))
-                if key in self.sketches:
-                    self.sketches[key].merge(sk)
-                else:
-                    self.sketches[key] = sk
-            if len(self.sketches) > self.max_keys:
-                raise ValueError(
-                    f"StreamingSketchAccumulator holds {len(self.sketches)} "
-                    f"group keys (> max_keys={self.max_keys}); the in-memory "
-                    "accumulator is for bounded key domains. Pass state_dir= "
-                    "to spill per-batch states to a keyed parquet state "
-                    "table, or raise max_keys if the domain really is "
-                    "bounded.")
-        self.last_batch_id = batch_id
-        self.batches_seen += 1
+            df = spark.read.parquet(*[on_disk[i] for i in todo])
+        merged = two_level_merge(
+            build_sketches(df, self.keys, self.specs), self.keys,
+            salt=self.salt)
+        self._record(merged, max(todo))
+        for i in todo:
+            p = on_disk[i]
+            shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) \
+                else os.unlink(p)
+        self._pending = []
+        return len(todo)
 
     def merged_states(self, spark) -> DataFrame:
         """Spill mode: the accumulated totals as a DataFrame — one row per

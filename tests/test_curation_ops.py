@@ -221,6 +221,80 @@ class TestPlanShapes:
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+class TestDedupSkew:
+    """Round-7: the real-web hot key — ONE boilerplate paragraph (cookie
+    banner) in 90% of documents. Both dedup paths handle it without a
+    fingerprint-partitioned window (windows cannot be skew-split): the
+    hot fingerprint collapses MAP-SIDE in a partial min-aggregation, so
+    no reducer ever receives more hot-key rows than there are map tasks.
+    These tests plant the skew, pin the output, and pin the plan shape
+    that makes the bound hold (partial_min before the exchange)."""
+
+    def _skewed(self, spark, n_docs=400):
+        rows = []
+        for i in range(n_docs):
+            body = f"unique para {i}\nsecond unique {i}"
+            if i % 10 != 0:  # 90% of docs carry the banner
+                body = "WE USE COOKIES ACCEPT ALL\n" + body
+            rows.append((i, body))
+        return spark.createDataFrame(rows, "doc_id long, text string") \
+            .repartition(8)
+
+    def test_planted_hot_paragraph_output(self, spark):
+        df = self._skewed(spark)
+        out = {r["doc_id"]: r["text"]
+               for r in CUR.paragraph_dedup(df).collect()}
+        assert len(out) == 400
+        carriers = [i for i in range(400) if i % 10 != 0]
+        first = min(carriers)  # min (doc_id, pos) wins
+        assert out[first].startswith("WE USE COOKIES")
+        assert all(not out[i].startswith("WE USE COOKIES")
+                   for i in carriers if i != first)
+        # every doc keeps its own unique paragraphs
+        assert all(f"unique para {i}" in out[i] for i in range(400))
+
+    def test_paragraph_firsts_is_partial_aggregated(self, spark):
+        # the skew bound: the firsts aggregation must show a PARTIAL min
+        # below its exchange — the hot fingerprint then leaves each map
+        # task as ONE row, so the reducer sees <= n_map_tasks rows for it
+        df = self._skewed(spark)
+        plan = CUR.paragraph_dedup(df) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "partial_min" in plan
+        # and no window anywhere in the operator
+        assert "Window" not in plan
+
+    def test_substring_hot_block_output_and_plan(self, spark):
+        # the same shape for exact-substring dedup: a 25-token block in
+        # 90% of docs must survive exactly once, via the same
+        # partial-aggregated firsts (never a window)
+        block = " ".join(f"tok{j}" for j in range(25))
+        rows = []
+        for i in range(100):
+            body = f"own{i} text{i} " + " ".join(
+                f"w{i}_{j}" for j in range(30))
+            if i % 10 != 0:
+                body = block + " " + body
+            rows.append((i, body))
+        df = spark.createDataFrame(rows, "doc_id long, text string") \
+            .repartition(8)
+        out_df = CUR.substring_dedup(df, k=20)
+        # the firsts aggregation sits behind the removals localCheckpoint
+        # and is invisible in this plan string — its partial_min shape is
+        # pinned by test_paragraph_firsts_is_partial_aggregated (same
+        # min-agg construction); here pin the no-window property of the
+        # visible reassembly and the planted-skew OUTPUT
+        plan = out_df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        out = {r["doc_id"]: r for r in out_df.collect()}
+        carriers = [i for i in range(100) if i % 10 != 0]
+        keepers = [i for i in carriers if out[i]["text"].startswith("tok0 ")]
+        assert keepers == [min(carriers)]
+        assert all(out[i]["removed_tokens"] > 0
+                   for i in carriers if i != min(carriers))
+        assert all(f"own{i}" in out[i]["text"] for i in range(100))
+
+
 class TestCanonicalUrl:
     CASES = {
         "HTTPS://Site.Example:443/P/?utm_source=f&x=1#t":

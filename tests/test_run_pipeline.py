@@ -150,6 +150,84 @@ class TestRunPipeline:
         assert s["events"] == 3 and s["batch_ids"] == [0]
 
 
+class TestPerTriggerCostControls:
+    """Round-7: the continuous-daemon regime is many small batches, so
+    the per-trigger fixed work is bounded — deferred sketch flushes
+    (stats_every) and single-file sinks (sink_files)."""
+
+    def test_deferred_stats_match_per_batch_stats(self, spark, dirs):
+        files = [("a.jsonl", [L_HTTP_EVIL, L_FLOW]),
+                 ("b.jsonl", [L_DNS_BAD, L_FLOW]),
+                 ("c.jsonl", [L_HTTP_OK]),
+                 ("d.jsonl", [L_FLOW, L_FLOW])]
+        for name, lines in files:
+            _drop(dirs["in"], name, lines)
+
+        def state_of(tag, **kw):
+            out = os.path.join(dirs["out"], tag)
+            st = os.path.join(dirs["state"], tag)
+            s = run_pipeline(spark, dirs["in"], out, IOCS,
+                             checkpoint=os.path.join(dirs["ckpt"], tag),
+                             stats_state_dir=st, max_files_per_trigger=1,
+                             **kw)
+            assert s["batches"] == 4
+            from fever_spark.ops.merge import two_level_merge
+            merged = spark.read.parquet(os.path.join(st, "batch=*"))
+            tot = two_level_merge(merged, ["event_type"])
+            return s, {(r["event_type"], r["sketch"]): bytes(r["state"])
+                       for r in tot.collect()}
+
+        s1, st1 = state_of("per_batch")
+        s2, st2 = state_of("deferred", stats_every=3)
+        # same groups, and the MERGED totals estimate identically
+        assert st1.keys() == st2.keys()
+        from fever_spark.sketch.base import sketch_from_bytes
+        for k in st1:
+            if k[1] != "src_ips":
+                continue
+            assert (sketch_from_bytes(st1[k]).estimate()
+                    == sketch_from_bytes(st2[k]).estimate()), k
+        # deferred mode landed FEWER state tables (2 flushes: batch 2 +
+        # the drain tail) and left no pending spill behind
+        assert len(os.listdir(os.path.join(dirs["state"], "deferred"))) == 2
+        assert not os.path.exists(
+            os.path.join(dirs["out"], "deferred", "_stats_pending")) or \
+            os.listdir(os.path.join(dirs["out"], "deferred",
+                                    "_stats_pending")) == []
+        assert s2["phase_seconds"]["stats_flush"] >= 0
+
+    def test_deferred_stats_dict_mode(self, spark, dirs):
+        _drop(dirs["in"], "a.jsonl", [L_HTTP_EVIL, L_FLOW])
+        _drop(dirs["in"], "b.jsonl", [L_DNS_BAD])
+        s = run_pipeline(spark, dirs["in"], dirs["out"], IOCS,
+                         checkpoint=dirs["ckpt"], stats_every=8,
+                         max_files_per_trigger=1)
+        # nothing flushed during the run (8 > 2 batches) — the drain-end
+        # flush absorbed the tail into the driver dict
+        assert s["batches"] == 2 and s["stats_groups"] > 0
+
+    def test_sink_files_bound_output_file_counts(self, spark, dirs):
+        _drop(dirs["in"], "a.jsonl",
+              [L_HTTP_EVIL, L_HTTP_OK, L_DNS_BAD, L_FLOW] * 8)
+        s = run_pipeline(spark, dirs["in"], dirs["out"], IOCS,
+                         checkpoint=dirs["ckpt"],
+                         forwards={"all": []})
+        # default sink_files=1: one data file per sink per batch
+        assert s["sink_files"] == {"alerts": 1, "forwards": 1}
+
+    def test_forward_carries_raw_lines(self, spark, dirs):
+        # the reference's forwarders emit the ORIGINAL JSON line — byte
+        # parity between drop dir and forward dir for the routed types
+        _drop(dirs["in"], "a.jsonl", [L_DNS_BAD, L_HTTP_OK, L_FLOW])
+        run_pipeline(spark, dirs["in"], dirs["out"], IOCS,
+                     checkpoint=dirs["ckpt"],
+                     forwards={"dns_only": ["dns"]})
+        got = [r["value"] for r in spark.read.text(
+            os.path.join(dirs["out"], "forward", "dns_only", "batch=*"))
+            .collect()]
+        assert got == [L_DNS_BAD]
+
+
 class TestBloomFileReload:
     """Round-6: the reference's mgmt reload → live-filter swap composed
     into the daemon (mgmt/mgmtserver.go:141-158): run_pipeline in

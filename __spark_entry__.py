@@ -319,15 +319,32 @@ def q_eve_pipeline(spark, sf_dir):
         spool = os.path.join(base, "spool")
         kw = dict(iocs=["host3", "name7", "sni5"],
                   checkpoint=os.path.join(base, "ckpt"), spool=spool,
-                  forwards={"all": []})
+                  forwards={"all": []},
+                  # round-7 daemon knobs ride the SAME gated run:
+                  # deferred stats (file-list spill + tail flush into the
+                  # parquet state table) and single-file sinks
+                  stats_every=2,
+                  stats_state_dir=os.path.join(base, "stats"))
         s1 = run_pipeline(spark, drop, out, **kw)
         names1 = sorted(os.listdir(spool))
         s2 = run_pipeline(spark, drop, out, **kw)  # replay: nothing new
         msgs = consume_spool(spool, ack=False)
         spool_rows = sum(len(_json.loads(m["payload"])) for m in msgs)
+        # deferred-stats gate: the drain-end flush must land the per-type
+        # HLL/CMS state table and drain the pending spill
+        stat_kinds = {(r["event_type"], r["sketch"]) for r in
+                      spark.read.parquet(
+                          os.path.join(base, "stats", "batch=*")).collect()}
+        pend = os.path.join(out, "_stats_pending")
+        stats_ok = (("http", "src_ips") in stat_kinds
+                    and ("http", "http_hosts") in stat_kinds
+                    and (not os.path.exists(pend)
+                         or os.listdir(pend) == []))
         ok = (s1["batches"] == 1 and s2["batches"] == 0
               and sorted(os.listdir(spool)) == names1 and len(names1) > 0
               and spool_rows == s1["alerts"] and s1["alerts"] > 0
+              and s1["sink_files"].get("alerts") == 1
+              and stats_ok
               and all(m["headers"].get("sensor_id")
                       and m["headers"].get("compressed") == "false"
                       for m in msgs))

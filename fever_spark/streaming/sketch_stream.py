@@ -51,7 +51,18 @@ class StreamingSketchAccumulator:
     (idempotent overwrite per batch id — the same replay safety as the
     dict path) and NOTHING is collected to the driver; read the totals back
     with ``merged_states(spark)``, a distributed two_level_merge over the
-    batch tables (the sketch_job checkpoint layout, jobs/sketch_job.py)."""
+    batch tables (the sketch_job checkpoint layout, jobs/sketch_job.py).
+
+    Per-trigger cost contract: ``flush_every=K`` (with ``pending_dir``)
+    defers the build+merge shuffles — each trigger spills its input
+    durably (a narrow parquet projection; or, with ``defer_reader`` +
+    ``defer_files``, just the batch's input-file list as a tiny json)
+    and the build → merge runs once per K batches over everything
+    spilled. ``flush()`` absorbs the tail and recovers a crashed run's
+    leftovers, dropping ids at-or-below the landed state high-water mark
+    so nothing double-counts. This is fever's flush-timer amortization
+    (flow_aggregator.go:152-170) applied to the whole build, not just
+    the merge."""
 
     def __init__(self, keys: list[str], specs: list[SketchSpec], salt: int = 4,
                  max_keys: int = 100_000, state_dir: str | None = None,

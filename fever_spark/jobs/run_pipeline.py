@@ -170,16 +170,36 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
     def _batch_files(batch_id: int) -> list[str]:
         # the file-source checkpoint's per-batch metadata log — written
         # before foreachBatch(batch_id) runs — IS the batch's file list
-        # (inside foreachBatch the micro-batch df reports no inputFiles)
+        # (inside foreachBatch the micro-batch df reports no inputFiles).
+        # Every compactInterval-th batch (default 10) the log lands as
+        # `<id>.compact` holding ALL entries so far, and once a compact
+        # exists older per-batch files become cleanup-eligible — so when
+        # `<id>` is absent, read the nearest compact at-or-after it and
+        # keep only the entries whose batchId matches. A continuous
+        # daemon crosses this boundary every 10 triggers.
+        import glob as _glob
         import json as _json
+        import re as _re
 
+        base = os.path.join(checkpoint, "sources", "0")
+        path = os.path.join(base, str(batch_id))
+        if not os.path.exists(path):
+            compacts = sorted(
+                (int(m.group(1)), p)
+                for p in _glob.glob(os.path.join(base, "*.compact"))
+                if (m := _re.search(r"(\d+)\.compact$", p)))
+            path = next((p for i, p in compacts if i >= batch_id), None)
+            if path is None:
+                raise FileNotFoundError(
+                    f"no file-source log for batch {batch_id} under {base}")
         out = []
-        with open(os.path.join(checkpoint, "sources", "0",
-                               str(batch_id))) as f:
+        with open(path) as f:
             for ln in f:
                 ln = ln.strip()
                 if ln and ln.startswith("{"):
-                    out.append(_json.loads(ln)["path"])
+                    e = _json.loads(ln)
+                    if e.get("batchId", batch_id) == batch_id:
+                        out.append(e["path"])
         return out
 
     acc = StreamingSketchAccumulator(

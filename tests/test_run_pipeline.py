@@ -206,6 +206,36 @@ class TestPerTriggerCostControls:
         # flush absorbed the tail into the driver dict
         assert s["batches"] == 2 and s["stats_groups"] > 0
 
+    def test_deferred_flush_across_log_compaction(self, spark, dirs):
+        # Spark's file-source checkpoint log compacts every 10th batch
+        # into `9.compact` (CompactibleFileStreamLog) instead of a plain
+        # `9` — the deferred-stats flush reads per-batch file lists from
+        # that log, and a continuous daemon crosses the boundary every
+        # 10 triggers, so the window [5..9] must flush through it.
+        lines = [L_HTTP_EVIL, L_HTTP_OK, L_DNS_BAD, L_FLOW]
+        for i in range(12):
+            _drop(dirs["in"], f"f{i:02d}.jsonl", [lines[i % 4]])
+        s = run_pipeline(spark, dirs["in"], dirs["out"], IOCS,
+                         checkpoint=dirs["ckpt"],
+                         stats_state_dir=dirs["state"],
+                         max_files_per_trigger=1, stats_every=5)
+        assert s["batches"] == 12
+        # flushes at batches 4 and 9 (windows of 5) + the drain tail
+        assert sorted(os.listdir(dirs["state"])) == [
+            "batch=11", "batch=4", "batch=9"]
+        from fever_spark.ops.merge import two_level_merge
+        from fever_spark.sketch.base import sketch_from_bytes
+        tot = two_level_merge(
+            spark.read.parquet(os.path.join(dirs["state"], "batch=*")),
+            ["event_type"])
+        est = {(r["event_type"], r["sketch"]):
+               round(sketch_from_bytes(bytes(r["state"])).estimate())
+               for r in tot.collect() if r["sketch"] == "src_ips"}
+        # 12 files cycle the 4 event lines: distinct src_ips per type
+        assert est[("http", "src_ips")] == 2
+        assert est[("dns", "src_ips")] == 1
+        assert est[("flow", "src_ips")] == 1
+
     def test_sink_files_bound_output_file_counts(self, spark, dirs):
         _drop(dirs["in"], "a.jsonl",
               [L_HTTP_EVIL, L_HTTP_OK, L_DNS_BAD, L_FLOW] * 8)

@@ -37,9 +37,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fever_spark.ops.bloom_match import bloom_match_events, build_ioc_filter
+from fever_spark.ops.bloom_match import build_ioc_filter, make_event_matcher
 from fever_spark.ops.build import SketchSpec
-from fever_spark.sources.eve import parse_eve
+from fever_spark.sources.eve import eve_projection, parse_eve
 from fever_spark.streaming.sketch_stream import StreamingSketchAccumulator
 
 __all__ = ["run_pipeline"]
@@ -133,25 +133,34 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
         bloom_state.update(bc=spark.sparkContext.broadcast(bf.to_bytes()),
                            reloads=0)
 
-    def _current_bc():
-        """File mode: stat-and-swap per micro-batch (the reload seam)."""
-        if bloom_file is None:
-            return bloom_state["bc"]
-        try:
-            mtime = os.stat(bloom_file).st_mtime_ns
-        except OSError:
-            mtime = -1  # absent: empty filter now, reload on appearance
-        if mtime != bloom_state["mtime"]:
-            from fever_spark.sketch.bloom import BloomFilter
+    # matcher built ONCE per filter (re)load, reused across micro-batches:
+    # its Column tree (incl. the pandas-UDF probe, whose creation pickles
+    # the closure) costs ~0.1s of py4j round-trips — pure fixed cost in
+    # the many-small-triggers regime
+    matcher_state = {"bc": None, "fn": None}
 
-            bf = BloomFilter.load_or_empty(bloom_file)
-            old = bloom_state["bc"]
-            bloom_state.update(
-                bc=spark.sparkContext.broadcast(bf.to_bytes()),
-                mtime=mtime, reloads=bloom_state["reloads"] + 1)
-            if old is not None:
-                old.unpersist()
-        return bloom_state["bc"]
+    def _current_matcher():
+        """File mode: stat-and-swap per micro-batch (the reload seam)."""
+        if bloom_file is not None:
+            try:
+                mtime = os.stat(bloom_file).st_mtime_ns
+            except OSError:
+                mtime = -1  # absent: empty filter now, reload on appearance
+            if mtime != bloom_state["mtime"]:
+                from fever_spark.sketch.bloom import BloomFilter
+
+                bf = BloomFilter.load_or_empty(bloom_file)
+                old = bloom_state["bc"]
+                bloom_state.update(
+                    bc=spark.sparkContext.broadcast(bf.to_bytes()),
+                    mtime=mtime, reloads=bloom_state["reloads"] + 1)
+                if old is not None:
+                    old.unpersist()
+        if matcher_state["bc"] is not bloom_state["bc"]:
+            matcher_state.update(
+                bc=bloom_state["bc"],
+                fn=make_event_matcher(bloom_state["bc"], blacklist=blacklist))
+        return matcher_state["fn"]
 
     specs = stats_specs if stats_specs is not None else default_stats_specs()
     stats_cols = list(dict.fromkeys(
@@ -222,6 +231,27 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
     if forwards:
         parse_cols = ["json_line"] + parse_cols
 
+    # every Column the batch body needs, built ONCE per run — expression
+    # trees are plan-independent, and constructing them is pure py4j
+    # fixed cost per trigger otherwise (~0.5s/trigger measured at the
+    # 8-batch drop, the single largest per-trigger constant)
+    parse_staged, parse_out = eve_projection("value", parse_cols)
+    et_notnull = F.col("event_type").isNotNull()
+    fw_items = list((forwards or {}).items())
+    count_exprs = [F.count(F.lit(1)).alias("_total")]
+    fw_filters: list = []
+    for i, (_name, types_) in enumerate(fw_items):
+        count_exprs.append(
+            (F.count(F.when(F.col("event_type").isin(types_), 1))
+             if types_ else F.count(F.lit(1))).alias(f"_fw_{i}"))
+        fw_filters.append(F.col("event_type").isin(types_) if types_
+                          else None)
+    json_line_col = [F.col("json_line")]
+    # persist pays a memory-write pass; with deferred stats and no
+    # forwards the alerts job is the parse's ONLY consumer per trigger,
+    # so caching it buys nothing — skip
+    reuse_parse = bool(forwards) or stats_every <= 1
+
     alerts_root = os.path.join(output_dir, "alerts")
     # per-RUN tallies (not all-time): a second incremental run against the
     # same output_dir must report ITS batches/alerts, so the summary comes
@@ -251,25 +281,21 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
         # persist the parse UNFILTERED, then filter on the cached
         # columns: a filter inside the persisted plan gets pushed below
         # the projection and re-split into extra pruned from_json calls
-        # (measured 3 parses/line instead of 1)
-        cached = parse_eve(batch_df, columns=parse_cols).persist()
-        parsed = cached.filter(F.col("event_type").isNotNull())
+        # (measured 3 parses/line instead of 1). With ONE consumer
+        # (deferred stats, no forwards) skip the cache pass entirely.
+        cached = batch_df.select(*parse_staged).select(*parse_out)
+        if reuse_parse:
+            cached = cached.persist()
+        parsed = cached.filter(et_notnull)
         try:
             # the per-batch counts (run's event total + the per-forward
             # gates) ride the ALERTS job as observe() metrics instead of
             # a groupBy job of their own — one Spark job less per
             # trigger, and the observe node sits above the cache scan
             # the match does anyway
-            fw_items = list((forwards or {}).items())
             obs = Observation(f"fvs_counts_{batch_id}")
-            count_exprs = [F.count(F.lit(1)).alias("_total")]
-            for i, (_name, types_) in enumerate(fw_items):
-                count_exprs.append(
-                    (F.count(F.when(F.col("event_type").isin(types_), 1))
-                     if types_ else F.count(F.lit(1))).alias(f"_fw_{i}"))
             t0 = _t.time()
-            alerts = bloom_match_events(parsed.observe(obs, *count_exprs),
-                                        _current_bc(), blacklist=blacklist)
+            alerts = _current_matcher()(parsed.observe(obs, *count_exprs))
             batch_dir = os.path.join(alerts_root, f"batch={batch_id}")
             # repartition, NOT coalesce: coalesce(1) would pull the whole
             # Bloom-match computation into one task (measured 8s/1M); the
@@ -283,11 +309,11 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
                 from fever_spark.sources.submitter import submit_dataframe
                 submit_dataframe(alerts, spool, f"fever.alerts.b{batch_id}")
             t3 = _t.time()
-            for i, (name, types_) in enumerate(fw_items):
+            for i, (name, _types) in enumerate(fw_items):
                 if not counts[f"_fw_{i}"]:
                     continue  # nothing routes here this batch: skip the job
-                part = (parsed.filter(F.col("event_type").isin(types_))
-                        if types_ else parsed)
+                part = (parsed.filter(fw_filters[i])
+                        if fw_filters[i] is not None else parsed)
                 # forward the RAW line, like the reference's socket
                 # forwarders (processing/forward_handler.go) — consumers
                 # get the original event JSON, and the daemon never
@@ -297,7 +323,7 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
                 # the raw lines
                 fdir = os.path.join(output_dir, "forward", name,
                                     f"batch={batch_id}")
-                part.select("json_line").coalesce(sink_files) \
+                part.select(*json_line_col).coalesce(sink_files) \
                     .write.mode("overwrite").text(fdir)
                 run_files["forwards"] += len(
                     glob.glob(os.path.join(fdir, "part-*")))
@@ -314,7 +340,8 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
             phases["forwards"] += t4 - t3
             phases["stats"] += t5 - t4
         finally:
-            cached.unpersist()
+            if reuse_parse:
+                cached.unpersist()
 
     stream = (spark.readStream
               .option("maxFilesPerTrigger", max_files_per_trigger)

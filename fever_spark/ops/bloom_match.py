@@ -90,21 +90,17 @@ def _prehash_probe(c):
             .otherwise(F.lit(_PREHASH_NULL)))
 
 
-def bloom_match_events(events: DataFrame, bloom_bc, blacklist: list[str] | None = None,
-                       prefix: str = DEFAULT_PREFIX) -> DataFrame:
-    """Fever's BloomHandler over a flat events table (FIXTURES.md §3 schema:
-    event_type, http_host, http_url, dns_rrname, dns_type, tls_sni,
-    tls_fingerprint, ts, ...). Returns alert rows:
-    (timestamp_event, event_type='alert', match_type, ioc, signature).
+def make_event_matcher(bloom_bc, blacklist: list[str] | None = None,
+                       prefix: str = DEFAULT_PREFIX):
+    """Build the event matcher ONCE, apply it per DataFrame.
 
-    ONE table scan, ONE vectorized membership UDF for all SEVEN probe
-    columns (http host/url/hostpath/path, dns rrname, tls sni/fingerprint)
-    → int64 bitmask, same plan shape as ``bloom_match_pages``. Non-relevant
-    event types carry NULL in a probe column (tests False, near-free), so
-    the Arrow round-trip count is 1 regardless of event mix — the per-branch
-    multi-UDF version was re-evaluated by Catalyst filter pushdown (2x
-    ArrowEvalPython, see estimate.bloom_contains_multi's note).
-    """
+    Returns ``match(events) -> alerts`` with every Column expression —
+    including the pandas-UDF probe column, whose creation cloudpickles
+    the closure on each call — constructed up front. Column objects are
+    plan-independent, so a per-trigger caller (the run_pipeline daemon)
+    pays the ~60 py4j expression builds and the UDF pickling once per
+    filter (re)load instead of once per micro-batch; applying the
+    matcher is a handful of DataFrame method calls."""
     from fever_spark.ops.estimate import bloom_contains_multi
 
     bl = F.array(*[F.lit(b) for b in (blacklist or [])])
@@ -118,21 +114,19 @@ def bloom_match_events(events: DataFrame, bloom_bc, blacklist: list[str] | None 
     is_tls = F.col("event_type") == "tls"
 
     probes = U.probe_columns(F.col("http_host"), F.col("http_url"))
-    staged = (
-        events
-        .filter(F.col("event_type").isin("http", "dns", "tls"))
-        .select(
-            "ts", "dns_type",
-            F.when(is_http, probes["host"]).alias("_host"),
-            F.when(is_http, probes["url"]).alias("_full"),
-            F.when(is_http, probes["hostpath"]).alias("_hostpath"),
-            F.when(is_http, probes["path"]).alias("_path"),
-            F.when(is_dns, F.col("dns_rrname")).alias("_rrname"),
-            F.when(is_tls, F.col("tls_sni")).alias("_sni"),
-            F.when(is_tls, F.col("tls_fingerprint")).alias("_fp"))
-        .withColumn("_hits", bloom_contains_multi(
-            bloom_bc, F.col("_host"), F.col("_full"), F.col("_hostpath"),
-            F.col("_path"), F.col("_rrname"), F.col("_sni"), F.col("_fp"))))
+    type_filter = F.col("event_type").isin("http", "dns", "tls")
+    staged_cols = [
+        F.col("ts"), F.col("dns_type"),
+        F.when(is_http, probes["host"]).alias("_host"),
+        F.when(is_http, probes["url"]).alias("_full"),
+        F.when(is_http, probes["hostpath"]).alias("_hostpath"),
+        F.when(is_http, probes["path"]).alias("_path"),
+        F.when(is_dns, F.col("dns_rrname")).alias("_rrname"),
+        F.when(is_tls, F.col("tls_sni")).alias("_sni"),
+        F.when(is_tls, F.col("tls_fingerprint")).alias("_fp")]
+    hits_col = bloom_contains_multi(
+        bloom_bc, F.col("_host"), F.col("_full"), F.col("_hostpath"),
+        F.col("_path"), F.col("_rrname"), F.col("_sni"), F.col("_fp"))
 
     def bit(i):
         return F.col("_hits").bitwiseAND(F.lit(1 << i)) != 0
@@ -150,28 +144,62 @@ def bloom_match_events(events: DataFrame, bloom_bc, blacklist: list[str] | None 
               .when(bit(6), F.lit("tls-fingerprint")))
     tls_ioc = F.when(bit(5), F.col("_sni")).when(bit(6), F.col("_fp"))
 
-    return (
-        staged
-        .filter(F.col("_hits") != 0)  # early-out: most events match nothing
-        .withColumn("_alerts", F.array(
-            F.struct(F.lit("http-host").alias("match_type"),
-                     host_ioc.alias("ioc")),
-            F.struct(F.lit("http-url").alias("match_type"),
-                     url_ioc.alias("ioc")),
-            F.struct(dns_mt.alias("match_type"),
-                     F.when(bit(4), F.col("_rrname")).alias("ioc")),
-            F.struct(tls_mt.alias("match_type"), tls_ioc.alias("ioc"))))
-        .select(F.col("ts").alias("timestamp_event"),  # original event time
-                F.explode("_alerts").alias("a"))
-        .filter(F.col("a.ioc").isNotNull() & F.col("a.match_type").isNotNull()
-                & not_blacklisted(F.col("a.ioc")))
-        .select("timestamp_event",
+    hits_nonzero = F.col("_hits") != 0
+    alerts_col = F.array(
+        F.struct(F.lit("http-host").alias("match_type"),
+                 host_ioc.alias("ioc")),
+        F.struct(F.lit("http-url").alias("match_type"),
+                 url_ioc.alias("ioc")),
+        F.struct(dns_mt.alias("match_type"),
+                 F.when(bit(4), F.col("_rrname")).alias("ioc")),
+        F.struct(tls_mt.alias("match_type"), tls_ioc.alias("ioc")))
+    ts_alias = F.col("ts").alias("timestamp_event")  # original event time
+    explode_col = F.explode("_alerts").alias("a")
+    keep_alert = (F.col("a.ioc").isNotNull()
+                  & F.col("a.match_type").isNotNull()
+                  & not_blacklisted(F.col("a.ioc")))
+    out_cols = [F.col("timestamp_event"),
                 F.lit("alert").alias("event_type"),
                 F.col("a.match_type").alias("match_type"),
-                F.col("a.ioc").alias("ioc"))
-        .select("timestamp_event", "event_type", "match_type", "ioc",
+                F.col("a.ioc").alias("ioc")]
+    sig_cols = ["timestamp_event", "event_type", "match_type", "ioc",
                 F.concat(F.lit(prefix + " "), _msg_col(),
-                         F.col("ioc")).alias("signature")))
+                         F.col("ioc")).alias("signature")]
+
+    def match(events: DataFrame) -> DataFrame:
+        return (events
+                .filter(type_filter)
+                .select(*staged_cols)
+                .withColumn("_hits", hits_col)
+                .filter(hits_nonzero)  # early-out: most events match nothing
+                .withColumn("_alerts", alerts_col)
+                .select(ts_alias, explode_col)
+                .filter(keep_alert)
+                .select(*out_cols)
+                .select(*sig_cols))
+
+    return match
+
+
+def bloom_match_events(events: DataFrame, bloom_bc, blacklist: list[str] | None = None,
+                       prefix: str = DEFAULT_PREFIX) -> DataFrame:
+    """Fever's BloomHandler over a flat events table (FIXTURES.md §3 schema:
+    event_type, http_host, http_url, dns_rrname, dns_type, tls_sni,
+    tls_fingerprint, ts, ...). Returns alert rows:
+    (timestamp_event, event_type='alert', match_type, ioc, signature).
+
+    ONE table scan, ONE vectorized membership UDF for all SEVEN probe
+    columns (http host/url/hostpath/path, dns rrname, tls sni/fingerprint)
+    → int64 bitmask, same plan shape as ``bloom_match_pages``. Non-relevant
+    event types carry NULL in a probe column (tests False, near-free), so
+    the Arrow round-trip count is 1 regardless of event mix — the per-branch
+    multi-UDF version was re-evaluated by Catalyst filter pushdown (2x
+    ArrowEvalPython, see estimate.bloom_contains_multi's note).
+
+    Per-trigger callers: build the matcher once with
+    ``make_event_matcher`` and reuse it across micro-batches.
+    """
+    return make_event_matcher(bloom_bc, blacklist, prefix)(events)
 
 
 def _msg_col():

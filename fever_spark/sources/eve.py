@@ -135,18 +135,18 @@ def _pruned_schema(names: list[str]) -> T.StructType:
     return T.StructType(fields)
 
 
-def parse_eve(df: DataFrame, json_col: str = "value",
-              columns: list[str] | None = None) -> DataFrame:
-    """JSON lines → flat Entry-shaped columns + retained raw line.
-    Unparseable lines yield null fields (fever logs-and-skips,
-    input/input_socket.go:94-101) — filter on event_type.isNotNull() to
-    drop them.
+def eve_projection(json_col: str = "value",
+                   columns: list[str] | None = None
+                   ) -> tuple[list[Column], list[Column]]:
+    """Build-ONCE Column lists for the EVE projection: ``(staged, out)``
+    such that ``df.select(*staged).select(*out)`` is exactly
+    ``parse_eve(df, json_col, columns)``.
 
-    ``columns`` selects a SUBSET of EVE_COLUMNS (order preserved as
-    given): the from_json schema is pruned to exactly the referenced
-    paths, so unrequested fields are never materialized — at 1M events
-    the daemon's 10-column parse is roughly half the wall of the full
-    26-path one. ``json_line`` is included only if listed."""
+    Column objects are plan-independent expression trees — reusable
+    across any number of DataFrames on the same SparkContext — so a
+    per-trigger caller (the run_pipeline daemon) builds these once per
+    run instead of paying the ~40 py4j expression constructions plus the
+    schema conversion on every micro-batch."""
     cols = list(columns) if columns is not None else EVE_COLUMNS
     unknown = [c for c in cols if c != "json_line" and c not in _EVE_PATHS]
     if unknown:
@@ -161,8 +161,8 @@ def parse_eve(df: DataFrame, json_col: str = "value",
     # directly per output column instead lets the optimizer rewrite it
     # into one pruned parse PER COLUMN — measured 25 from_json calls and
     # ~4x the wall for the full projection at 400k events.
-    staged = df.select(F.col(json_col),
-                       F.from_json(F.col(json_col), schema).alias("_e"))
+    staged = [F.col(json_col),
+              F.from_json(F.col(json_col), schema).alias("_e")]
     out = []
     for c in cols:
         if c == "json_line":
@@ -174,7 +174,23 @@ def parse_eve(df: DataFrame, json_col: str = "value",
         if c == "ts":
             expr = parse_suricata_ts(expr)
         out.append(expr.alias(c))
-    return staged.select(*out)
+    return staged, out
+
+
+def parse_eve(df: DataFrame, json_col: str = "value",
+              columns: list[str] | None = None) -> DataFrame:
+    """JSON lines → flat Entry-shaped columns + retained raw line.
+    Unparseable lines yield null fields (fever logs-and-skips,
+    input/input_socket.go:94-101) — filter on event_type.isNotNull() to
+    drop them.
+
+    ``columns`` selects a SUBSET of EVE_COLUMNS (order preserved as
+    given): the from_json schema is pruned to exactly the referenced
+    paths, so unrequested fields are never materialized — at 1M events
+    the daemon's 10-column parse is roughly half the wall of the full
+    26-path one. ``json_line`` is included only if listed."""
+    staged, out = eve_projection(json_col, columns)
+    return df.select(*staged).select(*out)
 
 
 def parse_suricata_ts(col: Column) -> Column:

@@ -648,21 +648,32 @@ def bench_eve_pipeline(spark):
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
-    # continuous-mode soak: the same 1M drop drained by a LIVE query
-    # (available_now=False, 8 triggers) — steady-state events/s comes
-    # from the query's own progress telemetry, the number a deployed
-    # daemon would report (fever is a long-running process,
-    # cmd/fever/cmds/run.go:598-600)
+    # continuous-mode soak at a FIXED trigger cadence: a LIVE query
+    # (available_now=False, processingTime=1s) polls a fresh drop dir
+    # while a feeder hard-links the 1M drop's 32 files in, 4 per 0.5s —
+    # the deployment shape of a long-running daemon ingesting a stream
+    # (fever: cmd/fever/cmds/run.go:598-600). Steady-state events/s
+    # comes from the query's own progress telemetry over non-empty
+    # triggers.
     out = tempfile.mkdtemp(prefix="fever_bench_eve_soak_")
     try:
         drop, _ = s["drops"][1_000_000]
+        src_files = sorted(
+            f for f in os.listdir(drop) if f.startswith("part-"))
+        live = os.path.join(out, "drop")
+        os.makedirs(live)
         q = run_pipeline(
-            spark, drop, os.path.join(out, "o"),
+            spark, live, os.path.join(out, "o"),
             iocs=["host3", "name7", "sni5"],
             checkpoint=os.path.join(out, "ckpt"),
             forwards={"dns_only": ["dns"]},
-            max_files_per_trigger=4, available_now=False, stats_every=4)
+            max_files_per_trigger=4, available_now=False, stats_every=4,
+            trigger_seconds=1.0)
         try:
+            for i in range(0, len(src_files), 4):
+                for f in src_files[i:i + 4]:
+                    os.link(os.path.join(drop, f), os.path.join(live, f))
+                time.sleep(0.5)
             q.processAllAvailable()
             prog = [json.loads(p.json) for p in q.recentProgress]
         finally:
@@ -677,6 +688,7 @@ def bench_eve_pipeline(spark):
         runs["1m_soak_continuous"] = {
             "events_per_sec": round(rows / secs, 1) if secs else None,
             "n_events": rows, "batches": len(batches),
+            "trigger_seconds": 1.0,
             "median_trigger_s": round(per_batch[len(per_batch) // 2], 3)
             if per_batch else None}
     finally:

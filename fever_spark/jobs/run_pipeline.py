@@ -78,7 +78,8 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
                  available_now: bool = True,
                  bloom_file: str | None = None,
                  stats_every: int = 1,
-                 sink_files: int = 1):
+                 sink_files: int = 1,
+                 trigger_seconds: float | None = None):
     """Run the composed pipeline over ``input_dir``.
 
     ``forwards`` maps output name → event-type list ([] = everything);
@@ -350,6 +351,11 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
               .foreachBatch(_batch)
               .option("checkpointLocation", checkpoint))
     if not available_now:
+        # fixed-cadence daemon mode: poll the drop dir every
+        # trigger_seconds (fever's continuous loop shape) instead of
+        # re-triggering as fast as batches complete
+        if trigger_seconds is not None:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
         q = writer.start()
         # the accumulator rides on the query handle so a continuous-mode
         # caller can flush()/read the deferred stats tail
@@ -408,6 +414,9 @@ def main(argv: list[str] | None = None) -> None:
                     help="files per batch per sink (alerts/forwards)")
     ap.add_argument("--continuous", action="store_true",
                     help="keep running instead of drain-and-exit")
+    ap.add_argument("--trigger-seconds", type=float, default=None,
+                    help="continuous mode: poll the drop dir at this fixed "
+                         "cadence instead of re-triggering ASAP")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -427,7 +436,8 @@ def main(argv: list[str] | None = None) -> None:
                        available_now=not args.continuous,
                        bloom_file=args.bloom_file,
                        stats_every=args.stats_every,
-                       sink_files=args.sink_files)
+                       sink_files=args.sink_files,
+                       trigger_seconds=args.trigger_seconds)
     if args.continuous:
         out.awaitTermination()
     else:

@@ -118,6 +118,34 @@ class TestRunPipeline:
         alerts = spark.read.parquet(os.path.join(dirs["out"], "alerts"))
         assert alerts.count() == 1
 
+    def test_continuous_fixed_cadence_trigger(self, spark, dirs):
+        # trigger_seconds pins a processingTime trigger: the daemon polls
+        # the drop dir at a fixed cadence (the deployed shape) and picks
+        # up files dropped AFTER start
+        import time
+
+        os.makedirs(dirs["in"], exist_ok=True)
+        q = run_pipeline(spark, dirs["in"], dirs["out"], IOCS,
+                         checkpoint=dirs["ckpt"], available_now=False,
+                         trigger_seconds=0.2)
+        try:
+            _drop(dirs["in"], "a.jsonl", [L_HTTP_EVIL])
+            q.processAllAvailable()
+            _drop(dirs["in"], "b.jsonl", [L_DNS_BAD])
+            deadline = time.time() + 30
+            while time.time() < deadline:
+                q.processAllAvailable()
+                found = [p for p in q.recentProgress
+                         if p.numInputRows > 0]
+                if sum(p.numInputRows for p in found) >= 2:
+                    break
+                time.sleep(0.2)
+        finally:
+            q.stop()
+        alerts = spark.read.parquet(os.path.join(dirs["out"], "alerts"))
+        assert {r["match_type"] for r in alerts.collect()} == {
+            "http-host", "dns-req"}
+
     def test_empty_drop_dir_yields_empty_summary(self, spark, dirs):
         os.makedirs(dirs["in"], exist_ok=True)
         s = run_pipeline(spark, dirs["in"], dirs["out"], IOCS,

@@ -1166,6 +1166,16 @@ def main(argv=None):
     result["value_normalized"] = round(total / weather, 3)
     result["queries_normalized"] = {
         n: round(v / weather, 3) for n, v in timings.items()}
+    # headline + weather keys FIRST, verbose stage dicts last: the
+    # round-6 recorded bench was truncated mid-line by the harness, losing
+    # everything after the cut — order the output so a truncated record
+    # still carries the graded numbers
+    head = ["metric", "value", "value_normalized", "unit", "sf", "reps",
+            "host_probe_sec", "probe_idle_sec", "weather_multiplier",
+            "pages_per_sec", "n_pages", "warc_pages_per_sec",
+            "queries", "queries_normalized", "one_shot"]
+    result = {**{k: result[k] for k in head if k in result},
+              **{k: v for k, v in result.items() if k not in head}}
     print(json.dumps(result))
     spark.stop()
 

@@ -57,6 +57,30 @@ class TestParseEve:
         # raw line retained for every row (JSONLine analog)
         assert (parsed["json_line"].str.len() > 0).all()
 
+    def test_plan_parses_each_line_exactly_once(self, lines):
+        # the measured regression this pins: per-column getField over the
+        # from_json expression gets optimizer-rewritten into one pruned
+        # parse PER COLUMN (25 from_json calls, ~4.5x wall); the staged
+        # projection shape must keep exactly ONE from_json in the
+        # OPTIMIZED plan, full and pruned alike
+        for cols in (None, ["event_type", "ts", "http_host", "dns_rrname"]):
+            plan = (eve.parse_eve(lines, columns=cols)
+                    ._jdf.queryExecution().optimizedPlan().toString())
+            assert plan.count("from_json") == 1, (cols, plan)
+
+    def test_match_plan_has_one_python_udf_node(self, lines, spark):
+        # bloom_match_events' seven probes ride ONE vectorized UDF call;
+        # Catalyst filter pushdown used to re-evaluate it (2x
+        # ArrowEvalPython) until the asNondeterministic guard
+        from fever_spark.ops.bloom_match import (bloom_match_events,
+                                                 build_ioc_filter)
+
+        bc = spark.sparkContext.broadcast(
+            build_ioc_filter(["evil.example.com"]).to_bytes())
+        plan = (bloom_match_events(eve.parse_eve(lines), bc)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("ArrowEvalPython") == 1, plan
+
     def test_timestamp_parse_with_zoneless_fallback(self, lines):
         parsed = eve.parse_eve(lines).toPandas()
         ok = parsed[parsed["event_type"].notna()]

@@ -454,10 +454,58 @@ class TestClusterConvergenceTelemetry:
     def test_round_count_recorded_and_small(self, spark):
         pairs = spark.createDataFrame(
             [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
-        dedup.near_dup_clusters(pairs)
+        # force the DISTRIBUTED path (tiny inputs route to the driver one)
+        dedup.near_dup_clusters(pairs, driver_pairs_threshold=0)
         # chain diameter 3 → converges by round 3; cadence-2 checking may
         # run one extra no-op round, never more
         assert 1 <= dedup.near_dup_clusters.last_rounds <= 6
+
+
+class TestDriverComponentsParity:
+    """The size-gated driver union-find must be byte-identical to the
+    distributed min-label propagation — same (id, cluster_id) rows."""
+
+    def _both(self, spark, rows, schema):
+        pairs = spark.createDataFrame(rows, schema)
+        drv = {(r["id"], r["cluster_id"]) for r in
+               dedup.near_dup_clusters(pairs).collect()}
+        assert dedup.near_dup_clusters.last_rounds == 0  # driver path ran
+        dist = {(r["id"], r["cluster_id"]) for r in
+                dedup.near_dup_clusters(
+                    pairs, driver_pairs_threshold=0).collect()}
+        assert dedup.near_dup_clusters.last_rounds >= 1  # distributed ran
+        assert drv == dist and len(drv) > 0
+
+    def test_random_graphs_match_distributed(self, spark):
+        import random
+
+        rng = random.Random(7)
+        # 3 shapes: sparse random, long chain + islands, star with spokes
+        rows = [(rng.randrange(40), rng.randrange(40)) for _ in range(60)]
+        rows = [(a, b) for a, b in rows if a != b]
+        self._both(spark, rows, "id_a long, id_b long")
+        # diameter 15 fits the distributed path's max_iterations; the
+        # DRIVER path's pointer jumping is O(log D) and also handles
+        # chains past that bound (checked separately below)
+        chain = [(i, i + 1) for i in range(15)] + [(100, 101), (200, 201)]
+        self._both(spark, chain, "id_a long, id_b long")
+        long_chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(60)], "id_a long, id_b long")
+        cl = {r["cluster_id"] for r in
+              dedup.near_dup_clusters(long_chain).collect()}
+        assert cl == {0}  # one component, min id 0 — beyond the
+        # distributed path's 20-round diameter budget
+        star = [(0, i) for i in range(1, 30)]
+        self._both(spark, star, "id_a long, id_b long")
+
+    def test_string_ids_lexicographic_min(self, spark):
+        # min = lexicographic for strings on BOTH paths
+        rows = [("b", "c"), ("c", "aa"), ("zz", "z")]
+        self._both(spark, rows, "id_a string, id_b string")
+        pairs = spark.createDataFrame(rows, "id_a string, id_b string")
+        cl = {r["id"]: r["cluster_id"] for r in
+              dedup.near_dup_clusters(pairs).collect()}
+        assert cl == {"aa": "aa", "b": "aa", "c": "aa", "z": "z", "zz": "z"}
 
 
 class TestLSHPlansLazily:

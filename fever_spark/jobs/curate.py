@@ -326,7 +326,13 @@ def curate(spark: SparkSession, input_path: str, output_path: str,
     out = (sampling.deterministic_sample(neardup, id_col, sample_rate, seed)
            if sample_rate < 1.0 else neardup)
     out.write.mode("overwrite").parquet(output_path)
-    counts["written"] = spark.read.parquet(output_path).count()
+    # written count from parquet FOOTERS (driver-side metadata, no re-scan
+    # job); Spark count only when the output isn't a local parquet dir
+    from fever_spark.sources.io import parquet_row_count
+
+    n_written = parquet_row_count(output_path)
+    counts["written"] = (n_written if n_written is not None
+                         else spark.read.parquet(output_path).count())
     _mark("sample_and_write")
 
     manifest = {

@@ -51,3 +51,23 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
     if "day" in df.columns:
         df = df.drop("day")
     return df
+
+
+def parquet_row_count(path: str) -> int | None:
+    """Row count of a LOCAL parquet dir from file FOOTERS — driver-side
+    metadata only, no Spark job, no data scan. Returns None when the path
+    isn't a local directory of parquet parts (object stores, Iceberg
+    tables): callers fall back to a Spark count. Counting a just-written
+    output this way saves a full re-scan job per pipeline run (the
+    pattern run_pipeline uses for per-batch alert counts)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(path):
+        return None
+    parts = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    if not parts:
+        return 0 if os.path.exists(os.path.join(path, "_SUCCESS")) else None
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)

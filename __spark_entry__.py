@@ -485,6 +485,14 @@ def q_token_heavy_hitters(spark, sf_dir):
 
 
 def q_hll_bound(spark, sf_dir):
+    """HLL bound gate + (round-7 fold) the sketchctl control plane:
+    a checkpointed SketchJob runs over the same events table, then
+    jobs/sketchctl.py — a pure driver-side CLI, no Spark — reads the
+    state back from disk (show + estimate verbs through main()) and its
+    per-type estimates must EQUAL the in-Spark hll_estimate_col values
+    exactly (same registers, same kernel). Any byte-format or
+    merge-algebra drift between the Spark path and the file contract
+    flips ctl_ok to 0 on every row."""
     ev = _read(spark, sf_dir, "events")
     merged = two_level_merge(
         build_sketches(ev, ["event_type"],
@@ -493,10 +501,43 @@ def q_hll_bound(spark, sf_dir):
     est = merged.withColumn("est", hll_estimate_col(F.col("state")))
     exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("x"))
     bound = 4 * HyperLogLog(p=14).relative_error
+
+    import io as _io
+    import json as _json
+    import tempfile as _tf
+    from contextlib import redirect_stdout
+
+    from fever_spark.jobs.sketch_job import run_sketch_job
+    from fever_spark.jobs.sketchctl import main as _sketchctl
+
+    spark_est = {r["event_type"]: r["est"] for r in
+                 est.select("event_type", "est").collect()}
+    n_rows = ev.count()
+    with _tf.TemporaryDirectory(prefix="fever_gate_sketchctl_") as td:
+        run_sketch_job(spark, os.path.join(sf_dir, "events.parquet"), td,
+                       ["event_type"],
+                       [SketchSpec("u", "hll", "user_id", {"p": 14})])
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            rc1 = _sketchctl(["show", td])
+            rc2 = _sketchctl(["estimate", td, "--sketch", "u"])
+        lines = [_json.loads(ln) for ln in buf.getvalue().splitlines() if ln]
+        show, ests = lines[0], lines[1:]
+        cli_est = {r["event_type"]: r["estimate"] for r in ests}
+        ctl_ok = int(
+            rc1 == rc2 == 0
+            and show["completed"] and show["rows"] == n_rows
+            and set(cli_est) == set(spark_est)
+            # the CLI prints round(estimate, 2): identical floats round
+            # identically, so equality is exact after the same rounding
+            and all(cli_est[k] == round(spark_est[k], 2)
+                    for k in spark_est))
+
     return (est.join(exact, "event_type")
             .select("event_type",
                     (F.abs(F.col("est") - F.col("x")) / F.col("x") <= bound)
-                    .cast("int").alias("within_bound")))
+                    .cast("int").alias("within_bound"),
+                    F.lit(ctl_ok).alias("ctl_ok")))
 
 
 def q_kmv_distinct(spark, sf_dir):
@@ -1523,7 +1564,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 20
         """,
         "q_hll_bound": """
-            SELECT event_type, 1 AS within_bound FROM events GROUP BY event_type
+            SELECT event_type, 1 AS within_bound, 1 AS ctl_ok
+            FROM events GROUP BY event_type
         """,
         "q_kmv_distinct": """
             SELECT event_type,

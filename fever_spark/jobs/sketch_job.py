@@ -90,6 +90,8 @@ class SketchJob:
     def _input_files(self, spark: SparkSession) -> list[str]:
         import glob
 
+        if os.path.isfile(self.input_path):  # single parquet file
+            return [self.input_path]
         files = sorted(glob.glob(os.path.join(self.input_path, "**", "*.parquet"),
                                  recursive=True))
         if not files:

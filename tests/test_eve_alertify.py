@@ -57,6 +57,27 @@ class TestParseEve:
         # raw line retained for every row (JSONLine analog)
         assert (parsed["json_line"].str.len() > 0).all()
 
+    def test_pruned_parse_equals_full_parse_on_every_subset(self, lines):
+        # the schema pruner must never change VALUES — each random column
+        # subset must read identically to the same columns of a full parse
+        import random
+
+        from fever_spark.sources.eve import EVE_COLUMNS
+
+        full = eve.parse_eve(lines).orderBy("json_line").collect()
+        rng = random.Random(3)
+        subsets = [rng.sample(EVE_COLUMNS, rng.randrange(1, 9))
+                   for _ in range(5)]
+        subsets.append(["dns_answers", "bytes_toclient"])  # nested+struct
+        for cols in subsets:
+            got = (eve.parse_eve(lines, columns=["json_line"] + [
+                c for c in cols if c != "json_line"])
+                .orderBy("json_line").collect())
+            want_cols = ["json_line"] + [c for c in cols if c != "json_line"]
+            for g, f in zip(got, full):
+                for c in want_cols:
+                    assert g[c] == f[c], (c, g[c], f[c])
+
     def test_plan_parses_each_line_exactly_once(self, lines):
         # the measured regression this pins: per-column getField over the
         # from_json expression gets optimizer-rewritten into one pruned

@@ -47,7 +47,7 @@ def _state_rows(path_glob: str) -> list[dict]:
     import pyarrow.parquet as pq
 
     rows: list[dict] = []
-    for p in sorted(glob.glob(path_glob)):
+    for p in sorted(glob.glob(path_glob, recursive=True)):
         rows.extend(pq.read_table(p).to_pylist())
     return rows
 
@@ -71,14 +71,20 @@ def _merge_rows(rows: list[dict]) -> list[dict]:
 
 
 def _states(ckpt: str) -> list[dict]:
-    """The job's current merged state rows: ``final`` when it exists,
-    else a driver-side merge of every chunk partial (resume-in-progress
-    jobs are inspectable too — same states the final merge would fold)."""
+    """The current merged state rows of a checkpoint dir: ``final`` when
+    it exists, else a driver-side merge of every chunk partial (resume-
+    in-progress jobs are inspectable too — same states the final merge
+    would fold). A BARE state dir with neither layout — e.g. a daemon's
+    ``stats_state_dir`` of batch=N flushes — is read recursively and
+    merged across its partials the same way (sketch KIND comes from the
+    state bytes themselves, so no manifest is needed)."""
     final = glob.glob(os.path.join(ckpt, "final", "*.parquet"))
     if final:
         return _state_rows(os.path.join(ckpt, "final", "*.parquet"))
-    return _merge_rows(_state_rows(os.path.join(ckpt, "chunk=*",
-                                                "*.parquet")))
+    chunks = _state_rows(os.path.join(ckpt, "chunk=*", "*.parquet"))
+    if chunks:
+        return _merge_rows(chunks)
+    return _merge_rows(_state_rows(os.path.join(ckpt, "**", "*.parquet")))
 
 
 def _group_key(row: dict) -> dict:
@@ -162,7 +168,10 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "estimate":
-        m = _manifest(args.ckpt)
+        try:  # bare state dirs (daemon stats_state_dir) have no manifest:
+            m = _manifest(args.ckpt)  # kind then comes from the state bytes
+        except FileNotFoundError:
+            m = {}
         kinds = {s["name"]: s["kind"] for s in m.get("specs", [])}
         qs = [float(q) for q in args.quantiles.split(",") if q]
         rows = _states(args.ckpt)

@@ -264,6 +264,26 @@ class TestPerTriggerCostControls:
         assert est[("dns", "src_ips")] == 1
         assert est[("flow", "src_ips")] == 1
 
+    def test_sketchctl_reads_daemon_state_dir(self, spark, dirs, capsys):
+        # the daemon's stats_state_dir (bare batch=N flushes, no manifest)
+        # is inspectable with sketchctl: kind comes from the state bytes,
+        # partials merge across batches driver-side
+        import json as _json
+
+        from fever_spark.jobs.sketchctl import main as sketchctl
+
+        _drop(dirs["in"], "a.jsonl", [L_HTTP_EVIL, L_HTTP_OK])
+        _drop(dirs["in"], "b.jsonl", [L_DNS_BAD, L_FLOW])
+        run_pipeline(spark, dirs["in"], dirs["out"], IOCS,
+                     checkpoint=dirs["ckpt"], stats_state_dir=dirs["state"],
+                     max_files_per_trigger=1, stats_every=2)
+        rc = sketchctl(["estimate", dirs["state"], "--sketch", "src_ips"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        est = {r["event_type"]: round(r["estimate"]) for r in
+               (_json.loads(ln) for ln in out.splitlines() if ln)}
+        assert est == {"http": 2, "dns": 1, "flow": 1}
+
     def test_sink_files_bound_output_file_counts(self, spark, dirs):
         _drop(dirs["in"], "a.jsonl",
               [L_HTTP_EVIL, L_HTTP_OK, L_DNS_BAD, L_FLOW] * 8)

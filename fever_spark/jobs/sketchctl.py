@@ -91,29 +91,40 @@ def _group_key(row: dict) -> dict:
     return {k: v for k, v in row.items() if k not in ("sketch", "state")}
 
 
-def _estimate_row(row: dict, kinds: dict[str, str], quantiles: list[float],
-                  items: list[str]) -> dict:
+def _estimate_row(row: dict, specs: dict[str, dict],
+                  quantiles: list[float], items: list[str]) -> dict:
     from fever_spark.sketch.base import sketch_from_bytes
 
     sk = sketch_from_bytes(bytes(row["state"]))
     name = row["sketch"]
+    spec = specs.get(name, {})
     out = {**_group_key(row), "sketch": name,
-           "kind": kinds.get(name, type(sk).__name__)}
+           "kind": spec.get("kind", type(sk).__name__)}
     kls = type(sk).__name__
+    # a prehash spec stored xxhash64(item) int64s, not the raw strings —
+    # probing it with raw items would return silently-wrong counts
+    prehashed = bool(spec.get("prehash"))
     if kls in ("HyperLogLog", "KMVSketch"):
         out["estimate"] = round(sk.estimate(), 2)
-    elif kls in ("KLLSketch", "TDigest"):
-        out["quantiles"] = {str(q): float(sk.quantile(q)) for q in quantiles}
     elif kls == "CountMinSketch":
-        if items:
+        if items and prehashed:
+            out["note"] = ("prehashed sketch: items were inserted as JVM "
+                           "xxhash64 int64s — raw-string probes would be "
+                           "wrong, probe Spark-side with prehash_col")
+        elif items:
             import numpy as np
 
             est = sk.estimate(np.array(items, dtype=object))
             out["counts"] = {v: int(c) for v, c in zip(items, est)}
         else:
             out["note"] = "point-query sketch: pass --items to estimate"
+    elif kls in ("KLLSketch", "TDigest"):
+        out["quantiles"] = {str(q): float(sk.quantile(q)) for q in quantiles}
     elif kls == "BloomFilter":
-        if items:
+        if items and prehashed:
+            out["note"] = ("prehashed sketch: probe Spark-side with "
+                           "prehash_col, raw-string probes would be wrong")
+        elif items:
             import numpy as np
 
             hits = sk.contains(np.array(items, dtype=object))
@@ -172,7 +183,7 @@ def main(argv: list[str] | None = None) -> int:
             m = _manifest(args.ckpt)  # kind then comes from the state bytes
         except FileNotFoundError:
             m = {}
-        kinds = {s["name"]: s["kind"] for s in m.get("specs", [])}
+        specs = {s["name"]: s for s in m.get("specs", [])}
         qs = [float(q) for q in args.quantiles.split(",") if q]
         rows = _states(args.ckpt)
         if args.sketch:
@@ -183,7 +194,7 @@ def main(argv: list[str] | None = None) -> int:
                 return 1
         for r in sorted(rows, key=lambda r: json.dumps(
                 _group_key(r), sort_keys=True, default=str)):
-            print(json.dumps(_estimate_row(r, kinds, qs, args.items),
+            print(json.dumps(_estimate_row(r, specs, qs, args.items),
                              default=str))
         return 0
 
@@ -197,7 +208,12 @@ def main(argv: list[str] | None = None) -> int:
                 f"{args.ckpts[0]} — states from different job definitions "
                 "must not be merged")
     rows = _merge_rows([r for c in args.ckpts for r in _states(c)])
-    os.makedirs(os.path.join(args.out, "final"), exist_ok=True)
+    final_dir = os.path.join(args.out, "final")
+    os.makedirs(final_dir, exist_ok=True)
+    # a previous merge may have left other part files — writing only
+    # part-00000 over them would corrupt reads of the dir; clear first
+    for stale in glob.glob(os.path.join(final_dir, "*.parquet")):
+        os.unlink(stale)
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -222,4 +238,8 @@ def main(argv: list[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except BrokenPipeError:  # `sketchctl estimate ... | head` is routine
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        sys.exit(0)

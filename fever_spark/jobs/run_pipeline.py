@@ -248,10 +248,11 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
         fw_filters.append(F.col("event_type").isin(types_) if types_
                           else None)
     json_line_col = [F.col("json_line")]
-    # persist pays a memory-write pass; with deferred stats and no
-    # forwards the alerts job is the parse's ONLY consumer per trigger,
-    # so caching it buys nothing — skip
-    reuse_parse = bool(forwards) or stats_every <= 1
+    # persist pays a memory-write pass; with deferred stats, no forwards
+    # and no spool the alerts job is the parse's ONLY action per trigger,
+    # so caching it buys nothing — skip. (spool submits the alerts frame
+    # a second time, which without the persist would re-run parse+match)
+    reuse_parse = bool(forwards) or bool(spool) or stats_every <= 1
 
     alerts_root = os.path.join(output_dir, "alerts")
     # per-RUN tallies (not all-time): a second incremental run against the

@@ -264,6 +264,21 @@ class TestPerTriggerCostControls:
         assert est[("dns", "src_ips")] == 1
         assert est[("flow", "src_ips")] == 1
 
+    def test_spool_only_deferred_stats_keeps_parse_persisted(self, spark,
+                                                             dirs):
+        # spool with NO forwards and deferred stats: the spool submit is
+        # a SECOND action over the parse — the persist must stay on, or
+        # parse+match run twice per trigger; and the spooled payloads
+        # must match the written alerts exactly
+        _drop(dirs["in"], "a.jsonl", [L_HTTP_EVIL, L_DNS_BAD])
+        s = run_pipeline(spark, dirs["in"], dirs["out"], IOCS,
+                         checkpoint=dirs["ckpt"], spool=dirs["spool"],
+                         stats_state_dir=dirs["state"], stats_every=4)
+        assert s["alerts"] == 2
+        msgs = consume_spool(dirs["spool"], ack=False)
+        rows = [r for m in msgs for r in json.loads(m["payload"])]
+        assert {r["ioc"] for r in rows} == set(IOCS)
+
     def test_sketchctl_reads_daemon_state_dir(self, spark, dirs, capsys):
         # the daemon's stats_state_dir (bare batch=N flushes, no manifest)
         # is inspectable with sketchctl: kind comes from the state bytes,

@@ -538,17 +538,13 @@ def embedding_near_duplicates(df: DataFrame, vec_col: str = "embedding",
 # ---------------------------------------------------------------- clusters
 
 
-def _driver_components(pairs_ck: DataFrame) -> list[tuple]:
-    """Vectorized driver-side connected components over a SMALL pair frame:
-    hook-and-jump (hook the larger root under the smaller, then pointer-jump
-    until compressed) — O(E) numpy work per outer round, O(log n) rounds.
-    Returns [(id, min_reachable_id)] for every id in the pairs; id order
+def _components_arrays(a: np.ndarray, b: np.ndarray) -> list[tuple]:
+    """Vectorized connected components over edge arrays: hook-and-jump
+    (hook the larger root under the smaller, then pointer-jump until
+    compressed) — O(E) numpy work per outer round, O(log n) rounds.
+    Returns [(id, min_reachable_id)] for every id in the edges; id order
     (numeric or lexicographic) matches F.min exactly, so the output is
     byte-identical to the distributed label-propagation path."""
-    pdf = pairs_ck.toPandas()
-    if not len(pdf):
-        return []
-    a, b = pdf["id_a"].to_numpy(), pdf["id_b"].to_numpy()
     ids = np.unique(np.concatenate([a, b]))  # sorted: index order = id order
     ia, ib = np.searchsorted(ids, a), np.searchsorted(ids, b)
     parent = np.arange(len(ids), dtype=np.int64)
@@ -567,6 +563,15 @@ def _driver_components(pairs_ck: DataFrame) -> list[tuple]:
         if not moved.any() and not jumped:
             break
     return list(zip(ids.tolist(), ids[parent].tolist()))
+
+
+def _driver_components(pairs_ck: DataFrame) -> list[tuple]:
+    """Driver-side connected components over a SMALL pair frame
+    (see _components_arrays for the kernel and its output contract)."""
+    pdf = pairs_ck.toPandas()
+    if not len(pdf):
+        return []
+    return _components_arrays(pdf["id_a"].to_numpy(), pdf["id_b"].to_numpy())
 
 
 def near_dup_clusters(pairs: DataFrame, max_iterations: int = 20,

@@ -242,3 +242,42 @@ def test_kmv_jaccard_sampling_bound(seed_overlap):
     j_true = ov / (2 * n - ov)
     bound = 6 * (j_true * (1 - j_true) / 1024) ** 0.5 + 2 / 1024
     assert abs(kmv_jaccard(a, b) - j_true) <= bound
+
+
+# --------------------------------------------------- driver union-find fuzz
+
+
+@given(st.lists(st.tuples(st.integers(0, 60), st.integers(0, 60)),
+                min_size=1, max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_driver_components_match_scalar_union_find(edges):
+    """The numpy hook-and-jump kernel behind near_dup_clusters' driver
+    path must equal a scalar path-compressed union-find with min-root
+    relabeling on EVERY random graph (self-loops and duplicates included)."""
+    from fever_spark.operators.dedup import _components_arrays
+
+    a = np.array([e[0] for e in edges], dtype=np.int64)
+    b = np.array([e[1] for e in edges], dtype=np.int64)
+    got = dict(_components_arrays(a, b))
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in edges:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    want = {}
+    for x in set(a.tolist()) | set(b.tolist()):
+        root = find(x)
+        # min reachable id = min member of the component
+        want.setdefault(root, []).append(x)
+    expect = {x: min(members) for root, members in want.items()
+              for x in members}
+    assert got == expect

@@ -132,7 +132,9 @@ class TestRunPipeline:
             _drop(dirs["in"], "a.jsonl", [L_HTTP_EVIL])
             q.processAllAvailable()
             _drop(dirs["in"], "b.jsonl", [L_DNS_BAD])
-            deadline = time.time() + 30
+            # generous deadline: the co-tenant host swings 10x on identical
+            # work, and a missed deadline here reads as a daemon bug
+            deadline = time.time() + 90
             while time.time() < deadline:
                 q.processAllAvailable()
                 found = [p for p in q.recentProgress

@@ -684,7 +684,7 @@ def bench_eve_pipeline(spark):
             prog = [json.loads(p.json) for p in q.recentProgress]
         finally:
             q.stop()
-        q._fever_stats_acc.flush(spark)
+        q.fever_stats_acc.flush(spark)
         batches = [p for p in prog if p.get("numInputRows", 0) > 0]
         rows = sum(p["numInputRows"] for p in batches)
         secs = sum(p["durationMs"]["triggerExecution"]

@@ -91,6 +91,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="fallback capacity if the file is empty/corrupt")
     p.add_argument("--fpp", type=float, default=1e-8)
     p.add_argument("--from-file")
+    p.add_argument("--force-recover", action="store_true",
+                   help="replace an unparseable existing filter file with "
+                        "a fresh one (prior contents lost); without this, "
+                        "a corrupt file fails the add")
     p.add_argument("values", nargs="*")
 
     p = sub.add_parser("show", help="print filter params (+ probes)")
@@ -112,20 +116,43 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "add":
-        # tolerant load mirrors the daemon's startup recovery
-        # (bloom_handler.go:105-129): empty/corrupt file -> fresh filter.
-        # A CORRUPT existing file is data loss (the prior IOC set is
-        # gone) — recover, but say so, unlike a missing file which is
-        # just a first add.
+        # the DAEMON's startup load is tolerant (bloom_handler.go:105-129
+        # analog, BloomFilter.load_or_empty: alerting must continue even
+        # with a bad file) — but a CLI that MUTATES the durable file is
+        # strict: replacing a possibly-valid IOC filter with a fresh one
+        # is data loss, so it needs an explicit --force-recover. An IO
+        # error (EACCES, transient read failure) is never grounds to
+        # replace: fail non-zero and leave the file alone.
         recovered = False
-        try:
-            bf = BloomFilter.load(args.file)
-        except Exception:
-            recovered = os.path.exists(args.file)
+        bf = None
+        raw = None
+        try:  # the READ: an OSError here (EACCES, transient IO) is never
+            with open(args.file, "rb") as fh:  # grounds to replace
+                raw = fh.read()
+        except FileNotFoundError:  # a missing file is just a first add
             bf = BloomFilter(capacity=args.capacity, fpp=args.fpp)
-        if recovered:
-            print(f"bloomctl add: {args.file} unreadable; replacing with "
-                  "a fresh filter (prior contents lost)", file=sys.stderr)
+        except OSError as ex:
+            print(f"bloomctl add: cannot read {args.file}: {ex} — "
+                  "IO error, file left untouched", file=sys.stderr)
+            return 1
+        if bf is None:
+            try:  # the PARSE: failure here means the CONTENT is corrupt
+                import gzip as _gz  # (gzip.BadGzipFile ⊂ OSError, so the
+                if raw[:2] == b"\x1f\x8b":  # read/parse split above matters)
+                    raw = _gz.decompress(raw)
+                bf = BloomFilter.from_bytes(raw)
+            except Exception as ex:
+                if not args.force_recover:
+                    print(f"bloomctl add: {args.file} exists but does not "
+                          f"parse as a filter ({repr(ex)[:120]}); pass "
+                          "--force-recover to replace it with a fresh "
+                          "filter (prior contents lost)", file=sys.stderr)
+                    return 1
+                recovered = True
+                bf = BloomFilter(capacity=args.capacity, fpp=args.fpp)
+                print(f"bloomctl add: {args.file} unreadable; replacing "
+                      "with a fresh filter (prior contents lost)",
+                      file=sys.stderr)
         vals = _read_values(args)
         if not len(vals):
             print("bloomctl add: no values given", file=sys.stderr)

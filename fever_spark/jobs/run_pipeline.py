@@ -101,7 +101,12 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
 
     ``available_now=True`` (default) drains everything currently in the
     drop dir and returns a summary dict; ``False`` returns the running
-    ``StreamingQuery`` (caller manages its lifecycle).
+    ``StreamingQuery`` (caller manages its lifecycle) with the sketch
+    accumulator attached as ``query.fever_stats_acc`` — in deferred-stats
+    mode (``stats_every`` > 1) call ``query.fever_stats_acc.flush(spark)``
+    after stopping the query to absorb the up-to-K-1 spilled tail batches
+    (the spills are durable, so a caller that skips this merely leaves
+    them for the next run's flush to recover).
 
     Per-trigger cost controls (the continuous-daemon regime is many
     SMALL batches, so fixed per-trigger work is the throughput ceiling):
@@ -191,7 +196,20 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
         import json as _json
         import re as _re
 
-        base = os.path.join(checkpoint, "sources", "0")
+        # this parses Spark's PRIVATE file-source metadata log, so fail
+        # LOUDLY on anything unexpected rather than returning a silently
+        # wrong/empty file list: the query must have exactly one source
+        # (we hardcode sources/0) and the log format must be the v1 this
+        # parser understands
+        srcs = os.path.join(checkpoint, "sources")
+        others = [d for d in os.listdir(srcs) if d != "0"] \
+            if os.path.isdir(srcs) else []
+        if others:
+            raise RuntimeError(
+                f"deferred-stats flush expects exactly ONE file source "
+                f"(sources/0) but the checkpoint has sources/{{{','.join(sorted(others))}}} "
+                f"too — the file list for batch {batch_id} would be wrong")
+        base = os.path.join(srcs, "0")
         path = os.path.join(base, str(batch_id))
         if not os.path.exists(path):
             compacts = sorted(
@@ -204,6 +222,13 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
                     f"no file-source log for batch {batch_id} under {base}")
         out = []
         with open(path) as f:
+            header = f.readline().strip()
+            if header != "v1":
+                raise RuntimeError(
+                    f"file-source metadata log {path} has version header "
+                    f"{header!r}; this parser understands only 'v1' — a "
+                    "newer Spark changed the format, update _batch_files "
+                    "before trusting its file lists")
             for ln in f:
                 ln = ln.strip()
                 if ln and ln.startswith("{"):
@@ -358,9 +383,13 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
         if trigger_seconds is not None:
             writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
         q = writer.start()
-        # the accumulator rides on the query handle so a continuous-mode
-        # caller can flush()/read the deferred stats tail
-        q._fever_stats_acc = acc
+        # DOCUMENTED contract (see docstring): the accumulator rides on
+        # the query handle as `fever_stats_acc` so a continuous-mode
+        # caller can flush()/read the deferred stats tail — with
+        # stats_every=K, up to K-1 batches ride in the durable spill
+        # between flushes, and q.fever_stats_acc.flush(spark) absorbs
+        # them (main() does this around awaitTermination)
+        q.fever_stats_acc = acc
         return q
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
@@ -440,7 +469,14 @@ def main(argv: list[str] | None = None) -> None:
                        sink_files=args.sink_files,
                        trigger_seconds=args.trigger_seconds)
     if args.continuous:
-        out.awaitTermination()
+        try:
+            out.awaitTermination()
+        finally:
+            # absorb the deferred-stats tail (≤ stats_every-1 spilled
+            # batches) so a ctrl-C'd / terminated daemon leaves no
+            # pending spills for the next run to recover
+            if args.stats_every > 1:
+                out.fever_stats_acc.flush(spark)
     else:
         print(json.dumps(out))
         spark.stop()

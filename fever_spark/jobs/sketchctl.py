@@ -208,18 +208,35 @@ def main(argv: list[str] | None = None) -> int:
                 f"{args.ckpts[0]} — states from different job definitions "
                 "must not be merged")
     rows = _merge_rows([r for c in args.ckpts for r in _states(c)])
-    final_dir = os.path.join(args.out, "final")
-    os.makedirs(final_dir, exist_ok=True)
-    # a previous merge may have left other part files — writing only
-    # part-00000 over them would corrupt reads of the dir; clear first
-    for stale in glob.glob(os.path.join(final_dir, "*.parquet")):
-        os.unlink(stale)
+    # atomic replace of final/: write the merged table into a temp dir
+    # and os.replace it over final/, like the manifest swap below — a
+    # crash mid-merge must never leave an empty/partial final/ under a
+    # manifest still claiming completed=True (later show/estimate would
+    # silently read nothing)
+    import shutil
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    os.makedirs(args.out, exist_ok=True)
+    final_dir = os.path.join(args.out, "final")
+    tmp_dir = final_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir)
     table = pa.Table.from_pylist(rows)
-    pq.write_table(table, os.path.join(args.out, "final",
-                                       "part-00000.parquet"))
+    pq.write_table(table, os.path.join(tmp_dir, "part-00000.parquet"))
+    if os.path.isdir(final_dir):  # os.replace can't clobber a non-empty dir
+        # two renames (POSIX has no atomic non-empty-dir swap): the only
+        # crash window is between them, and it leaves the previous state
+        # intact at final.old — never an empty final/ under a
+        # completed=True manifest
+        old = final_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(final_dir, old)
+        os.replace(tmp_dir, final_dir)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.replace(tmp_dir, final_dir)
     out_manifest = {
         "job_id": "sketchctl-merge",
         "merged_from": list(args.ckpts),

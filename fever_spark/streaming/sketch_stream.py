@@ -200,10 +200,19 @@ class StreamingSketchAccumulator:
             if (m := re.match(pat, p))}
         landed = -1
         if self.state_dir is not None:
-            landed = max(
-                (int(m.group(1)) for p in
-                 glob.glob(os.path.join(self.state_dir, "batch=*"))
-                 if (m := re.match(r".*batch=(\d+)$", p))), default=-1)
+            # Only a batch=N dir carrying Spark's _SUCCESS marker counts as
+            # landed: a crash mid-write leaves a partial dir, and treating it
+            # as the high-water mark would delete that window's pending
+            # spills as "stale" — permanently losing their stats. Partial
+            # dirs are removed here so the re-flush's overwrite starts clean.
+            for p in glob.glob(os.path.join(self.state_dir, "batch=*")):
+                m = re.match(r".*batch=(\d+)$", p)
+                if m is None:
+                    continue
+                if os.path.exists(os.path.join(p, "_SUCCESS")):
+                    landed = max(landed, int(m.group(1)))
+                else:
+                    shutil.rmtree(p, ignore_errors=True)
         stale = [p for i, p in on_disk.items() if i <= landed]
         for p in stale:
             shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) \
@@ -247,7 +256,9 @@ class StreamingSketchAccumulator:
 
         if self.state_dir is None:
             raise ValueError("merged_states requires state_dir spill mode")
-        dirs = sorted(glob.glob(os.path.join(self.state_dir, "batch=*")))
+        dirs = sorted(
+            p for p in glob.glob(os.path.join(self.state_dir, "batch=*"))
+            if os.path.exists(os.path.join(p, "_SUCCESS")))
         if not dirs:
             raise FileNotFoundError(f"no batch states under {self.state_dir}")
         return two_level_merge(spark.read.parquet(*dirs), self.keys,

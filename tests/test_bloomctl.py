@@ -51,25 +51,63 @@ class TestBloomctl:
         rc, out = run(capsys, "add", "--file", f, "-")
         assert rc == 0 and out["n_inserted"] == 3
 
-    def test_add_tolerates_corrupt_file(self, tmp_path, capsys):
-        f = tmp_path / "junk.bloom"
-        f.write_bytes(b"not a filter at all")
-        rc, out = run(capsys, "add", "--file", str(f), "--capacity", "500",
-                      "--fpp", "1e-5", "v1")
-        # recovery path: fresh default filter, value added, file replaced
-        assert rc == 0 and out["n_inserted"] == 1 and out["capacity"] == 500
-        assert BloomFilter.load(str(f)).n_inserted == 1
-
-    def test_add_reports_recovery_from_corrupt_file(self, tmp_path, capsys):
-        # round-7 ADVICE: the replace-with-fresh recovery must be
-        # distinguishable from a normal load — 'recovered' flag + stderr
+    def test_add_corrupt_file_requires_force_recover(self, tmp_path, capsys):
+        # round-8 ADVICE: a CLI that MUTATES the durable file must not
+        # silently discard a possibly-valid IOC filter — corrupt content
+        # fails the add unless --force-recover is explicit
         f = tmp_path / "junk.bloom"
         f.write_bytes(b"not a filter at all")
         rc = main(["add", "--file", str(f), "v1"])
         cap = capsys.readouterr()
+        assert rc == 1 and "--force-recover" in cap.err
+        assert f.read_bytes() == b"not a filter at all"  # untouched
+
+        rc = main(["add", "--file", str(f), "--capacity", "500",
+                   "--fpp", "1e-5", "--force-recover", "v1"])
+        cap = capsys.readouterr()
         out = json.loads(cap.out.strip())
         assert rc == 0 and out["recovered"] is True
+        assert out["n_inserted"] == 1 and out["capacity"] == 500
         assert "prior contents lost" in cap.err
+        assert BloomFilter.load(str(f)).n_inserted == 1
+
+    def test_add_corrupt_gzip_is_corruption_not_io_error(self, tmp_path,
+                                                         capsys):
+        # gzip.BadGzipFile ⊂ OSError: a truncated .gz must land on the
+        # corruption path (recoverable with --force-recover), not be
+        # misclassified as a transient IO error
+        f = tmp_path / "trunc.bloom.gz"
+        f.write_bytes(b"\x1f\x8b\x08\x00trunc")
+        rc = main(["add", "--file", str(f), "v1"])
+        assert rc == 1 and "--force-recover" in capsys.readouterr().err
+        rc = main(["add", "--file", str(f), "--force-recover", "v1"])
+        capsys.readouterr()
+        assert rc == 0
+
+    def test_add_io_error_never_replaces(self, tmp_path, capsys,
+                                         monkeypatch):
+        # an EACCES-style READ failure exits non-zero and leaves the file
+        # alone — a valid filter must never be discarded over transient IO
+        import builtins
+
+        f = tmp_path / "ok.bloom"
+        run(capsys, "create", "--out", str(f), "v0")
+        before = f.read_bytes()
+        real_open = builtins.open
+
+        def deny(path, *a, **kw):
+            if str(path) == str(f):
+                raise PermissionError(13, "Permission denied", str(f))
+            return real_open(path, *a, **kw)
+
+        monkeypatch.setattr(builtins, "open", deny)
+        rc = main(["add", "--file", str(f), "--force-recover", "v1"])
+        cap = capsys.readouterr()
+        monkeypatch.undo()
+        assert rc == 1 and "IO error" in cap.err
+        assert f.read_bytes() == before
+
+    def test_add_missing_file_is_first_add(self, tmp_path, capsys):
         # a MISSING file is a first add, not a recovery
         g = str(tmp_path / "new.bloom")
         rc, out = run(capsys, "add", "--file", g, "v1")

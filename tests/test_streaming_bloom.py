@@ -190,6 +190,46 @@ class TestDeferredFlush:
         [row] = spark.read.parquet(os.path.join(state, "batch=1")).collect()
         assert round(sketch_from_bytes(bytes(row["state"])).estimate()) == 3
 
+    def test_partial_state_dir_not_counted_as_landed(self, spark, tmp_path):
+        """Crash DURING the flush's state write leaves a batch=N dir without
+        _SUCCESS. That dir must NOT raise the landed high-water mark — else
+        the next flush would drop the window's pending spills as stale and
+        permanently lose their stats (round-7 ADVICE, medium)."""
+        from fever_spark.ops.build import SketchSpec
+        from fever_spark.sketch.base import sketch_from_bytes
+        from fever_spark.streaming import StreamingSketchAccumulator
+
+        spec = [SketchSpec("hosts", "hll", "host", {"p": 12})]
+        pend = str(tmp_path / "pending")
+        state = str(tmp_path / "state")
+        acc = StreamingSketchAccumulator([], spec, flush_every=10,
+                                         pending_dir=pend, state_dir=state)
+        b = self._batches(spark)
+        acc.process_batch(b[0], 0)
+        acc.process_batch(b[1], 1)
+        assert len(os.listdir(pend)) == 2
+        # simulate a crash mid-write of state/batch=1: partial dir, no
+        # _SUCCESS marker (a stray part file only)
+        partial = os.path.join(state, "batch=1")
+        os.makedirs(partial)
+        with open(os.path.join(partial, "part-00000.parquet"), "wb") as f:
+            f.write(b"\x00garbage")
+
+        acc2 = StreamingSketchAccumulator([], spec, flush_every=10,
+                                          pending_dir=pend, state_dir=state)
+        absorbed = acc2.flush(spark)
+        # both pending spills survive the partial dir and get merged;
+        # the partial dir itself is cleaned so the overwrite lands fresh
+        assert absorbed == 2 and os.listdir(pend) == []
+        [row] = spark.read.parquet(os.path.join(state, "batch=1")).collect()
+        # distinct hosts a/b from batch 0 + c from batch 1
+        assert round(sketch_from_bytes(bytes(row["state"])).estimate()) == 3
+        # merged_states likewise only reads complete dirs
+        est_df = acc2.merged_states(spark)
+        [mrow] = est_df.collect()
+        assert round(
+            sketch_from_bytes(bytes(mrow["state"])).estimate()) == 3
+
     def test_flush_every_requires_pending_dir(self):
         from fever_spark.ops.build import SketchSpec
         from fever_spark.streaming import StreamingSketchAccumulator

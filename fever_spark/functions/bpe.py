@@ -413,6 +413,31 @@ def _merge_minrank(sym, wid, keys, ranks, newids):
     return sym[order], wid[order]           # stable sort restores order
 
 
+def _cache_touch_and_evict(cache: dict, used, cache_size: int) -> None:
+    """Batch-granularity LRU maintenance for the per-worker encode cache.
+
+    Touch: re-insert this batch's words at the dict's end so the
+    insertion-ordered eviction removes least-recently-USED words, not
+    least-recently-INSERTED — a hot word from the first batch survives
+    as long as batches keep using it (the round-7 FIFO-half evicted it
+    regardless of reuse). Touch cost is O(distinct words) dict ops, paid
+    only once the cache reaches half pressure. Evict: drop the stalest
+    half when over cache_size — a working set slightly above cache_size
+    keeps its hot tail instead of re-encoding every distinct word from
+    scratch each batch (a full clear() thrashed exactly at
+    cache_size + 1)."""
+    if len(cache) > cache_size // 2:
+        for w in used:
+            t = cache.pop(w, None)
+            if t is not None:
+                cache[w] = t
+    if len(cache) > cache_size:
+        from itertools import islice
+
+        for w in list(islice(cache, len(cache) // 2)):
+            del cache[w]
+
+
 def bpe_encode(df: DataFrame, merges: list, text_col: str = "text",
                out_col: str = "bpe_tokens", lowercase: bool = True,
                cache_size: int = 200_000) -> DataFrame:
@@ -467,14 +492,7 @@ def bpe_encode(df: DataFrame, merges: list, text_col: str = "text",
                 np.concatenate([[0], np.cumsum(row_len)])].tolist()
             toks = [all_toks[a:b]
                     for a, b in zip(row_offs[:-1], row_offs[1:])]
-            if len(cache) > cache_size:
-                # evict the oldest (first-inserted) half: a working set
-                # slightly above cache_size keeps its hot tail instead of
-                # re-encoding every distinct word from scratch each batch
-                # (full clear() thrashed exactly at cache_size + 1)
-                from itertools import islice
-                for w in list(islice(cache, len(cache) // 2)):
-                    del cache[w]
+            _cache_touch_and_evict(cache, uniq, cache_size)
             pdf = pdf.copy()
             pdf[out_col] = toks
             yield pdf

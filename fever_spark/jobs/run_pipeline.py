@@ -79,7 +79,10 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
                  bloom_file: str | None = None,
                  stats_every: int = 1,
                  sink_files: int = 1,
-                 trigger_seconds: float | None = None):
+                 trigger_seconds: float | None = None,
+                 compact_every: int = 0,
+                 compact_keep_last: int = 16,
+                 compact_fanin: int = 8):
     """Run the composed pipeline over ``input_dir``.
 
     ``forwards`` maps output name → event-type list ([] = everything);
@@ -126,7 +129,15 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
       all spilled batches together (crash-safe: spills are durable and
       flush() recovers leftovers). The drain path flushes the tail
       before returning; in continuous mode up to K-1 batches ride in
-      the spill between flushes."""
+      the spill between flushes;
+    - ``compact_every`` (continuous-daemon knob, 0 = off) runs the
+      jobs/compactor pass over the alerts root and every forward dir
+      once per that many triggers: per-trigger ``batch=<id>`` dirs
+      older than the ``compact_keep_last`` most recent roll up into
+      range-named files, and rolls themselves merge log-structured at
+      ``compact_fanin`` — total files stay O(keep_last + fanin) instead
+      of ~86k dirs/day/sink at a 1s cadence. Row contents are
+      preserved; only the layout changes."""
     if (iocs is None) == (bloom_file is None):
         raise ValueError("pass exactly one of iocs= or bloom_file=")
     if not checkpoint:
@@ -293,7 +304,8 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
     # perf observability (fever exposes the same through its perf stats
     # submitter); driver-side time.time() pairs, negligible cost
     phases = {"alerts_write": 0.0, "spool": 0.0,
-              "forwards": 0.0, "stats": 0.0, "stats_flush": 0.0}
+              "forwards": 0.0, "stats": 0.0, "stats_flush": 0.0,
+              "compact": 0.0}
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         import glob
@@ -362,10 +374,23 @@ def run_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
             run_files["alerts"] += len(
                 glob.glob(os.path.join(batch_dir, "*.parquet")))
             run_events[0] += int(counts["_total"])
+            if compact_every and batch_id > 0 \
+                    and batch_id % compact_every == 0:
+                from fever_spark.jobs.compactor import compact_sink_dir
+
+                compact_sink_dir(alerts_root, "parquet",
+                                 keep_last=compact_keep_last,
+                                 fanin=compact_fanin)
+                for name, _types in fw_items:
+                    compact_sink_dir(
+                        os.path.join(output_dir, "forward", name), "text",
+                        keep_last=compact_keep_last, fanin=compact_fanin)
+            t6 = _t.time()
             phases["alerts_write"] += t2 - t0
             phases["spool"] += t3 - t2
             phases["forwards"] += t4 - t3
             phases["stats"] += t5 - t4
+            phases["compact"] += t6 - t5
         finally:
             if reuse_parse:
                 cached.unpersist()
@@ -442,6 +467,14 @@ def main(argv: list[str] | None = None) -> None:
                          "instead of every trigger")
     ap.add_argument("--sink-files", type=int, default=1,
                     help="files per batch per sink (alerts/forwards)")
+    ap.add_argument("--compact-every", type=int, default=0,
+                    help="roll up old per-trigger batch dirs once per K "
+                         "triggers (0 = off); bounds sink file counts "
+                         "for long-running continuous daemons")
+    ap.add_argument("--compact-keep-last", type=int, default=16)
+    ap.add_argument("--compact-fanin", type=int, default=8)
+    ap.add_argument("--max-files-per-trigger", type=int, default=16,
+                    help="drop-dir files consumed per micro-batch")
     ap.add_argument("--continuous", action="store_true",
                     help="keep running instead of drain-and-exit")
     ap.add_argument("--trigger-seconds", type=float, default=None,
@@ -467,7 +500,11 @@ def main(argv: list[str] | None = None) -> None:
                        bloom_file=args.bloom_file,
                        stats_every=args.stats_every,
                        sink_files=args.sink_files,
-                       trigger_seconds=args.trigger_seconds)
+                       trigger_seconds=args.trigger_seconds,
+                       compact_every=args.compact_every,
+                       compact_keep_last=args.compact_keep_last,
+                       compact_fanin=args.compact_fanin,
+                       max_files_per_trigger=args.max_files_per_trigger)
     if args.continuous:
         try:
             out.awaitTermination()

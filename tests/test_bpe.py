@@ -102,6 +102,33 @@ class TestEncode:
                           cache_size=3).collect()}
         assert got == ref
 
+    def test_cache_lru_keeps_hot_word_across_batches(self):
+        # round-8: eviction is least-recently-USED, not least-recently-
+        # INSERTED — a word every batch touches survives indefinitely
+        # even though it was inserted first
+        from fever_spark.functions.bpe import _cache_touch_and_evict
+
+        cache = {"hot": ["h"]}
+        for batch in range(20):
+            for j in range(6):  # 6 fresh cold words per batch
+                cache[f"cold_{batch}_{j}"] = ["c"]
+            _cache_touch_and_evict(cache, ["hot"] +
+                                   [f"cold_{batch}_{j}" for j in range(6)],
+                                   cache_size=10)
+            assert "hot" in cache  # FIFO-half would have evicted it
+            assert len(cache) <= 10
+        # cold words from old batches are gone
+        assert not any(k.startswith("cold_0_") for k in cache)
+
+    def test_cache_touch_skipped_below_half_pressure(self):
+        # the touch pass is pure overhead while the cache is small — it
+        # must not run (observable: insertion order unchanged)
+        from fever_spark.functions.bpe import _cache_touch_and_evict
+
+        cache = {"a": 1, "b": 2, "c": 3}
+        _cache_touch_and_evict(cache, ["a"], cache_size=100)
+        assert list(cache) == ["a", "b", "c"]  # no reorder below pressure
+
     def test_frequent_words_become_single_tokens(self, spark, docs):
         model = train_bpe(word_counts(docs), num_merges=40, min_freq=2)
         enc = bpe_encode(docs, model["merges"]).collect()

@@ -148,6 +148,39 @@ class TestRunPipeline:
         assert {r["match_type"] for r in alerts.collect()} == {
             "http-host", "dns-req"}
 
+    def test_compact_every_bounds_sink_files(self, spark, dirs):
+        # round-8: the continuous-daemon file-growth knob — per-trigger
+        # batch dirs roll up into range files; alert rows and forward
+        # lines are preserved exactly; file counts stay bounded
+        from fever_spark.jobs.compactor import sink_file_count
+
+        for i in range(8):
+            _drop(dirs["in"], f"f{i}.jsonl",
+                  [L_HTTP_EVIL, L_HTTP_OK, L_DNS_BAD])
+        summary = run_pipeline(
+            spark, dirs["in"], dirs["out"], IOCS, checkpoint=dirs["ckpt"],
+            forwards={"all": []}, max_files_per_trigger=1,
+            compact_every=2, compact_keep_last=2, compact_fanin=3)
+        assert summary["batches"] == 8 and summary["alerts"] == 16
+        aroot = os.path.join(dirs["out"], "alerts")
+        froot = os.path.join(dirs["out"], "forward", "all")
+        # compaction ran: rolls exist, old dirs gone, counts bounded
+        import glob
+
+        assert [d for d in glob.glob(os.path.join(aroot, "batch=*"))
+                if "-" in os.path.basename(d)]  # range roll dirs exist
+        assert len([d for d in glob.glob(os.path.join(aroot, "batch=*"))
+                    if "-" not in os.path.basename(d)]) <= 3
+        assert sink_file_count(aroot) <= 2 + 3 + 2
+        assert sink_file_count(froot) <= 2 + 3 + 2
+        # content preserved across the layout change: every alert row and
+        # every forwarded raw line still reads back
+        alerts = spark.read.parquet(aroot)
+        assert alerts.count() == 16
+        assert {r["ioc"] for r in alerts.collect()} == set(IOCS)
+        fw = spark.read.json(froot + "/*")
+        assert fw.count() == 24
+
     def test_empty_drop_dir_yields_empty_summary(self, spark, dirs):
         os.makedirs(dirs["in"], exist_ok=True)
         s = run_pipeline(spark, dirs["in"], dirs["out"], IOCS,

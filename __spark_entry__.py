@@ -300,7 +300,15 @@ def q_eve_pipeline(spark, sf_dir):
     hash. ``spool_ok`` gates the submitter digest: a checkpoint-replay
     run must leave the spool's content-hash name set byte-identical,
     spool payload rows must equal the alert rows the run wrote, and every
-    envelope must carry the sensor_id/compressed headers."""
+    envelope must carry the sensor_id/compressed headers.
+
+    Round-8 fold: the run is now MULTI-BATCH (4 drop files, one per
+    trigger) with sink COMPACTION on (jobs/compactor.py, compact_every=2,
+    keep_last=1): batch dirs roll into range dirs mid-run, and both
+    read-backs — alerts parquet count (compact_ok, inside spool_ok) and
+    the per-type forward counts the oracle hashes (pipeline_n) — run
+    over the compacted roots, so a row lost or duplicated by compaction
+    breaks the gate."""
     import json as _json
     import shutil
     import tempfile
@@ -314,7 +322,16 @@ def q_eve_pipeline(spark, sf_dir):
     try:
         drop = os.path.join(base, "drop")
         os.makedirs(drop)
-        shutil.copy(eve_jsonl(), os.path.join(drop, "events.jsonl"))
+        # round-8 fold: split the fixture across 4 drop files consumed one
+        # per trigger, so the SAME gated run exercises multi-batch
+        # compaction (jobs/compactor.py): batch dirs roll into range dirs
+        # at compact_every=2, and the read-backs below run over the
+        # COMPACTED roots — any lost/duplicated row breaks the oracle hash
+        with open(eve_jsonl()) as f:
+            fixture_lines = [ln for ln in f if ln.strip()]
+        for part in range(4):
+            with open(os.path.join(drop, f"events{part}.jsonl"), "w") as f:
+                f.writelines(fixture_lines[part::4])
         out = os.path.join(base, "out")
         spool = os.path.join(base, "spool")
         kw = dict(iocs=["host3", "name7", "sni5"],
@@ -324,7 +341,9 @@ def q_eve_pipeline(spark, sf_dir):
                   # deferred stats (file-list spill + tail flush into the
                   # parquet state table) and single-file sinks
                   stats_every=2,
-                  stats_state_dir=os.path.join(base, "stats"))
+                  stats_state_dir=os.path.join(base, "stats"),
+                  max_files_per_trigger=1,
+                  compact_every=2, compact_keep_last=1, compact_fanin=2)
         s1 = run_pipeline(spark, drop, out, **kw)
         names1 = sorted(os.listdir(spool))
         s2 = run_pipeline(spark, drop, out, **kw)  # replay: nothing new
@@ -340,10 +359,21 @@ def q_eve_pipeline(spark, sf_dir):
                     and ("http", "http_hosts") in stat_kinds
                     and (not os.path.exists(pend)
                          or os.listdir(pend) == []))
-        ok = (s1["batches"] == 1 and s2["batches"] == 0
+        # compaction gate: rolls exist, live dirs bounded, and the alert
+        # row count read over the COMPACTED root equals what the run wrote
+        import glob as _glob
+
+        aroot = os.path.join(out, "alerts")
+        a_entries = [os.path.basename(d)
+                     for d in _glob.glob(os.path.join(aroot, "batch=*"))]
+        compact_ok = (any("-" in e for e in a_entries)
+                      and sum("-" not in e for e in a_entries) <= 2
+                      and spark.read.parquet(aroot).count() == s1["alerts"])
+        ok = (s1["batches"] == 4 and s2["batches"] == 0
               and sorted(os.listdir(spool)) == names1 and len(names1) > 0
               and spool_rows == s1["alerts"] and s1["alerts"] > 0
-              and s1["sink_files"].get("alerts") == 1
+              and s1["sink_files"].get("alerts") == 4  # 1 file/batch/sink
+              and compact_ok
               and stats_ok
               and all(m["headers"].get("sensor_id")
                       and m["headers"].get("compressed") == "false"

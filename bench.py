@@ -700,6 +700,60 @@ def bench_eve_pipeline(spark):
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
+    # CAPACITY point (round-8): the arrival rate beyond which a
+    # fixed-cadence daemon's backlog grows without bound — fever's
+    # analog is the drop-on-overflow socket buffer
+    # (input/input_socket.go:81-89): beyond this rate it sheds. Method:
+    # OVERSATURATE the live drop dir (all 32 files linked in at once,
+    # far above any sustainable rate), cap triggers at 8 files (250k
+    # events), and take the median rows/duration of the SATURATED
+    # triggers — the daemon's steady-state drain rate at that trigger
+    # size. Larger triggers amortize the ~1s fixed cost further
+    # (capacity rises with allowed latency); the 1-batch drain above is
+    # the asymptote.
+    out = tempfile.mkdtemp(prefix="fever_bench_eve_cap_")
+    try:
+        drop, _ = s["drops"][1_000_000]
+        src_files = sorted(
+            f for f in os.listdir(drop) if f.startswith("part-"))
+        live = os.path.join(out, "drop")
+        os.makedirs(live)
+        for f in src_files:  # all at once: offered >> capacity
+            os.link(os.path.join(drop, f), os.path.join(live, f))
+        q = run_pipeline(
+            spark, live, os.path.join(out, "o"),
+            iocs=["host3", "name7", "sni5"],
+            checkpoint=os.path.join(out, "ckpt"),
+            forwards={"dns_only": ["dns"]},
+            max_files_per_trigger=8, available_now=False, stats_every=4,
+            trigger_seconds=1.0)
+        try:
+            q.processAllAvailable()
+            prog = [json.loads(p.json) for p in q.recentProgress]
+        finally:
+            q.stop()
+        q.fever_stats_acc.flush(spark)
+        per_file = 1_000_000 // len(src_files)
+        sat = [p for p in prog
+               if p.get("numInputRows", 0) >= 8 * per_file]
+        rates = sorted(p["numInputRows"]
+                       / (p["durationMs"]["triggerExecution"] / 1000.0)
+                       for p in sat)
+        durs = sorted(p["durationMs"]["triggerExecution"] / 1000.0
+                      for p in sat)
+        runs["1m_capacity"] = {
+            "max_sustainable_events_per_sec":
+                round(rates[len(rates) // 2], 1) if rates else None,
+            "saturated_triggers": len(sat),
+            "events_per_trigger": 8 * per_file,
+            "median_trigger_s": round(durs[len(durs) // 2], 3)
+            if durs else None,
+            "note": ("arrival above this rate grows the drop-dir "
+                     "backlog unboundedly at 8-file triggers; the "
+                     "daemon analog of fever's drop-on-overflow")}
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
     w1, w8 = runs["1m_1batch"]["wall_s"], runs["1m_8batch"]["wall_s"]
     fixed = max(w8 - w1, 0.0) / 7  # 7 extra triggers' worth of overhead
     _EVE_DETAIL.update(
@@ -707,6 +761,8 @@ def bench_eve_pipeline(spark):
         events_per_sec=runs["1m_1batch"]["events_per_sec"],
         events_per_sec_8batch=runs["1m_8batch"]["events_per_sec"],
         events_per_sec_soak=runs["1m_soak_continuous"]["events_per_sec"],
+        capacity_events_per_sec=runs["1m_capacity"][
+            "max_sustainable_events_per_sec"],
         fixed_cost_per_batch_s=round(fixed, 3),
         variable_cost_1m_s=round(w1 - fixed, 3))
     return alerts

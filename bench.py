@@ -1029,6 +1029,73 @@ def bench_sf1(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+_DEDUP1M_DETAIL = {}
+DEDUP1M_DOCS = int(os.environ.get("FEVER_BENCH_DEDUP1M_DOCS", "1000000"))
+DEDUP1M_DUP_FRAC = 0.15
+
+
+def bench_dedup_1m(spark):
+    """MinHash-LSH + connected components one decade above sf1 (verdict r7
+    #5): ~1M documents with a PLANTED 15% near-dup fraction, so the pair
+    volume is real rather than the incidental handful the dup-free synth
+    corpus yields. Pins (a) banding linearity at 1M docs x 128 perms,
+    (b) the driver/distributed CC threshold behavior at a six-figure pair
+    count: clusters run BOTH ways over the same materialized pairs —
+    default `driver_pairs_threshold` (driver union-find) and threshold=0
+    (distributed min-label propagation) — and the detail records observed
+    pairs vs the 1M threshold plus both walls. Corpus generation is
+    deterministic (base = synth pages; dups = a hash-selected 15% of base
+    re-keyed with ONE token appended, est_jaccard ~0.9 at shingle_size=3)
+    and cached on disk; generation is excluded from the timings."""
+    n_base = int(DEDUP1M_DOCS / (1 + DEDUP1M_DUP_FRAC))
+    cache = os.path.join(REPO, ".bench_cache", f"dedup1m_{DEDUP1M_DOCS}")
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        base = (synth_pages_df(spark, n_base, partitions=64)
+                .select(F.xxhash64("url").alias("doc_id"), "text"))
+        # deterministic 15% pick by id hash; the mutant keeps ~all
+        # shingles (one appended token on a >=3-token doc) and gets a
+        # fresh id far from the base id space
+        dups = (base.filter(F.pmod(F.xxhash64(F.col("doc_id")), F.lit(100))
+                            < int(DEDUP1M_DUP_FRAC * 100))
+                .select((F.col("doc_id") + F.lit(1)).alias("doc_id"),
+                        F.concat(F.col("text"), F.lit(" duptail"))
+                        .alias("text")))
+        base.unionAll(dups).write.mode("overwrite").parquet(cache)
+    docs = spark.read.parquet(cache)
+    n_docs = docs.count()
+
+    stages = {}
+    t0 = time.time()
+    sigs = dedup.minhash_signatures(docs).localCheckpoint(eager=True)
+    stages["signatures"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    pairs = (dedup.lsh_candidate_pairs(sigs, bands=32, num_hashes=128)
+             .filter(F.col("est_jaccard") >= 0.7)
+             .localCheckpoint(eager=True))
+    n_pairs = pairs.count()
+    stages["lsh_pairs"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_clusters_drv = (dedup.near_dup_clusters(pairs)
+                      .select("cluster_id").distinct().count())
+    stages["clusters_driver"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_clusters_dist = (dedup.near_dup_clusters(
+        pairs, driver_pairs_threshold=0)
+        .select("cluster_id").distinct().count())
+    stages["clusters_distributed"] = round(time.time() - t0, 3)
+    assert n_clusters_drv == n_clusters_dist, (n_clusters_drv,
+                                               n_clusters_dist)
+    _DEDUP1M_DETAIL.update(
+        n_docs=n_docs, n_pairs=n_pairs,
+        driver_pairs_threshold=1_000_000,
+        cc_path_taken="driver" if n_pairs <= 1_000_000 else "distributed",
+        n_clusters=n_clusters_drv,
+        distributed_rounds=dedup.near_dup_clusters.last_rounds,
+        stages=stages, total_s=round(sum(stages.values()), 3),
+        docs_per_sec_sig=round(n_docs / stages["signatures"], 1))
+    return n_pairs
+
+
 BENCHES = {
     "scan_pages": bench_scan_pages,
     "sketch_pipeline": bench_sketch_pipeline,
@@ -1049,13 +1116,14 @@ BENCHES = {
     "eve_pipeline": bench_eve_pipeline,
     "streaming": bench_streaming,
     "sf1": bench_sf1,
+    "dedup_1m": bench_dedup_1m,
 }
 
 # Heavy composed entries (model training / corpus-index state per run):
 # run ONCE after the rep loop, recorded in `queries` but excluded from
 # the headline `value` so the comparable subset stays stable per round.
 ONE_SHOT = {"text_models", "ingest", "crawl_gated", "eve_pipeline",
-            "streaming", "sf1"}
+            "streaming", "sf1", "dedup_1m"}
 
 
 # the probe's idle-host floor (median of idle-session runs on this host
@@ -1275,6 +1343,8 @@ def main(argv=None):
         result["streaming_stages"] = _STREAM_DETAIL
     if "sf1" in requested and _SF1_DETAIL:
         result["sf1_stages"] = _SF1_DETAIL
+    if "dedup_1m" in requested and _DEDUP1M_DETAIL:
+        result["dedup_1m_stages"] = _DEDUP1M_DETAIL
     if one_shot:
         result["one_shot"] = one_shot
     ctrl_after = _parallel_control()

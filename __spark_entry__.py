@@ -522,7 +522,13 @@ def q_hll_bound(spark, sf_dir):
     per-type estimates must EQUAL the in-Spark hll_estimate_col values
     exactly (same registers, same kernel). Any byte-format or
     merge-algebra drift between the Spark path and the file contract
-    flips ctl_ok to 0 on every row."""
+    flips ctl_ok to 0 on every row.
+
+    Round-8 fold — jvm_ok: the JVM-native engine (ops/jvm_sketch.py,
+    hll_sketch_agg via Tungsten, no Python boundary) runs the same
+    grouping over the same table; its group set must equal the Python
+    engine's and every estimate must sit within the same 4-sigma bound
+    of exact. Gates the second execution engine against the first."""
     ev = _read(spark, sf_dir, "events")
     merged = two_level_merge(
         build_sketches(ev, ["event_type"],
@@ -563,11 +569,25 @@ def q_hll_bound(spark, sf_dir):
             and all(cli_est[k] == round(spark_est[k], 2)
                     for k in spark_est))
 
+    from fever_spark.ops import jvm_hll_estimate_col, jvm_sketches
+
+    # DataSketches HLL at the same lgK obeys the same 1.04/sqrt(2^p)
+    # rse; reuse the 4-sigma bound. Group-set equality is checked by the
+    # inner join below: a missing/extra JVM group nulls jvm_est on that
+    # row (or drops the python row count), flipping the hash gate.
+    jvm_est = (jvm_sketches(ev, ["event_type"],
+                            [SketchSpec("u", "hll", "user_id", {"p": 14})])
+               .withColumn("jvm_est", jvm_hll_estimate_col(F.col("state")))
+               .select("event_type", "jvm_est"))
+
     return (est.join(exact, "event_type")
+            .join(jvm_est, "event_type")
             .select("event_type",
                     (F.abs(F.col("est") - F.col("x")) / F.col("x") <= bound)
                     .cast("int").alias("within_bound"),
-                    F.lit(ctl_ok).alias("ctl_ok")))
+                    F.lit(ctl_ok).alias("ctl_ok"),
+                    (F.abs(F.col("jvm_est") - F.col("x")) / F.col("x")
+                     <= bound).cast("int").alias("jvm_ok")))
 
 
 def q_kmv_distinct(spark, sf_dir):
@@ -1594,7 +1614,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 20
         """,
         "q_hll_bound": """
-            SELECT event_type, 1 AS within_bound, 1 AS ctl_ok
+            SELECT event_type, 1 AS within_bound, 1 AS ctl_ok,
+                   1 AS jvm_ok
             FROM events GROUP BY event_type
         """,
         "q_kmv_distinct": """

@@ -1029,6 +1029,66 @@ def bench_sf1(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+_ENGINE_AB_DETAIL = {}
+
+
+def bench_engine_ab(spark):
+    """Python-format engine vs the JVM-native engine (ops/jvm_sketch.py)
+    over the same cached 10M pages — the crossover datum behind the
+    engine-choice rule in jvm_sketch.py's docstring. Four best-of-3
+    walls: {hll-only, hll+cms} x {python, jvm}. Decomposition context
+    (BENCH/BASELINE.md round 8): a NO-OP mapInPandas ship costs ~92% of
+    the python pipeline's wall — the python walls are transfer-bound
+    and near-identical for hll vs hll+cms, while the JVM engine skips
+    the boundary entirely (measured at 10M pages/local[32]: hll-only
+    7.1x, bundle 3.2x)."""
+    from fever_spark.ops import jvm_hll_estimate_col, jvm_sketches
+
+    pages = _pages_projected(spark)
+    hll = [SketchSpec("distinct_urls", "hll", "url", {"p": 14})]
+    bundle = hll + [SketchSpec("host_freq", "cms", "url",
+                               {"epsilon": 1e-4, "delta": 1e-3},
+                               prehash=True)]
+    jvm_bundle = [hll[0], SketchSpec("host_freq", "cms", "url",
+                                     {"epsilon": 1e-4, "delta": 1e-3})]
+
+    # materialize by summing EVERY state's byte length: .count() (or a
+    # filter to one sketch name) would let Catalyst PRUNE unread
+    # aggregate expressions from the JVM plan — the opaque Python
+    # closure can't be pruned, so the A/B would be phantom-fast on one
+    # side. Verified: the pruned variant reported 0.25s for hll+cms,
+    # the forced one pays for both aggregates.
+    def py_run(specs):
+        merged = two_level_merge(
+            build_sketches(pages, ["lang"], specs, coalesce_to=0), ["lang"])
+        return merged.agg(F.sum(F.octet_length("state"))).collect()[0][0]
+
+    def jvm_run(specs):
+        df = jvm_sketches(pages, ["lang"], specs)
+        return df.agg(F.sum(F.octet_length("state"))).collect()[0][0]
+
+    walls = {}
+    for name, fn, specs in [
+            ("python_hll", py_run, hll), ("jvm_hll", jvm_run, hll),
+            ("python_hll_cms", py_run, bundle),
+            ("jvm_hll_cms", jvm_run, jvm_bundle)]:
+        fn(specs)  # warm (worker reuse / codegen)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            n = fn(specs)
+            best = min(best, time.time() - t0)
+        assert n > 0
+        walls[name] = round(best, 3)
+    _ENGINE_AB_DETAIL.update(
+        walls_s=walls, n_pages=N_PAGES,
+        jvm_hll_speedup=round(walls["python_hll"] / walls["jvm_hll"], 2),
+        jvm_bundle_speedup=round(
+            walls["python_hll_cms"] / walls["jvm_hll_cms"], 2),
+        pages_per_sec_jvm_hll=round(N_PAGES / walls["jvm_hll"], 1))
+    return sum(walls.values())
+
+
 _DEDUP1M_DETAIL = {}
 DEDUP1M_DOCS = int(os.environ.get("FEVER_BENCH_DEDUP1M_DOCS", "1000000"))
 DEDUP1M_DUP_FRAC = 0.15
@@ -1117,13 +1177,14 @@ BENCHES = {
     "streaming": bench_streaming,
     "sf1": bench_sf1,
     "dedup_1m": bench_dedup_1m,
+    "engine_ab": bench_engine_ab,
 }
 
 # Heavy composed entries (model training / corpus-index state per run):
 # run ONCE after the rep loop, recorded in `queries` but excluded from
 # the headline `value` so the comparable subset stays stable per round.
 ONE_SHOT = {"text_models", "ingest", "crawl_gated", "eve_pipeline",
-            "streaming", "sf1", "dedup_1m"}
+            "streaming", "sf1", "dedup_1m", "engine_ab"}
 
 
 # the probe's idle-host floor (median of idle-session runs on this host
@@ -1343,6 +1404,8 @@ def main(argv=None):
         result["streaming_stages"] = _STREAM_DETAIL
     if "sf1" in requested and _SF1_DETAIL:
         result["sf1_stages"] = _SF1_DETAIL
+    if "engine_ab" in requested and _ENGINE_AB_DETAIL:
+        result["engine_ab"] = _ENGINE_AB_DETAIL
     if "dedup_1m" in requested and _DEDUP1M_DETAIL:
         result["dedup_1m_stages"] = _DEDUP1M_DETAIL
     if one_shot:

@@ -1,0 +1,158 @@
+"""JVM-native sketch path: Tungsten aggregates instead of Python kernels.
+
+Why this exists — measured, not assumed (BENCH/BASELINE.md round 8): the
+Python-format pipeline (``build_sketches`` → ``two_level_merge``) pays a
+JVM→Python Arrow transfer tax of ~2.5s per 10M rows at local[8] — a no-op
+``mapInPandas`` closure already costs 92% of the full three-sketch
+pipeline's wall. The numpy update kernels themselves are FASTER than
+Spark's per-row JVM aggregates (4.2M vs ~3.9M pages/s for the bundle),
+so the only way past the ceiling is to never cross the boundary at all.
+Catalyst has native mergeable aggregates for two of our kinds:
+
+- ``hll`` → ``hll_sketch_agg`` (Apache DataSketches HLL, Spark ≥3.5) —
+  measured on the same 10M-page input (bench.py ``engine_ab``, forced
+  state materialization so Catalyst can't prune the aggregates):
+  **25.7M pages/s at local[32] vs 3.6M** for the Python pipeline —
+  **7.1×** when the workload is HLL-only, the most common production
+  shape (distinct counting); 19.3M vs 3.6M (5.3×) at local[8].
+- ``cms`` → ``count_min_sketch`` (spark.util.sketch.CountMinSketch).
+
+Crossover, measured: HLL-only → always JVM. The HLL+CMS bundle ties at
+local[8] (one boundary crossing amortizes across all Python sketches,
+while JVM aggregates pay per-row per-aggregate) but the JVM engine wins
+**3.2×** at local[32] — the Python path is pinned at the transfer
+path's host ceiling (~3.6M pages/s at 8 and at 32 threads alike) while
+Tungsten keeps scaling with cores. The Python path additionally yields
+fever-format state: use it whenever you need the ops plane or kinds
+Spark lacks (KLL, t-digest, KMV, Bloom-as-state, CMSTopK); use this
+path for HLL/CMS-dominated batch reporting.
+
+Tungsten runs the same two-level combine ``two_level_merge`` hand-builds
+for Python states — partial aggregation map-side, merge after a
+groups-only shuffle — so ``jvm_sketches`` returns FINAL states directly;
+there is no separate merge step within a job. Cross-job unions: HLL via
+``jvm_hll_union`` (``hll_union_agg``, again never leaving the JVM); CMS
+via the driver-side ``jvm_cms_merge`` (O(states), py4j ``mergeInPlace``).
+
+State formats are the JVM libraries' own (DataSketches HLL compact
+bytes; ``CountMinSketch.writeTo`` v1) — NOT the fever versioned-LE
+envelope. They do not feed ``two_level_merge``/``hll_estimate_col`` or
+the sketchctl ops plane, and fever-format states do not feed the
+functions here; both directions fail loudly (tested) rather than
+mis-parse. Reference parity: same aggregation semantics as fever's
+flow_aggregator consume/flush loop (processing/flow_aggregator.go:111-170)
+with the engine, not handwritten Go, choosing the physical plan.
+
+NULL semantics match ``build_sketches``: null values are skipped by the
+aggregates (an all-null group yields an EMPTY sketch, estimate 0 — not a
+null state), null group keys form their own group, empty input yields no
+rows. CMS inputs are fed RAW (string/int accepted by the JVM aggregate;
+point queries then probe with the raw item) — never pre-hashed with
+``xxhash64``, which maps SQL NULL to the seed and would silently count
+nulls.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fever_spark.ops.build import SketchSpec
+
+JVM_KINDS = ("hll", "cms")
+_CMS_DEFAULT_SEED = 42
+
+
+def _agg_for(spec: SketchSpec, kind_of: dict) -> Column:
+    if spec.weight_column is not None:
+        raise ValueError(
+            f"spec {spec.name!r}: weight_column is not supported by the "
+            "JVM engine (count_min_sketch has no weighted update) — use "
+            "build_sketches for weighted CMS")
+    if spec.kind == "hll":
+        p = int(spec.params.get("p", 14))
+        if not 4 <= p <= 21:
+            raise ValueError(f"spec {spec.name!r}: hll p={p} outside "
+                             "hll_sketch_agg's lgConfigK range [4, 21]")
+        kind_of[spec.name] = "hll"
+        return F.hll_sketch_agg(spec.column, p).alias(spec.name)
+    if spec.kind == "cms":
+        eps = float(spec.params.get("epsilon", 1e-4))
+        delta = float(spec.params.get("delta", 1e-3))
+        seed = int(spec.params.get("seed", _CMS_DEFAULT_SEED))
+        kind_of[spec.name] = "cms"
+        return F.count_min_sketch(
+            spec.column, F.lit(eps), F.lit(1.0 - delta), F.lit(seed)
+        ).alias(spec.name)
+    raise ValueError(
+        f"spec {spec.name!r}: kind {spec.kind!r} has no JVM aggregate "
+        f"(supported: {', '.join(JVM_KINDS)}) — use build_sketches")
+
+
+def jvm_sketches(df: DataFrame, keys: list[str],
+                 specs: list[SketchSpec]) -> DataFrame:
+    """→ DataFrame(keys..., sketch: string, state: binary) of FINAL
+    per-(keys, spec) states via Catalyst's native sketch aggregates.
+    One whole-stage-codegen pass; Tungsten performs the map-side partial
+    aggregation and the groups-only shuffle internally, so the shuffle
+    volume is O(groups × state_size) — identical scale shape to
+    build_sketches + two_level_merge, without the Python boundary."""
+    if not specs:
+        raise ValueError("jvm_sketches needs at least one spec")
+    kind_of: dict = {}
+    aggs = [_agg_for(s, kind_of) for s in specs]
+    names = [s.name for s in specs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate spec names: {names}")
+    wide = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    # long canonical shape; all agg outputs are binary so unpivot is typed
+    return wide.unpivot(keys, names, "sketch", "state")
+
+
+def jvm_hll_estimate_col(state: Column) -> Column:
+    """Distinct-count estimate from a jvm_sketches hll state column."""
+    return F.hll_sketch_estimate(state)
+
+
+def jvm_hll_union(sketch_df: DataFrame, keys: list[str]) -> DataFrame:
+    """Union jvm hll state rows down to one per (keys, sketch) — the
+    cross-job merge (two checkpoints, two days' outputs). States must all
+    be hll; feeding cms rows raises in the executor (DataSketches rejects
+    the bytes). allowDifferentLgConfigK=True: unioning p=14 with p=12
+    degrades to the smaller p, mirroring merge_many's parameter check
+    being strict while DataSketches' union is permissive — callers who
+    need strictness should keep p uniform per sketch name."""
+    return (sketch_df.groupBy(*[F.col(k) for k in keys], "sketch")
+            .agg(F.hll_union_agg("state", True).alias("state")))
+
+
+def _jvm_cms(spark: SparkSession, state: bytes):
+    jvm = spark.sparkContext._jvm
+    bis = jvm.java.io.ByteArrayInputStream(bytes(state))
+    return jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+
+
+def jvm_cms_estimate(spark: SparkSession, state: bytes,
+                     items: list) -> list[int]:
+    """Point-frequency upper bounds from a jvm_sketches cms state —
+    driver-side read-back through the same JVM class that built it
+    (O(items) py4j calls; probing, not a per-row path). Probe with the
+    RAW item values the build column held."""
+    cms = _jvm_cms(spark, state)
+    return [cms.estimateCount(i) for i in items]
+
+
+def jvm_cms_merge(spark: SparkSession, states: list[bytes]) -> bytes:
+    """Union cms states (same eps/confidence/seed) driver-side —
+    O(states × table_size), no Spark job; the cross-job counterpart of
+    jvm_hll_union. Raises IllegalArgumentException through py4j on
+    parameter mismatch."""
+    if not states:
+        raise ValueError("jvm_cms_merge needs at least one state")
+    acc = _jvm_cms(spark, states[0])
+    for s in states[1:]:
+        acc = acc.mergeInPlace(_jvm_cms(spark, s))
+    jvm = spark.sparkContext._jvm
+    bos = jvm.java.io.ByteArrayOutputStream()
+    acc.writeTo(bos)
+    return bytes(bos.toByteArray())

@@ -1,0 +1,139 @@
+"""JVM-native sketch path (ops/jvm_sketch.py): parity with the Python
+engine's semantics, accuracy bounds vs exact aggregates, cross-job union
+algebra, and loud cross-format failures."""
+
+import os
+
+import pytest
+import pyspark.sql.functions as F
+
+from fever_spark.ops import (
+    SketchSpec, build_sketches, jvm_cms_estimate, jvm_cms_merge,
+    jvm_hll_estimate_col, jvm_hll_union, jvm_sketches, two_level_merge,
+)
+
+SF = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet").cache()
+
+
+def test_hll_bound_vs_exact(spark, events):
+    specs = [SketchSpec("du", "hll", "user_id", {"p": 14})]
+    est = (jvm_sketches(events, ["event_type"], specs)
+           .withColumn("est", jvm_hll_estimate_col(F.col("state")))
+           .select("event_type", "est"))
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact"))
+    rows = est.join(exact, "event_type").collect()
+    assert rows
+    # DataSketches HLL at lgK=14: rse ~= 1.04/sqrt(2^14); allow 4 sigma
+    tol = 4 * 1.04 / (2 ** 14) ** 0.5
+    for r in rows:
+        assert abs(r["est"] - r["exact"]) <= max(tol * r["exact"], 2.0), r
+
+
+def test_group_set_matches_python_engine(spark, events):
+    specs = [SketchSpec("du", "hll", "user_id", {"p": 12})]
+    jvm_groups = {tuple(r) for r in jvm_sketches(
+        events, ["event_type"], specs).select("event_type").collect()}
+    py_groups = {tuple(r) for r in two_level_merge(
+        build_sketches(events, ["event_type"], specs), ["event_type"])
+        .select("event_type").collect()}
+    assert jvm_groups == py_groups and jvm_groups
+
+
+def test_null_and_empty_semantics(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("b", None), (None, "y")],
+        "k string, v string")
+    specs = [SketchSpec("du", "hll", "v", {"p": 10})]
+    rows = {r["k"]: r for r in jvm_sketches(df, ["k"], specs)
+            .withColumn("est", jvm_hll_estimate_col(F.col("state")))
+            .collect()}
+    # null key is a group (groupby dropna=False parity); all-null group
+    # yields an EMPTY state estimating 0, not a null state
+    assert set(rows) == {"a", "b", None}
+    assert rows["b"]["state"] is not None and rows["b"]["est"] == 0
+    assert rows["a"]["est"] == 1 and rows[None]["est"] == 1
+    empty = spark.createDataFrame([], "k string, v string")
+    assert jvm_sketches(empty, ["k"], specs).count() == 0
+
+
+def test_cms_bound_vs_exact(spark, events):
+    specs = [SketchSpec("f", "cms", "event_type",
+                        {"epsilon": 1e-3, "delta": 1e-3})]
+    state = bytes(jvm_sketches(events, [], specs).collect()[0]["state"])
+    exact = dict(events.groupBy("event_type").count().collect())
+    n = events.count()
+    ests = jvm_cms_estimate(spark, state, list(exact))
+    for (item, true_c), est in zip(exact.items(), ests):
+        assert true_c <= est <= true_c + 1e-3 * n, (item, true_c, est)
+
+
+def test_hll_union_equals_single_build(spark, events):
+    specs = [SketchSpec("du", "hll", "user_id", {"p": 14})]
+    whole = (jvm_sketches(events, [], specs)
+             .withColumn("est", jvm_hll_estimate_col(F.col("state")))
+             .collect()[0]["est"])
+    parts = events.randomSplit([0.5, 0.5], seed=7)
+    partials = jvm_sketches(parts[0], [], specs).unionAll(
+        jvm_sketches(parts[1], [], specs))
+    merged = (jvm_hll_union(partials, [])
+              .withColumn("est", jvm_hll_estimate_col(F.col("state")))
+              .collect())
+    assert len(merged) == 1
+    # union-of-splits estimates the same set; identical lgK → tight
+    assert abs(merged[0]["est"] - whole) <= 0.02 * whole
+
+
+def test_cms_merge_equals_single_build(spark):
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 97).cast("long").alias("v"))
+    specs = [SketchSpec("f", "cms", "v", {"epsilon": 1e-3, "delta": 1e-3})]
+    whole = bytes(jvm_sketches(df, [], specs).collect()[0]["state"])
+    lo = bytes(jvm_sketches(df.filter("id < 10000"), [], specs)
+               .collect()[0]["state"])
+    hi = bytes(jvm_sketches(df.filter("id >= 10000"), [], specs)
+               .collect()[0]["state"])
+    merged = jvm_cms_merge(spark, [lo, hi])
+    items = list(range(0, 97, 7))
+    # cell-wise table addition with a shared seed: exact agreement
+    assert jvm_cms_estimate(spark, merged, items) == \
+        jvm_cms_estimate(spark, whole, items)
+
+
+def test_eager_validation(spark, events):
+    with pytest.raises(ValueError, match="no JVM aggregate"):
+        jvm_sketches(events, [], [SketchSpec("q", "kll", "amount")])
+    with pytest.raises(ValueError, match="weight_column"):
+        jvm_sketches(events, [], [SketchSpec(
+            "f", "cms", "event_type", weight_column="amount")])
+    with pytest.raises(ValueError, match="lgConfigK"):
+        jvm_sketches(events, [], [SketchSpec("d", "hll", "user_id",
+                                             {"p": 25})])
+    with pytest.raises(ValueError, match="at least one spec"):
+        jvm_sketches(events, [], [])
+    with pytest.raises(ValueError, match="duplicate"):
+        jvm_sketches(events, [], [
+            SketchSpec("d", "hll", "user_id"),
+            SketchSpec("d", "cms", "event_type")])
+
+
+def test_cross_format_states_fail_loudly(spark, events):
+    from fever_spark.sketch.base import sketch_from_bytes
+
+    specs = [SketchSpec("du", "hll", "user_id", {"p": 12})]
+    jvm_state = bytes(jvm_sketches(events, [], specs).collect()[0]["state"])
+    # fever envelope parser must refuse DataSketches bytes...
+    with pytest.raises(ValueError):
+        sketch_from_bytes(jvm_state)
+    # ...and the JVM estimator must refuse fever-format bytes (surfaces
+    # as a Spark execution error, not a silent wrong estimate)
+    py_state = bytes(two_level_merge(
+        build_sketches(events, [], specs), []).collect()[0]["state"])
+    bad = spark.createDataFrame([(py_state,)], "state binary")
+    with pytest.raises(Exception):
+        bad.select(jvm_hll_estimate_col(F.col("state"))).collect()

@@ -311,15 +311,29 @@ def _band_hashes(signatures: DataFrame, id_col: str, bands: int,
                  rows_per_band: int) -> DataFrame:
     """(id, band, band_hash) — the ids-only LSH band explode, shared by the
     within-corpus and cross-corpus candidate joins (band hashes must be
-    bit-identical between them for incremental LSH to work)."""
+    bit-identical between them for incremental LSH to work; the persisted
+    index stores SIGNATURES, so both sides always recompute band hashes
+    with this code and the formula can evolve without versioning state).
+
+    The band hash chains ``xxhash64(acc, element)`` over the slice —
+    long-only arithmetic the whole way. The previous formula stringified
+    every element into a joined key and hashed that; at 1M docs × 32
+    bands that is 128M int→string conversions, measured ~2× slower for
+    the banding stage (9.5s → 4.8s at 1M docs, local[32]; candidate-pair
+    output identical). A groupBy+collect_list+combinations rewrite of
+    the candidate self-join was ALSO measured and rejected: warm walls
+    8.3-9.4s vs the join's 5.4-6.6s on the same banded input — AQE's
+    handling of the ids-only equi-join beats per-bucket array
+    combinatorics here."""
     return signatures.select(
         id_col,
         F.posexplode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.xxhash64(F.concat_ws(
-                ",", F.transform(
-                    F.slice("minhash", b * rows_per_band + 1, rows_per_band),
-                    lambda x: x.cast("string")))))).alias("band", "band_hash"))
+            lambda b: F.aggregate(
+                F.slice("minhash", b * rows_per_band + 1, rows_per_band),
+                F.lit(-1205034819632174695),  # xxhash64 chain seed
+                lambda acc, x: F.xxhash64(acc, x)))).alias(
+                    "band", "band_hash"))
 
 
 def minhash_near_duplicates(df: DataFrame, text_col: str = "text",

@@ -1029,6 +1029,27 @@ def bench_sf1(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def bench_sketch_pipeline_jvm(spark):
+    """sketch_pipeline on the JVM-native engine (ops/jvm_sketch.py):
+    same cached pages, same groups, hll+cms via Tungsten aggregates —
+    no Python boundary. NOT in the default query list (the comparable
+    subset and the scaling study's 193/193 invariant are pinned to the
+    python-engine plan); the scaling harness requests it explicitly
+    (FEVER_SCALING_QUERY=sketch_pipeline_jvm) to measure N→4N scaling
+    of the boundary-free plan. State bytes are force-materialized so
+    Catalyst can't prune the aggregates (see bench_engine_ab)."""
+    from fever_spark.ops import jvm_sketches
+
+    pages = _pages_projected(spark)
+    st = jvm_sketches(pages, ["lang"], [
+        SketchSpec("distinct_urls", "hll", "url", {"p": 14}),
+        SketchSpec("host_freq", "cms", "url",
+                   {"epsilon": 1e-4, "delta": 1e-3})])
+    n = st.agg(F.sum(F.octet_length("state"))).collect()[0][0]
+    assert n and n > 0
+    return n
+
+
 _ENGINE_AB_DETAIL = {}
 
 
@@ -1178,6 +1199,7 @@ BENCHES = {
     "sf1": bench_sf1,
     "dedup_1m": bench_dedup_1m,
     "engine_ab": bench_engine_ab,
+    "sketch_pipeline_jvm": bench_sketch_pipeline_jvm,
 }
 
 # Heavy composed entries (model training / corpus-index state per run):
@@ -1185,6 +1207,11 @@ BENCHES = {
 # the headline `value` so the comparable subset stays stable per round.
 ONE_SHOT = {"text_models", "ingest", "crawl_gated", "eve_pipeline",
             "streaming", "sf1", "dedup_1m", "engine_ab"}
+
+# in BENCHES (requestable, full rep loop) but not in the default list:
+# the comparable subset and the scaling invariants are pinned to the
+# python-engine plans
+NON_DEFAULT = {"sketch_pipeline_jvm"}
 
 
 # the probe's idle-host floor (median of idle-session runs on this host
@@ -1272,7 +1299,8 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--master", default=f"local[{CPUS}]")
-    ap.add_argument("--queries", default=",".join(BENCHES))
+    ap.add_argument("--queries", default=",".join(
+        n for n in BENCHES if n not in NON_DEFAULT))
     ap.add_argument("--skip-warmup", action="store_true")
     args = ap.parse_args(argv)
 
@@ -1379,6 +1407,11 @@ def main(argv=None):
         result["app_id"] = spark.sparkContext.applicationId
     if "sketch_pipeline" in timings:
         result["pages_per_sec"] = round(N_PAGES / timings["sketch_pipeline"], 1)
+        result["n_pages"] = N_PAGES
+    if "sketch_pipeline_jvm" in timings and "sketch_pipeline" not in timings:
+        # scaling-harness contract when the JVM engine is the scaled workload
+        result["pages_per_sec"] = round(
+            N_PAGES / timings["sketch_pipeline_jvm"], 1)
         result["n_pages"] = N_PAGES
     if "warc_parse" in timings:
         result["warc_pages_per_sec"] = round(

@@ -676,7 +676,17 @@ def q_hll_windowed(spark, sf_dir):
     BYTE-identical to a direct coarse build (HLL is a lattice sketch, so
     rollup == direct is exact, not approximate). ``win`` is the window
     start as a UTC epoch-seconds string; DuckDB reproduces it with
-    floor(epoch(ts)/86400|604800) arithmetic — alignment verified."""
+    floor(epoch(ts)/86400|604800) arithmetic — alignment verified.
+
+    Round-8 fold — stream_ok: the STREAMING JVM engine
+    (streaming/jvm_stream.py: hll_sketch_agg held as Structured
+    Streaming aggregation state, append-mode exactly-once emission)
+    replays the same table as a file stream with a 1h watermark; every
+    window it closes must carry an estimate EXACTLY equal to the batch
+    JVM engine's for that (event_type, day) cell (HLL registers are
+    order-independent), and at least one window must close. Gates
+    engine #3 against engine #2 the way jvm_ok gates #2 against #1 in
+    q_hll_bound."""
     from fever_spark.ops.rollup import rollup_sketches
 
     ev = _read(spark, sf_dir, "events")
@@ -715,8 +725,46 @@ def q_hll_windowed(spark, sf_dir):
                           F.window("ts", "7 days").getField("start")),
             ["event_type", "window_start"], spec),
         ["event_type", "window_start"])
-    return level(ladder["1 day"], "1 day", None).unionByName(
+
+    import tempfile as _tf
+
+    from fever_spark.ops import jvm_hll_estimate_col, jvm_sketches
+    from fever_spark.streaming import (jvm_windowed_sketches_stream,
+                                       start_jvm_sketch_sink)
+
+    with _tf.TemporaryDirectory(prefix="fever_gate_jvmstream_") as td:
+        src = os.path.join(td, "src")
+        os.makedirs(src)
+        os.symlink(os.path.join(sf_dir, "events.parquet"),
+                   os.path.join(src, "events.parquet"))
+        # watermarks require TIMESTAMP (not the table's TIMESTAMP_NTZ);
+        # cast on BOTH sides so the cell keys compare apples-to-apples
+        stream = (spark.readStream.schema(ev.schema).parquet(src + "/*")
+                  .withColumn("ts", F.col("ts").cast("timestamp")))
+        agg = jvm_windowed_sketches_stream(
+            stream, "ts", "1 day", ["event_type"], spec, watermark="1 hour")
+        q = start_jvm_sketch_sink(agg, os.path.join(td, "out"),
+                                  os.path.join(td, "ckpt"))
+        if not q.awaitTermination(300):
+            q.stop()
+        emitted = (spark.read.parquet(os.path.join(td, "out"))
+                   .withColumn("e", jvm_hll_estimate_col(F.col("state")))
+                   .select("window_start", "event_type", "e").collect())
+    jvm_cells = {(r["window_start"], r["event_type"]): r["e"] for r in
+                 jvm_sketches(
+                     ev.withColumn("window_start",
+                                   F.window(F.col("ts").cast("timestamp"),
+                                            "1 day").getField("start")),
+                     ["window_start", "event_type"], spec)
+                 .withColumn("e", jvm_hll_estimate_col(F.col("state")))
+                 .collect()}
+    stream_ok = int(bool(emitted) and all(
+        jvm_cells.get((r["window_start"], r["event_type"])) == r["e"]
+        for r in emitted))
+
+    return (level(ladder["1 day"], "1 day", None).unionByName(
         level(ladder["7 days"], "7 days", direct_coarse))
+        .withColumn("stream_ok", F.lit(stream_ok)))
 
 
 def q_hll_overlap(spark, sf_dir):
@@ -1632,14 +1680,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(floor(epoch(ts)/86400)*86400 AS BIGINT)
                         AS VARCHAR) AS win,
                    '1 day' AS level, 1 AS within_bound,
-                   1 AS ladder_matches_direct
+                   1 AS ladder_matches_direct, 1 AS stream_ok
             FROM events GROUP BY 1, 2
             UNION ALL
             SELECT event_type,
                    CAST(CAST(floor(epoch(ts)/604800)*604800 AS BIGINT)
                         AS VARCHAR) AS win,
                    '7 days' AS level, 1 AS within_bound,
-                   1 AS ladder_matches_direct
+                   1 AS ladder_matches_direct, 1 AS stream_ok
             FROM events GROUP BY 1, 2
         """,
         "q_hll_overlap": """

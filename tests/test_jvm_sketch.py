@@ -137,3 +137,24 @@ def test_cross_format_states_fail_loudly(spark, events):
     bad = spark.createDataFrame([(py_state,)], "state binary")
     with pytest.raises(Exception):
         bad.select(jvm_hll_estimate_col(F.col("state"))).collect()
+
+
+def test_plan_shape_partial_agg_below_single_exchange(spark, events):
+    """Optimizer-level scale gate (the round-7 partial_min pattern): the
+    JVM engine's whole pitch is that Tungsten performs the two-level
+    combine itself — partial sketch aggregation map-side, ONE groups-only
+    shuffle, final merge above it. Pin that shape so a future refactor
+    can't silently demote it to a row shuffle (which at 10^12 rows is the
+    difference between shuffling O(groups x state) and O(rows))."""
+    out = jvm_sketches(events, ["event_type"], [
+        SketchSpec("u", "hll", "user_id", {"p": 12}),
+        SketchSpec("c", "cms", "event_type")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_hll_sketch_agg" in plan
+    assert "partial_count_min_sketch" in plan
+    assert plan.count("Exchange") == 1
+    # the partials sit BELOW the exchange: map-side combine, so the
+    # shuffle carries one state per (task, group), never input rows
+    assert plan.index("partial_hll_sketch_agg") > plan.index("Exchange")
+    # and no Python boundary anywhere in the plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan

@@ -1,0 +1,138 @@
+"""Streaming JVM sketch path (fever_spark/streaming/jvm_stream.py).
+
+Pins: (a) windowed hll/cms states built INSIDE the streaming aggregation
+state store match the batch JVM engine's estimates cell-for-cell; (b)
+append-mode emission is exactly-once per window ACROSS a stop/resume from
+checkpoint (no duplicates, no losses); (c) the long canonical output
+shape matches jvm_sketches; (d) validation fails loudly. Reference
+behavior: fever's flow aggregator window flush
+(processing/flow_aggregator.go:111-170) — one final row per window.
+"""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fever_spark.ops import jvm_cms_estimate, jvm_hll_estimate_col, jvm_sketches
+from fever_spark.ops.build import SketchSpec
+from fever_spark.streaming import (jvm_windowed_sketches_stream,
+                                   start_jvm_sketch_sink)
+from fever_spark.sources.synth import synth_pages
+
+HLL = SketchSpec("u", "hll", "url", {"p": 12})
+CMS = SketchSpec("toks", "cms", "lang", {"epsilon": 1e-3, "delta": 1e-3})
+
+
+def _day_batches(n=3000):
+    """synth pages split into per-day file drops + a far-future pusher row
+    that advances the watermark past every real window."""
+    pdf = synth_pages(n)
+    day = pdf["warc_ts"].dt.floor("D")
+    days = sorted(day.unique())
+    drops = [pdf[day == d] for d in days]
+    pusher = pdf.iloc[[0]].copy()
+    pusher["warc_ts"] = pdf["warc_ts"].max() + pd.Timedelta(days=3)
+    return drops, pusher
+
+
+def _drain(spark, schema, src, out, ckpt):
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    agg = jvm_windowed_sketches_stream(stream, "warc_ts", "1 day", ["lang"],
+                                       [HLL, CMS], watermark="1 hour")
+    q = start_jvm_sketch_sink(agg, out, ckpt, available_now=True)
+    q.awaitTermination(180)
+    return spark.read.parquet(out)
+
+
+def _batch_expected(spark, pdf):
+    df = spark.createDataFrame(pdf).withColumn(
+        "w", F.window("warc_ts", "1 day"))
+    wide = df.withColumn("window_start", F.col("w.start")) \
+             .withColumn("window_end", F.col("w.end")).drop("w")
+    return jvm_sketches(wide, ["window_start", "window_end", "lang"],
+                        [HLL, CMS])
+
+
+class TestJvmStream:
+    def test_matches_batch_and_resumes_exactly_once(self, spark, tmp_path):
+        drops, pusher = _day_batches()
+        src, out, ckpt = [str(tmp_path / x) for x in ("src", "out", "ck")]
+        os.makedirs(src)
+        schema = spark.createDataFrame(drops[0]).schema
+
+        # run 1: all but the last day's drop
+        for i, d in enumerate(drops[:-1]):
+            spark.createDataFrame(d).write.parquet(f"{src}/b{i}")
+        got1 = _drain(spark, schema, src, out, ckpt).collect()
+        assert len(got1) > 0  # watermark closed at least the early windows
+
+        # run 2 resumes from the same checkpoint: last day + pusher closes
+        # every real window
+        spark.createDataFrame(drops[-1]).write.parquet(f"{src}/b_last")
+        spark.createDataFrame(pusher).write.parquet(f"{src}/b_push")
+        got2_df = _drain(spark, schema, src, out, ckpt)
+        got2 = got2_df.collect()
+
+        # exactly-once: no (window, lang, sketch) emitted twice, run-2
+        # additions disjoint from run 1
+        cells = [(r["window_start"], r["lang"], r["sketch"]) for r in got2]
+        assert len(cells) == len(set(cells))
+        cells1 = {(r["window_start"], r["lang"], r["sketch"]) for r in got1}
+        assert cells1 < set(cells)
+
+        # no losses: every real (day, lang) cell present for both sketches
+        # (the pusher's own window stays OPEN — watermark sits 1h behind
+        # it — so it is exactly the one cell append mode must NOT emit)
+        all_pdf = pd.concat(drops + [pusher], ignore_index=True)
+        real_pdf = pd.concat(drops, ignore_index=True)
+        want_days = {(d.to_pydatetime(), lang)
+                     for d, lang in zip(real_pdf["warc_ts"].dt.floor("D"),
+                                        real_pdf["lang"])}
+        for sk in ("u", "toks"):
+            got_cells = {(r["window_start"], r["lang"])
+                         for r in got2 if r["sketch"] == sk}
+            assert got_cells == want_days
+
+        # estimates match the batch JVM engine cell-for-cell (HLL registers
+        # and CMS counters are order-independent, so equality is exact)
+        exp = _batch_expected(spark, all_pdf)
+        exp_hll = {(r["window_start"], r["lang"]): r["est"] for r in
+                   exp.filter(F.col("sketch") == "u")
+                   .withColumn("est", jvm_hll_estimate_col(F.col("state")))
+                   .collect()}
+        for r in got2:
+            if r["sketch"] == "u":
+                est = spark.createDataFrame(
+                    [(bytearray(r["state"]),)], "state binary").select(
+                    jvm_hll_estimate_col(F.col("state")).alias("e")
+                ).collect()[0]["e"]
+                assert est == exp_hll[(r["window_start"], r["lang"])]
+
+        exp_cms = {(r["window_start"], r["lang"]): bytes(r["state"]) for r in
+                   exp.filter(F.col("sketch") == "toks").collect()}
+        langs = sorted(all_pdf["lang"].unique())
+        for r in got2:
+            if r["sketch"] == "toks":
+                want = jvm_cms_estimate(
+                    spark, exp_cms[(r["window_start"], r["lang"])], langs)
+                got = jvm_cms_estimate(spark, bytes(r["state"]), langs)
+                assert got == want
+
+    def test_batch_df_rejected(self, spark):
+        df = spark.range(3).withColumn("ts", F.current_timestamp())
+        with pytest.raises(ValueError, match="streaming"):
+            jvm_windowed_sketches_stream(df, "ts", "1 day", [], [HLL])
+
+    def test_unsupported_kind_rejected(self, spark, tmp_path):
+        src = str(tmp_path / "s")
+        os.makedirs(src)
+        stream = spark.readStream.schema("ts timestamp, v string") \
+            .parquet(src + "/*")
+        with pytest.raises(ValueError, match="no JVM aggregate"):
+            jvm_windowed_sketches_stream(
+                stream, "ts", "1 day", [],
+                [SketchSpec("k", "kll", "v", {})])
+        with pytest.raises(ValueError, match="at least one spec"):
+            jvm_windowed_sketches_stream(stream, "ts", "1 day", [], [])

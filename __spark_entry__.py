@@ -834,6 +834,13 @@ def q_cms_bound(spark, sf_dir):
 
 
 def q_quantile_bounds(spark, sf_dir):
+    """KLL + t-digest rank-error gates vs exact ranks (one indicator
+    aggregate for ALL probes). Round-8 fold — the JVM quantile engine:
+    ops/jvm_sketch.jvm_quantiles (approx_percentile, Greenwald-Khanna,
+    partial-agg-below-one-exchange, no Python boundary) answers the same
+    three probes as rows sketch='gk_jvm', gated on ITS published bound —
+    rank error <= 1/accuracy (+1/n discreteness). Three quantile engines,
+    one gate frame."""
     ev = _read(spark, sf_dir, "events")
     merged = two_level_merge(
         build_sketches(ev, [], [
@@ -855,6 +862,18 @@ def q_quantile_bounds(spark, sf_dir):
     for j, (sk, i, v) in enumerate(vals):
         eps = 2 * 2.296 / 200 ** 0.9 if sk == "kll" else 0.02
         out.append((sk, float(qs[i]), int(abs(ranks[f"r{j}"] - qs[i]) <= eps)))
+
+    from fever_spark.ops.jvm_sketch import jvm_quantiles
+
+    acc = 1000
+    jq = jvm_quantiles(ev, [], "value", qs, accuracy=acc).first()["q"]
+    n = ev.count()
+    jranks = ev.agg(*[
+        F.avg((F.col("value") <= F.lit(float(v))).cast("double")).alias(f"r{i}")
+        for i, v in enumerate(jq)]).first()
+    for i, p in enumerate(qs):
+        ok = int(abs(jranks[f"r{i}"] - p) <= 1.0 / acc + 1.0 / n)
+        out.append(("gk_jvm", float(p), ok))
     return spark.createDataFrame(out, "sketch string, q double, within_bound int")
 
 
@@ -1701,7 +1720,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_quantile_bounds": """
             SELECT sketch, q, 1 AS within_bound FROM (
-              SELECT unnest(['kll','td']) AS sketch) s
+              SELECT unnest(['kll','td','gk_jvm']) AS sketch) s
             CROSS JOIN (SELECT unnest([0.1, 0.5, 0.9]) AS q) qs
         """,
         "q_bloom_zero_fn": """

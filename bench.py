@@ -944,6 +944,65 @@ def bench_streaming(spark):
         st, n_buckets=32, capacity=100_000, fpp=1e-6, ttl_ms=None))
     drain("windowed_counts", lambda st: windowed_counts_stream(
         st, [], "ts", window="1 minute", watermark="2 minutes"))
+
+    # round-8 streaming engine A/B: the SAME 1-minute windowed HLL states
+    # via (a) the python accumulator — fever-envelope state, one
+    # JVM→Python boundary per trigger — and (b) the JVM state-store path
+    # (streaming/jvm_stream.py), which never crosses the boundary.
+    # Semantics note recorded with the datum: (b) is append-mode, so its
+    # sink holds every CLOSED window (the final open window stays in
+    # state); (a) flushes everything. Both walls cover the identical
+    # drain of s["n"] events.
+    from fever_spark.ops.build import SketchSpec as _Spec
+    from fever_spark.streaming import (jvm_windowed_sketches_stream,
+                                       start_jvm_sketch_sink)
+    from fever_spark.streaming.sketch_stream import StreamingSketchAccumulator
+
+    hll_spec = [_Spec("d", "hll", "doc_id", {"p": 12})]
+
+    def hll_drain(engine, files_per_trigger, tag):
+        reader = spark.readStream.schema(schema)
+        if files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", files_per_trigger)
+        st = reader.parquet(s["drop"])
+        ck = tempfile.mkdtemp(prefix=f"fever_bench_stream_ck_{tag}_")
+        out_dir = tempfile.mkdtemp(prefix=f"fever_bench_stream_{tag}_out_")
+        try:
+            if engine == "python":
+                acc = StreamingSketchAccumulator(["win"], hll_spec)
+                st2 = st.withColumn(
+                    "win", F.window("ts", "1 minute").getField("start"))
+                t0 = time.time()
+                q = (st2.writeStream.foreachBatch(acc.process_batch)
+                     .option("checkpointLocation", ck)
+                     .trigger(availableNow=True).start())
+                q.awaitTermination()
+                wall = time.time() - t0
+                out_rows = len(acc.sketches)
+            else:
+                agg = jvm_windowed_sketches_stream(
+                    st, "ts", "1 minute", [], hll_spec,
+                    watermark="2 minutes")
+                t0 = time.time()
+                q = start_jvm_sketch_sink(agg, out_dir, ck)
+                q.awaitTermination()
+                wall = time.time() - t0
+                out_rows = spark.read.parquet(out_dir).count()  # untimed
+            stages[tag] = {"wall_s": round(wall, 3),
+                           "events_per_sec": round(s["n"] / wall, 1),
+                           "out_rows": out_rows}
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    # both regimes: ONE availableNow trigger (boundary paid once — the
+    # python accumulator's best case) and 8 triggers of 2 files (the
+    # live-daemon shape, boundary paid per trigger)
+    hll_drain("python", None, "py_windowed_hll")
+    hll_drain("jvm", None, "jvm_windowed_hll")
+    hll_drain("python", 2, "py_windowed_hll_8trig")
+    hll_drain("jvm", 2, "jvm_windowed_hll_8trig")
+
     # both dedup paths must actually drop the planted ~30% (bloom may
     # over-drop by its FPR — sub-ppm at this capacity, allow 5)
     ok = all(s["n_distinct"] - 5 <= stages[k]["out_rows"] < s["n"]
@@ -1088,11 +1147,24 @@ def bench_engine_ab(spark):
         df = jvm_sketches(pages, ["lang"], specs)
         return df.agg(F.sum(F.octet_length("state"))).collect()[0][0]
 
+    # round-8: the quantile counterpart — python KLL (the state-product
+    # engine) vs jvm_quantiles/approx_percentile (in-job reporting, no
+    # boundary, no exposable state) over the same text_len column
+    from fever_spark.ops.jvm_sketch import jvm_quantiles
+
+    kll = [SketchSpec("len_q", "kll", "text_len", {"k": 200})]
+
+    def jvm_q_run(_):
+        out = jvm_quantiles(pages, ["lang"], "text_len",
+                            [0.1, 0.5, 0.9], 10000)
+        return out.agg(F.sum(F.element_at("q", 2))).collect()[0][0]
+
     walls = {}
     for name, fn, specs in [
             ("python_hll", py_run, hll), ("jvm_hll", jvm_run, hll),
             ("python_hll_cms", py_run, bundle),
-            ("jvm_hll_cms", jvm_run, jvm_bundle)]:
+            ("jvm_hll_cms", jvm_run, jvm_bundle),
+            ("python_kll", py_run, kll), ("jvm_gk", jvm_q_run, None)]:
         fn(specs)  # warm (worker reuse / codegen)
         best = float("inf")
         for _ in range(3):
@@ -1106,6 +1178,7 @@ def bench_engine_ab(spark):
         jvm_hll_speedup=round(walls["python_hll"] / walls["jvm_hll"], 2),
         jvm_bundle_speedup=round(
             walls["python_hll_cms"] / walls["jvm_hll_cms"], 2),
+        jvm_quantile_speedup=round(walls["python_kll"] / walls["jvm_gk"], 2),
         pages_per_sec_jvm_hll=round(N_PAGES / walls["jvm_hll"], 1))
     return sum(walls.values())
 

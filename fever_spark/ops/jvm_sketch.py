@@ -156,3 +156,32 @@ def jvm_cms_merge(spark: SparkSession, states: list[bytes]) -> bytes:
     bos = jvm.java.io.ByteArrayOutputStream()
     acc.writeTo(bos)
     return bytes(bos.toByteArray())
+
+
+def jvm_quantiles(df: DataFrame, keys: list[str], column: str,
+                  probabilities: list[float],
+                  accuracy: int = 10000) -> DataFrame:
+    """→ DataFrame(keys..., q: array<double>) of native JVM approximate
+    quantiles via ``approx_percentile`` (Greenwald-Khanna): guaranteed
+    rank error ≤ 1/accuracy, computed with the same
+    partial-below-one-exchange shape as the sketch aggregates — no
+    Python boundary, the quantile counterpart of ``jvm_sketches``.
+
+    Engine trade vs the KLL/t-digest path (``build_sketches`` with kind
+    'kll'/'tdigest'): approx_percentile exposes NO serializable state —
+    Tungsten merges its summaries inside the job but you cannot persist
+    or cross-job-union them. Use this for in-job quantile REPORTING
+    (windowed rollups, dashboards) and the Python sketches whenever the
+    state itself is the product (checkpointed daemon stats, sketchctl,
+    month-over-month merges)."""
+    if not probabilities:
+        raise ValueError("jvm_quantiles needs at least one probability")
+    if any(not 0.0 <= p <= 1.0 for p in probabilities):
+        raise ValueError(f"probabilities outside [0, 1]: {probabilities}")
+    if accuracy < 1:
+        raise ValueError(f"accuracy must be >= 1, got {accuracy}")
+    agg = F.percentile_approx(
+        column, [float(p) for p in probabilities], accuracy).alias("q")
+    if keys:
+        return df.groupBy(*[F.col(k) for k in keys]).agg(agg)
+    return df.agg(agg)

@@ -158,3 +158,56 @@ def test_plan_shape_partial_agg_below_single_exchange(spark, events):
     assert plan.index("partial_hll_sketch_agg") > plan.index("Exchange")
     # and no Python boundary anywhere in the plan
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_jvm_quantiles_rank_bound(spark, events):
+    """approx_percentile's GK guarantee: the returned element's true rank
+    is within 1/accuracy of the target (plus 1/n discreteness slack)."""
+    from fever_spark.ops.jvm_sketch import jvm_quantiles
+
+    probs = [0.1, 0.5, 0.9]
+    acc = 1000
+    got = jvm_quantiles(events, ["event_type"], "value", probs, acc).collect()
+    assert got
+    sizes = {r["event_type"]: r["n"] for r in
+             events.groupBy("event_type").agg(F.count("*").alias("n"))
+             .collect()}
+    for r in got:
+        # true rank of each estimate in ONE pass per group
+        ranks = events.filter(F.col("event_type") == r["event_type"]).agg(
+            *[F.avg((F.col("value") <= F.lit(float(v))).cast("double"))
+              .alias(f"r{i}") for i, v in enumerate(r["q"])]).first()
+        eps = 1.0 / acc + 1.0 / sizes[r["event_type"]]
+        for i, p in enumerate(probs):
+            assert abs(ranks[f"r{i}"] - p) <= eps, (r["event_type"], p)
+
+
+def test_jvm_quantiles_null_and_validation(spark):
+    from fever_spark.ops.jvm_sketch import jvm_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("b", None)], "k string, v double")
+    rows = {r["k"]: r["q"] for r in
+            jvm_quantiles(df, ["k"], "v", [0.5]).collect()}
+    assert rows["a"] == [1.0]      # nulls skipped
+    assert rows["b"] is None       # all-null group -> null, not a crash
+    # global (no keys) shape: one row, array of len(probs)
+    g = jvm_quantiles(df, [], "v", [0.1, 0.9]).collect()
+    assert len(g) == 1 and len(g[0]["q"]) == 2
+    with pytest.raises(ValueError, match="at least one probability"):
+        jvm_quantiles(df, [], "v", [])
+    with pytest.raises(ValueError, match="outside"):
+        jvm_quantiles(df, [], "v", [1.5])
+    with pytest.raises(ValueError, match="accuracy"):
+        jvm_quantiles(df, [], "v", [0.5], accuracy=0)
+
+
+def test_jvm_quantiles_plan_shape(spark, events):
+    from fever_spark.ops.jvm_sketch import jvm_quantiles
+
+    plan = jvm_quantiles(events, ["event_type"], "value", [0.5]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "partial_percentile_approx" in plan
+    assert plan.count("Exchange") == 1
+    assert plan.index("partial_percentile_approx") > plan.index("Exchange")
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan

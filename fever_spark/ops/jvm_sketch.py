@@ -50,6 +50,15 @@ rows. CMS inputs are fed RAW (string/int accepted by the JVM aggregate;
 point queries then probe with the raw item) — never pre-hashed with
 ``xxhash64``, which maps SQL NULL to the seed and would silently count
 nulls.
+
+Probed dead end, recorded so it isn't re-tried: Spark's
+``bloom_filter_agg`` / ``might_contain`` expressions exist only for the
+engine's internal runtime row-filters — neither is in the public function
+registry (UNRESOLVED_ROUTINE on this build), and ``df.stat.bloomFilter``
+builds JVM-side but offers no expressible per-row probe back in a plan.
+So Bloom IOC matching stays on the python engine's single-ArrowEvalPython
+matcher (ops/bloom_match.py), which is plan-gated to exactly one
+boundary crossing.
 """
 
 from __future__ import annotations

@@ -686,7 +686,15 @@ def q_hll_windowed(spark, sf_dir):
     JVM engine's for that (event_type, day) cell (HLL registers are
     order-independent), and at least one window must close. Gates
     engine #3 against engine #2 the way jvm_ok gates #2 against #1 in
-    q_hll_bound."""
+    q_hll_bound.
+
+    Round-8 fold #2 — jvm_ladder_ok: the JVM rollup ladder
+    (ops/jvm_sketch.jvm_rollup_sketches: hll_union_agg upward, no Python
+    boundary on any rung) must produce 7-day estimates EXACTLY equal to
+    a direct 7-day jvm build — the same lattice property the python
+    ladder proves byte-identically, at the JVM engine's estimate-identity
+    strength (union output bytes legitimately differ from a from-raw
+    build's)."""
     from fever_spark.ops.rollup import rollup_sketches
 
     ev = _read(spark, sf_dir, "events")
@@ -762,9 +770,26 @@ def q_hll_windowed(spark, sf_dir):
         jvm_cells.get((r["window_start"], r["event_type"])) == r["e"]
         for r in emitted))
 
+    from fever_spark.ops.jvm_sketch import jvm_rollup_sketches
+
+    ev_ts = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def _ests(df):
+        return {(r["event_type"], r["window_start"]): r["e"] for r in
+                df.withColumn("e", jvm_hll_estimate_col(F.col("state")))
+                .collect()}
+
+    rolled7 = _ests(jvm_rollup_sketches(
+        ev_ts, "ts", ["event_type"], spec, ["1 day", "7 days"])["7 days"])
+    direct7 = _ests(jvm_sketches(
+        ev_ts.withColumn("window_start", F.window("ts", "7 days")["start"]),
+        ["event_type", "window_start"], spec))
+    jvm_ladder_ok = int(bool(rolled7) and rolled7 == direct7)
+
     return (level(ladder["1 day"], "1 day", None).unionByName(
         level(ladder["7 days"], "7 days", direct_coarse))
-        .withColumn("stream_ok", F.lit(stream_ok)))
+        .withColumn("stream_ok", F.lit(stream_ok))
+        .withColumn("jvm_ladder_ok", F.lit(jvm_ladder_ok)))
 
 
 def q_hll_overlap(spark, sf_dir):
@@ -1699,14 +1724,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(floor(epoch(ts)/86400)*86400 AS BIGINT)
                         AS VARCHAR) AS win,
                    '1 day' AS level, 1 AS within_bound,
-                   1 AS ladder_matches_direct, 1 AS stream_ok
+                   1 AS ladder_matches_direct, 1 AS stream_ok,
+                   1 AS jvm_ladder_ok
             FROM events GROUP BY 1, 2
             UNION ALL
             SELECT event_type,
                    CAST(CAST(floor(epoch(ts)/604800)*604800 AS BIGINT)
                         AS VARCHAR) AS win,
                    '7 days' AS level, 1 AS within_bound,
-                   1 AS ladder_matches_direct, 1 AS stream_ok
+                   1 AS ladder_matches_direct, 1 AS stream_ok,
+                   1 AS jvm_ladder_ok
             FROM events GROUP BY 1, 2
         """,
         "q_hll_overlap": """

@@ -194,3 +194,47 @@ def jvm_quantiles(df: DataFrame, keys: list[str], column: str,
     if keys:
         return df.groupBy(*[F.col(k) for k in keys]).agg(agg)
     return df.agg(agg)
+
+
+def jvm_rollup_sketches(df: DataFrame, ts_col: str, keys: list[str],
+                        specs: list[SketchSpec],
+                        resolutions: list[str]) -> dict[str, DataFrame]:
+    """Hypertable rollup ladder on the JVM engine — HLL only.
+
+    Same contract as ops/rollup.rollup_sketches (raw data scanned ONCE at
+    the finest resolution, coarser levels are state-only merges keyed by
+    (keys..., window_start, sketch), resolutions ordered finest→coarsest
+    with aligned buckets), but every rung stays inside whole-stage
+    codegen: the finest level is ``jvm_sketches``, each coarser level is
+    ``hll_union_agg`` over re-windowed window_start — O(groups ×
+    state_size) per level, no Python boundary anywhere in the ladder.
+
+    HLL only because Catalyst has no CMS union aggregate; for few cms
+    states merge driver-side with ``jvm_cms_merge``, or use the python
+    ladder (fever-envelope states union for every kind).
+
+    Lattice guarantee, deliberately weaker than the python ladder's and
+    tested as such: rolled-up ESTIMATES equal the direct coarse build's
+    exactly (same register content), but serialized bytes differ — a
+    DataSketches union output is written in a different internal mode
+    than a from-raw build, so byte-level comparisons across the two
+    construction paths are meaningless for this engine."""
+    if not resolutions:
+        raise ValueError("need at least one resolution")
+    bad = [s.name for s in specs if s.kind != "hll"]
+    if bad:
+        raise ValueError(
+            f"jvm_rollup_sketches is hll-only (hll_union_agg is the only "
+            f"JVM-side state union); non-hll specs: {bad} — use "
+            "ops.rollup.rollup_sketches for mixed-kind ladders")
+    win = "window_start"
+    fine = df.withColumn(win, F.window(F.col(ts_col), resolutions[0])["start"])
+    ladder: dict[str, DataFrame] = {}
+    prev = jvm_sketches(fine, keys + [win], specs)
+    ladder[resolutions[0]] = prev
+    for res in resolutions[1:]:
+        prev = jvm_hll_union(
+            prev.withColumn(win, F.window(F.col(win), res)["start"]),
+            keys + [win])
+        ladder[res] = prev
+    return ladder

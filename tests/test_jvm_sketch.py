@@ -262,3 +262,62 @@ class TestJvmRollup:
         plan = ladder["7 days"]._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
         assert "hll_union_agg" in plan
+
+
+class TestJvmMergeAlgebra:
+    """north_rule: 'merge associativity/commutativity property tests' —
+    the JVM engine's versions. HLL: estimates are order/shape-invariant
+    (register max is associative+commutative). CMS: the merged STATE is
+    byte-identical under reordering and re-association (counter sums)."""
+
+    def _hll_parts(self, spark, events, n_parts):
+        parts = events.withColumn(
+            "part", F.pmod(F.xxhash64("event_id"), F.lit(n_parts)))
+        return [bytes(jvm_sketches(
+            parts.filter(F.col("part") == i), [],
+            [SketchSpec("u", "hll", "user_id", {"p": 12})])
+            .collect()[0]["state"]) for i in range(n_parts)]
+
+    def test_hll_union_order_and_shape_invariant(self, spark, events):
+        states = self._hll_parts(spark, events, 4)
+        assert len(states) == 4
+
+        def union_est(ordered):
+            df = spark.createDataFrame([(bytearray(s),) for s in ordered],
+                                       "state binary") \
+                .withColumn("sketch", F.lit("u"))
+            return jvm_hll_union(df, []).select(
+                jvm_hll_estimate_col(F.col("state")).alias("e")
+            ).collect()[0]["e"]
+
+        base = union_est(states)
+        assert union_est(states[::-1]) == base          # commutativity
+        # associativity via re-association: union(union(a,b), union(c,d))
+        left = jvm_hll_union(
+            spark.createDataFrame([(bytearray(s),) for s in states[:2]],
+                                  "state binary")
+            .withColumn("sketch", F.lit("u")), []).collect()[0]["state"]
+        right = jvm_hll_union(
+            spark.createDataFrame([(bytearray(s),) for s in states[2:]],
+                                  "state binary")
+            .withColumn("sketch", F.lit("u")), []).collect()[0]["state"]
+        assert union_est([bytes(left), bytes(right)]) == base
+        # and the union equals a single build over everything
+        single = jvm_sketches(events, [],
+                              [SketchSpec("u", "hll", "user_id", {"p": 12})])
+        single_e = single.select(
+            jvm_hll_estimate_col(F.col("state")).alias("e")).collect()[0]["e"]
+        assert base == single_e
+
+    def test_cms_merge_order_invariant_bytes(self, spark, events):
+        parts = events.withColumn(
+            "part", F.pmod(F.xxhash64("event_id"), F.lit(3)))
+        states = [bytes(jvm_sketches(
+            parts.filter(F.col("part") == i), [],
+            [SketchSpec("t", "cms", "event_type")])
+            .collect()[0]["state"]) for i in range(3)]
+        assert len(states) == 3
+        a = jvm_cms_merge(spark, states)
+        b = jvm_cms_merge(spark, states[::-1])
+        c = jvm_cms_merge(spark, [jvm_cms_merge(spark, states[:2]), states[2]])
+        assert a == b == c  # counter sums: byte-identical every way

@@ -136,3 +136,71 @@ class TestJvmStream:
                 [SketchSpec("k", "kll", "v", {})])
         with pytest.raises(ValueError, match="at least one spec"):
             jvm_windowed_sketches_stream(stream, "ts", "1 day", [], [])
+
+
+class TestJvmStreamKillResume:
+    def test_mid_flight_stop_then_drain_is_exactly_once(self, spark, tmp_path):
+        """Harsher than the two-drain resume above: a live processingTime
+        query is stop()ped MID-FLIGHT (no graceful availableNow finish),
+        then an availableNow drain resumes from the same checkpoint. The
+        file sink's _spark_metadata commit log + the state store must
+        yield no duplicate cells, no losses, and batch-equal estimates —
+        wherever the kill landed."""
+        drops, pusher = _day_batches(2000)
+        src, out, ckpt = [str(tmp_path / x) for x in ("src", "out", "ck")]
+        os.makedirs(src)
+        schema = spark.createDataFrame(drops[0]).schema
+        for i, d in enumerate(drops):
+            spark.createDataFrame(d).write.parquet(f"{src}/b{i}")
+        spark.createDataFrame(pusher).write.parquet(f"{src}/b_push")
+
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+        agg = jvm_windowed_sketches_stream(stream, "warc_ts", "1 day",
+                                           ["lang"], [HLL],
+                                           watermark="1 hour")
+        q = (agg.writeStream.format("parquet").outputMode("append")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(processingTime="100 milliseconds").start())
+        # let a few 1-file triggers land, then kill mid-flight
+        import time as _t
+        deadline = _t.time() + 60
+        while _t.time() < deadline:
+            p = q.lastProgress
+            if p and p["batchId"] >= 2:
+                break
+            _t.sleep(0.2)
+        q.stop()
+
+        # resuming the checkpoint with a DIFFERENT spec list must fail
+        # loudly (state-store value schema check), never mis-merge state
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+        with pytest.raises(StreamingQueryException):
+            _drain(spark, schema, src, out, ckpt)  # [HLL, CMS] != [HLL]
+
+        stream2 = spark.readStream.schema(schema).parquet(src + "/*")
+        agg2 = jvm_windowed_sketches_stream(stream2, "warc_ts", "1 day",
+                                            ["lang"], [HLL],
+                                            watermark="1 hour")
+        q2 = start_jvm_sketch_sink(agg2, out, ckpt, available_now=True)
+        q2.awaitTermination(180)
+        got = spark.read.parquet(out).collect()
+        cells = [(r["window_start"], r["lang"]) for r in got]
+        assert len(cells) == len(set(cells))  # no duplicates across the kill
+        real = pd.concat(drops, ignore_index=True)
+        want = {(d.to_pydatetime(), lang) for d, lang in
+                zip(real["warc_ts"].dt.floor("D"), real["lang"])}
+        assert set(cells) == want             # no losses either
+        exp = {(r["window_start"], r["lang"]): r["e"] for r in
+               _batch_expected(spark, pd.concat(drops + [pusher],
+                                                ignore_index=True))
+               .filter(F.col("sketch") == "u")
+               .withColumn("e", jvm_hll_estimate_col(F.col("state")))
+               .collect()}
+        states = spark.createDataFrame(
+            [(r["window_start"], r["lang"], bytearray(r["state"]))
+             for r in got],
+            "window_start timestamp, lang string, state binary")
+        for r in states.withColumn(
+                "e", jvm_hll_estimate_col(F.col("state"))).collect():
+            assert r["e"] == exp[(r["window_start"], r["lang"])]

@@ -968,8 +968,14 @@ def bench_streaming(spark):
         ck = tempfile.mkdtemp(prefix=f"fever_bench_stream_ck_{tag}_")
         out_dir = tempfile.mkdtemp(prefix=f"fever_bench_stream_{tag}_out_")
         try:
-            if engine == "python":
-                acc = StreamingSketchAccumulator(["win"], hll_spec)
+            if engine in ("python", "python_durable"):
+                # durable mode: per-batch states land as parquet under
+                # state_dir — the apples-to-apples pairing for the JVM
+                # path's committed sink (plain python holds a driver dict)
+                acc = StreamingSketchAccumulator(
+                    ["win"], hll_spec,
+                    state_dir=(out_dir if engine == "python_durable"
+                               else None))
                 st2 = st.withColumn(
                     "win", F.window("ts", "1 minute").getField("start"))
                 t0 = time.time()
@@ -978,7 +984,9 @@ def bench_streaming(spark):
                      .trigger(availableNow=True).start())
                 q.awaitTermination()
                 wall = time.time() - t0
-                out_rows = len(acc.sketches)
+                out_rows = (acc.merged_states(spark).count()  # untimed
+                            if engine == "python_durable"
+                            else len(acc.sketches))
             else:
                 agg = jvm_windowed_sketches_stream(
                     st, "ts", "1 minute", [], hll_spec,
@@ -997,10 +1005,14 @@ def bench_streaming(spark):
 
     # both regimes: ONE availableNow trigger (boundary paid once — the
     # python accumulator's best case) and 8 triggers of 2 files (the
-    # live-daemon shape, boundary paid per trigger)
+    # live-daemon shape, boundary paid per trigger). The _durable rows
+    # are the fair pairing for the JVM path (both write committed
+    # parquet inside the timed region); plain python holds a driver dict.
     hll_drain("python", None, "py_windowed_hll")
+    hll_drain("python_durable", None, "py_windowed_hll_durable")
     hll_drain("jvm", None, "jvm_windowed_hll")
     hll_drain("python", 2, "py_windowed_hll_8trig")
+    hll_drain("python_durable", 2, "py_windowed_hll_durable_8trig")
     hll_drain("jvm", 2, "jvm_windowed_hll_8trig")
 
     # both dedup paths must actually drop the planted ~30% (bloom may

@@ -843,19 +843,41 @@ def q_hll_overlap(spark, sf_dir):
 
 
 def q_cms_bound(spark, sf_dir):
+    """CMS epsilon-delta gate vs exact counts (python engine). Round-8
+    fold — jvm_cms_ok: the JVM engine's count_min_sketch over the same
+    column at the same (epsilon, delta) must satisfy the same per-type
+    bound, probed through jvm_cms_estimate (driver-side read-back of the
+    Tungsten-built state, same class that built it) — the CMS
+    counterpart of q_hll_bound's jvm_ok."""
     ev = _read(spark, sf_dir, "events")
     merged = two_level_merge(
         build_sketches(ev, [], [SketchSpec("c", "cms", "event_type",
                                            {"epsilon": 1e-4, "delta": 1e-3})]), [])
     exact = ev.groupBy("event_type").count()
     n_total = ev.count()
+
+    from fever_spark.ops import jvm_cms_estimate, jvm_sketches
+
+    jvm_state = bytes(jvm_sketches(
+        ev, [], [SketchSpec("c", "cms", "event_type",
+                            {"epsilon": 1e-4, "delta": 1e-3})])
+        .collect()[0]["state"])
+    counts = {r["event_type"]: r["count"] for r in exact.collect()}
+    types = sorted(counts)
+    ests = jvm_cms_estimate(spark, jvm_state, types)
+    jvm_ok = {t: int(counts[t] <= e <= counts[t] + 3e-4 * n_total)
+              for t, e in zip(types, ests)}
+    ok_map = F.create_map(
+        *[x for t in types for x in (F.lit(t), F.lit(jvm_ok[t]))])
+
     probed = (exact.crossJoin(merged.select("state"))
               .withColumn("est", cms_estimate_col(F.col("state"), F.col("event_type"))))
     return probed.select(
         "event_type",
         ((F.col("est") >= F.col("count"))
          & (F.col("est") - F.col("count") <= F.lit(3e-4 * n_total)))
-        .cast("int").alias("within_bound"))
+        .cast("int").alias("within_bound"),
+        ok_map[F.col("event_type")].alias("jvm_cms_ok"))
 
 
 def q_quantile_bounds(spark, sf_dir):
@@ -1743,7 +1765,8 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b ON a.event_type < b.event_type
         """,
         "q_cms_bound": """
-            SELECT event_type, 1 AS within_bound FROM events GROUP BY event_type
+            SELECT event_type, 1 AS within_bound, 1 AS jvm_cms_ok
+            FROM events GROUP BY event_type
         """,
         "q_quantile_bounds": """
             SELECT sketch, q, 1 AS within_bound FROM (

@@ -102,3 +102,38 @@ def start_jvm_sketch_sink(agg: DataFrame, out_dir: str, checkpoint_dir: str,
     elif available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def jvm_session_sketches_stream(stream: DataFrame, ts_col: str,
+                                gap: str, keys: list[str],
+                                specs: list[SketchSpec],
+                                watermark: str = "1 hour") -> DataFrame:
+    """Session-window variant of ``jvm_windowed_sketches_stream``: one
+    sketch state per (session, keys), sessions closing ``gap`` after
+    their last event (dynamic windows — Spark merges overlapping session
+    state as events arrive). → streaming DataFrame(session_start,
+    session_end, keys..., sketch, state), append-mode exactly-once like
+    the tumbling variant. The JVM cousin of the python engine's
+    applyInPandasWithState session collector
+    (streaming/sketch_stream.py:session_collector_stream): that one
+    yields arbitrary-python per-session payloads, this one yields
+    mergeable sketch states without a boundary crossing."""
+    if not stream.isStreaming:
+        raise ValueError(
+            "jvm_session_sketches_stream needs a streaming DataFrame")
+    if not specs:
+        raise ValueError("jvm_session_sketches_stream needs at least one spec")
+    names = [s.name for s in specs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate spec names: {names}")
+    kind_of: dict = {}
+    aggs = [_agg_for(s, kind_of) for s in specs]
+    wide = (stream.withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"),
+                     *[F.col(k) for k in keys])
+            .agg(*aggs))
+    flat_keys = ["session_start", "session_end", *keys]
+    return (wide.select(F.col("sw.start").alias("session_start"),
+                        F.col("sw.end").alias("session_end"),
+                        *[F.col(k) for k in keys], *names)
+            .unpivot(flat_keys, names, "sketch", "state"))

@@ -204,3 +204,66 @@ class TestJvmStreamKillResume:
         for r in states.withColumn(
                 "e", jvm_hll_estimate_col(F.col("state"))).collect():
             assert r["e"] == exp[(r["window_start"], r["lang"])]
+
+
+class TestJvmSessionStream:
+    def test_sessions_match_batch_session_grouping(self, spark, tmp_path):
+        """Session-gap windows with JVM sketch state: closed sessions'
+        estimates equal a BATCH session_window groupBy over the same rows
+        (session merging + hll registers are both order-independent); a
+        session still inside watermark+gap reach stays open."""
+        from fever_spark.streaming.jvm_stream import jvm_session_sketches_stream
+
+        rows = [("u1", 0.0, "a"), ("u1", 10.0, "b"), ("u1", 400.0, "c"),
+                ("u2", 5.0, "a"), ("u2", 2000.0, "d"), ("u2", 2001.0, "e"),
+                ("u2", 2002.0, "d")]
+        df = spark.createDataFrame(
+            rows, "user string, off double, item string").select(
+            "user",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("off")).alias("ts"),
+            "item")
+        src, out, ckpt = [str(tmp_path / x) for x in ("src", "out", "ck")]
+        os.makedirs(src)
+        df.write.parquet(src + "/b0")
+        stream = spark.readStream.schema(df.schema).parquet(src + "/*")
+        agg = jvm_session_sketches_stream(
+            stream, "ts", "5 minutes", ["user"],
+            [SketchSpec("items", "hll", "item", {"p": 12})],
+            watermark="1 minute")
+        q = start_jvm_sketch_sink(agg, out, ckpt)
+        q.awaitTermination(120)
+        got = {(r["user"], r["session_start"]):
+               (r["session_end"], bytes(r["state"]))
+               for r in spark.read.parquet(out).collect()}
+
+        batch = {(r["user"], r["sw"]["start"]): (r["sw"]["end"], r["e"])
+                 for r in df.groupBy(
+                     F.session_window("ts", "5 minutes").alias("sw"), "user")
+                 .agg(F.hll_sketch_agg("item", 12).alias("state"))
+                 .withColumn("e", jvm_hll_estimate_col(F.col("state")))
+                 .collect()}
+        # u2's last burst (offs 2000-2002, max event time 2002) stays OPEN:
+        # watermark = 2002-60s < session end 2002+300s
+        closed = {k for k in batch
+                  if batch[k][0].timestamp() <= 1700000000 + 2002 - 60}
+        assert set(got) == closed and len(closed) == 3
+        for k, (end, state) in got.items():
+            est = spark.createDataFrame([(bytearray(state),)],
+                                        "state binary").select(
+                jvm_hll_estimate_col(F.col("state")).alias("e")
+            ).collect()[0]["e"]
+            assert (end, est) == batch[k], k
+
+    def test_validation(self, spark, tmp_path):
+        from fever_spark.streaming.jvm_stream import jvm_session_sketches_stream
+
+        src = str(tmp_path / "s")
+        os.makedirs(src)
+        with pytest.raises(ValueError, match="streaming"):
+            jvm_session_sketches_stream(
+                spark.range(1).withColumn("ts", F.current_timestamp()),
+                "ts", "5 minutes", [], [HLL])
+        stream = spark.readStream.schema("ts timestamp, v string") \
+            .parquet(src + "/*")
+        with pytest.raises(ValueError, match="at least one spec"):
+            jvm_session_sketches_stream(stream, "ts", "5 minutes", [], [])

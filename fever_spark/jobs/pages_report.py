@@ -50,19 +50,41 @@ def _prepare_tokens(df):
 
 def build_report(spark: SparkSession, input_path: str, checkpoint_dir: str,
                  with_tokens: bool = False, ioc_file: str | None = None,
-                 topk: int = 20, resume: bool = True) -> dict:
-    report = {"input": input_path}
+                 topk: int = 20, resume: bool = True,
+                 engine: str = "python") -> dict:
+    """``engine="jvm"`` routes the HLL groups (per-cell distinct counts +
+    the cross-lang overlap algebra) through ops/jvm_sketch — no Python
+    boundary, measured 5-7x on HLL-only workloads. Trade, documented in
+    jvm_sketch.py: the jvm group has NO SketchJob checkpoint (a rerun
+    recomputes it — cheaper than resuming the python build); the global
+    topk/quantile/KMV group and the token group stay on the checkpointed
+    python path in either mode (kinds Spark lacks). Report shape is
+    identical in both modes."""
+    if engine not in ("python", "jvm"):
+        raise ValueError(f"engine must be 'python' or 'jvm', got {engine!r}")
+    report = {"input": input_path, "engine": engine}
 
-    per_cell = SketchJob(
-        input_path, f"{checkpoint_dir}/per_lang_day",
-        keys=["lang", "day"],
-        specs=[SketchSpec("distinct_url", "hll", "url", {"p": 14}),
-               SketchSpec("distinct_host", "hll", "host", {"p": 14})],
-        prepare=_prepare_pages, job_id="per_lang_day").run(spark, resume=resume)
+    hll_specs = [SketchSpec("distinct_url", "hll", "url", {"p": 14}),
+                 SketchSpec("distinct_host", "hll", "host", {"p": 14})]
+    if engine == "jvm":
+        from fever_spark.ops import (jvm_hll_estimate_col, jvm_hll_union,
+                                     jvm_sketches)
+
+        per_cell = jvm_sketches(
+            _prepare_pages(spark.read.parquet(input_path)),
+            ["lang", "day"], hll_specs).cache()
+        est_col = jvm_hll_estimate_col
+    else:
+        per_cell = SketchJob(
+            input_path, f"{checkpoint_dir}/per_lang_day",
+            keys=["lang", "day"], specs=hll_specs,
+            prepare=_prepare_pages, job_id="per_lang_day").run(
+                spark, resume=resume)
+        est_col = hll_estimate_col
     report["per_lang_day"] = [
         {"lang": r["lang"], "day": str(r["day"]), "sketch": r["sketch"],
          "estimate": round(r["est"], 1)}
-        for r in per_cell.withColumn("est", hll_estimate_col("state"))
+        for r in per_cell.withColumn("est", est_col(F.col("state")))
         .select("lang", "day", "sketch", "est").collect()]
 
     glob = SketchJob(
@@ -101,23 +123,58 @@ def build_report(spark: SparkSession, input_path: str, checkpoint_dir: str,
     # lang pair gets inclusion-exclusion shared-URL and Jaccard estimates
     # — "how much do these segments share", fever's cross-sensor
     # population comparison as sketch algebra
-    from fever_spark.ops import two_level_merge
-    from fever_spark.ops.build import sketches_to_dict
-    from fever_spark.sketch.hll import (intersection_estimate,
-                                        jaccard_estimate)
+    if engine == "jvm":
+        # same algebra, JVM states: lang-level unions from the day cells
+        # (the rollup property), pair intersections by inclusion-exclusion
+        # — est(a) + est(b) − est(a∪b), the pair unions computed in ONE
+        # small hll_union_agg job over O(pairs) state rows
+        lang_rows = jvm_hll_union(
+            per_cell.filter(F.col("sketch") == "distinct_url")
+            .select("lang", "sketch", "state"), ["lang"]) \
+            .withColumn("est", jvm_hll_estimate_col(F.col("state"))) \
+            .collect()
+        lstate = {r["lang"]: bytes(r["state"]) for r in lang_rows}
+        lest = {r["lang"]: r["est"] for r in lang_rows}
+        langs = sorted(lstate)
+        pair_rows = [(f"{a}|{b}", "u", bytearray(lstate[x]))
+                     for i, a in enumerate(langs) for b in langs[i + 1:]
+                     for x in (a, b)]
+        union_est = {}
+        if pair_rows:
+            union_est = {r["pair"]: r["e"] for r in jvm_hll_union(
+                spark.createDataFrame(
+                    pair_rows, "pair string, sketch string, state binary"),
+                ["pair"])
+                .withColumn("e", jvm_hll_estimate_col(F.col("state")))
+                .collect()}
+        report["lang_url_overlap"] = []
+        for i, a in enumerate(langs):
+            for b in langs[i + 1:]:
+                eu = union_est[f"{a}|{b}"]
+                shared = lest[a] + lest[b] - eu
+                report["lang_url_overlap"].append(
+                    {"lang_a": a, "lang_b": b,
+                     "shared_est": round(shared, 1),
+                     "jaccard": round(max(0.0, shared) / eu if eu else 0.0,
+                                      4)})
+    else:
+        from fever_spark.ops import two_level_merge
+        from fever_spark.ops.build import sketches_to_dict
+        from fever_spark.sketch.hll import (intersection_estimate,
+                                            jaccard_estimate)
 
-    lang_states = two_level_merge(
-        per_cell.filter(F.col("sketch") == "distinct_url")
-        .select("lang", "sketch", "state"), ["lang"], salt=1)
-    sk = sketches_to_dict(lang_states, ["lang"])
-    langs = sorted(k[0] for k in sk)
-    report["lang_url_overlap"] = [
-        {"lang_a": a, "lang_b": b,
-         "shared_est": round(intersection_estimate(
-             sk[(a, "distinct_url")], sk[(b, "distinct_url")]), 1),
-         "jaccard": round(jaccard_estimate(
-             sk[(a, "distinct_url")], sk[(b, "distinct_url")]), 4)}
-        for i, a in enumerate(langs) for b in langs[i + 1:]]
+        lang_states = two_level_merge(
+            per_cell.filter(F.col("sketch") == "distinct_url")
+            .select("lang", "sketch", "state"), ["lang"], salt=1)
+        sk = sketches_to_dict(lang_states, ["lang"])
+        langs = sorted(k[0] for k in sk)
+        report["lang_url_overlap"] = [
+            {"lang_a": a, "lang_b": b,
+             "shared_est": round(intersection_estimate(
+                 sk[(a, "distinct_url")], sk[(b, "distinct_url")]), 1),
+             "jaccard": round(jaccard_estimate(
+                 sk[(a, "distinct_url")], sk[(b, "distinct_url")]), 4)}
+            for i, a in enumerate(langs) for b in langs[i + 1:]]
 
     if with_tokens:
         toks = SketchJob(
@@ -165,13 +222,19 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--iocs", default=None)
     ap.add_argument("--topk", type=int, default=20)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--engine", choices=("python", "jvm"), default="python",
+                    help="jvm: HLL groups through Catalyst's native "
+                         "sketch aggregates (5-7x, no checkpoint for "
+                         "that group); python: fever-envelope states, "
+                         "fully checkpointed")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
     spark = get_spark(master=args.master, app_name="fever_spark_pages_report")
     report = build_report(spark, args.input, args.checkpoint,
                           with_tokens=args.tokens, ioc_file=args.iocs,
-                          topk=args.topk, resume=not args.no_resume)
+                          topk=args.topk, resume=not args.no_resume,
+                          engine=args.engine)
     print(json.dumps(report))
     spark.stop()
 

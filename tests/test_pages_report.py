@@ -76,3 +76,40 @@ def test_report_with_ioc_file(spark, pages_dir, tmp_path):
     rep = build_report(spark, pages_dir, str(tmp_path / "ck2"),
                        ioc_file=str(iocs))
     assert rep["ioc_matches"].get("http-host", 0) > 0
+
+
+def test_report_jvm_engine(spark, pages_dir, tmp_path):
+    """--engine jvm: the HLL groups run through ops/jvm_sketch (same
+    report shape, same bounds); the global topk/quantile/KMV group stays
+    on the checkpointed python path."""
+    rep = build_report(spark, pages_dir, str(tmp_path / "ck"), engine="jvm")
+    assert rep["engine"] == "jvm"
+
+    pages = spark.read.parquet(pages_dir).withColumn(
+        "day", F.to_date("warc_ts"))
+    exact = {(r["lang"], str(r["day"])): r["x"] for r in
+             pages.groupBy("lang", "day")
+             .agg(F.countDistinct("url").alias("x")).collect()}
+    url_cells = [c for c in rep["per_lang_day"]
+                 if c["sketch"] == "distinct_url"]
+    assert len(url_cells) == len(exact)
+    for c in url_cells:
+        x = exact[(c["lang"], c["day"])]
+        assert abs(c["estimate"] - x) / x <= 4 * 1.04 / 2 ** 7
+
+    # synth langs are URL-disjoint: overlap ~ 0 within the compounded
+    # inclusion-exclusion bound, jaccard in [0, 1]
+    langs = sorted({c["lang"] for c in url_cells})
+    assert len(rep["lang_url_overlap"]) == len(langs) * (len(langs) - 1) // 2
+    n_urls = pages.select("url").distinct().count()
+    for o in rep["lang_url_overlap"]:
+        assert 0.0 <= o["jaccard"] <= 1.0
+        assert abs(o["shared_est"]) <= 4 * 3 * (1.04 / 2 ** 7) * n_urls
+
+    # python-path groups unchanged in jvm mode
+    assert len(rep["top_hosts"]) == 20
+    assert rep["page_bytes_q"]["0.5"] <= rep["page_bytes_q"]["0.99"]
+    assert rep["distinct_url_kmv"] > 0
+
+    with pytest.raises(ValueError, match="engine"):
+        build_report(spark, pages_dir, str(tmp_path / "ck2"), engine="rdd")

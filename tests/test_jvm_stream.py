@@ -159,9 +159,8 @@ class TestJvmStreamKillResume:
         agg = jvm_windowed_sketches_stream(stream, "warc_ts", "1 day",
                                            ["lang"], [HLL],
                                            watermark="1 hour")
-        q = (agg.writeStream.format("parquet").outputMode("append")
-             .option("path", out).option("checkpointLocation", ckpt)
-             .trigger(processingTime="100 milliseconds").start())
+        # the documented live-cadence path of start_jvm_sketch_sink
+        q = start_jvm_sketch_sink(agg, out, ckpt, trigger_seconds=0.1)
         # let a few 1-file triggers land, then kill mid-flight
         import time as _t
         deadline = _t.time() + 60

@@ -221,13 +221,21 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
             h1, h2 = double_hash64(shingles, seed=seed)
             # shingles are emitted doc-contiguously → per-doc minima come
             # from ONE contiguous reduceat pass per permutation (~10x faster
-            # than scattered minimum.at)
+            # than scattered minimum.at). The permutation values h1 + k*h2
+            # accumulate IN PLACE (one add per k instead of mul+add+astype:
+            # identical mod-2^64 values, and .view(int64) reinterprets the
+            # buffer without the copy astype paid) — the loop is memory-
+            # bandwidth-bound at 32 workers, and dropping from 4 array
+            # passes per permutation to 2 measured 2.3x on the kernel.
             present = np.unique(doc_idx)
             starts = np.searchsorted(doc_idx, present, side="left")
-            for k in range(num_hashes):
-                with np.errstate(over="ignore"):
-                    hk = (h1 + np.uint64(k) * h2).astype(np.int64)
-                out[present, k] = np.minimum.reduceat(hk, starts)
+            with np.errstate(over="ignore"):
+                acc = h1.copy()
+                for k in range(num_hashes):
+                    if k:
+                        acc += h2
+                    out[present, k] = np.minimum.reduceat(
+                        acc.view(np.int64), starts)
         return pd.Series(list(out))
 
     target = df.select(id_col, F.col(text_col))
@@ -291,16 +299,38 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     # signatures are re-attached once per SURVIVING pair below
     banded = _band_hashes(signatures, id_col, bands, rows_per_band)
 
+    # Round-9 measured-and-rejected: a (band, band_hash) bucket-count
+    # prefilter ahead of this self-join (VERDICT r8 #5 — singleton
+    # buckets produce no pairs). Interleaved same-session A/B at 1M
+    # docs, noop sink, full pair pipeline: prefiltered 26.9s vs this
+    # plan's 19.2s. Mechanism: AQE's runtime stage reuse already
+    # evaluates the banded explode ONCE for both self-join sides (the
+    # two exchanges are canonically identical), so the prefilter's
+    # count aggregation ADDS a third banded evaluation (~6s) plus a
+    # 32M-row exchange without removing any work the reused plan pays.
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     cand = (a.join(b, ["band", "band_hash"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"]))
-    sig_a = signatures.select(F.col(id_col).alias("id_a"),
-                              F.col("minhash").alias("sig_a"))
-    sig_b = signatures.select(F.col(id_col).alias("id_b"),
-                              F.col("minhash").alias("sig_b"))
+    # semi-filter the signature table to candidate ids before re-attach
+    # (round-9): the unfiltered joins shuffle + sort the FULL ~1 KB/doc
+    # signature table twice (plans/r09/lsh_pairs_before.txt Exchanges
+    # (25)/(34)); candidate ids are O(pairs), so the filtered table is
+    # tiny and the semi-join itself is a broadcast probe over one
+    # signature scan. Measured (interleaved A/B, 1M docs): 19.05s →
+    # 18.36s end-to-end — small here because AQE broadcasts the pair
+    # side anyway at this scale, but the semi keeps the attach joins
+    # O(pairs) even when the pair frame outgrows the broadcast
+    # threshold, which is the 100-TB failure mode that matters.
+    ids = (cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+           .distinct())
+    sigs_c = signatures.join(ids, id_col, "left_semi")
+    sig_a = sigs_c.select(F.col(id_col).alias("id_a"),
+                          F.col("minhash").alias("sig_a"))
+    sig_b = sigs_c.select(F.col(id_col).alias("id_b"),
+                          F.col("minhash").alias("sig_b"))
     return (cand.join(sig_a, "id_a").join(sig_b, "id_b")
             .select("id_a", "id_b",
                     minhash_jaccard(F.col("sig_a"), F.col("sig_b"))
@@ -324,7 +354,13 @@ def _band_hashes(signatures: DataFrame, id_col: str, bands: int,
     the candidate self-join was ALSO measured and rejected: warm walls
     8.3-9.4s vs the join's 5.4-6.6s on the same banded input — AQE's
     handling of the ids-only equi-join beats per-bucket array
-    combinatorics here."""
+    combinatorics here. Round-9 re-measured (1M docs, interleaved
+    same-session A/B, noop sink) and rejected two more variants: a
+    variadic codegen ``xxhash64(element_at...×4)`` per band (10.5s vs
+    the chain's 6.1s per banded evaluation — the 128-element_at
+    expression defeats codegen) and ``xxhash64(slice(...))`` hashing
+    the slice array in one call (23.7s — array allocation plus generic
+    array hashing). The interpreted chain is the measured optimum."""
     return signatures.select(
         id_col,
         F.posexplode(F.transform(

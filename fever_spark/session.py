@@ -28,6 +28,15 @@ def get_spark(master: str | None = None, app_name: str = "fever_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE rewrite sort-merge joins to shuffled-hash when every
+        # post-shuffle partition's build side fits the threshold (guide
+        # §3.1): skips both sides' sorts. Size-gated at RUNTIME from real
+        # partition bytes, so it scales with data (a too-big partition
+        # keeps SMJ); measured on the 1M-doc LSH candidate join: 18.2s →
+        # 17.1s, identical output. Env-tunable for hosts with tighter
+        # task memory (the build side of one partition must fit).
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                os.environ.get("FEVER_SHJ_THRESHOLD", "64MB"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

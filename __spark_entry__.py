@@ -753,7 +753,12 @@ def q_hll_windowed(spark, sf_dir):
             stream, "ts", "1 day", ["event_type"], spec, watermark="1 hour")
         q = start_jvm_sketch_sink(agg, os.path.join(td, "out"),
                                   os.path.join(td, "ckpt"))
-        if not q.awaitTermination(300):
+        # a drain that exceeds the bound is a GATE FAILURE, not a partial
+        # score: stopping mid-flight leaves whatever committed, and
+        # verifying only that subset would weaken the documented "every
+        # window it closes" guarantee to "every window we happened to see"
+        drained = q.awaitTermination(300)
+        if not drained:
             q.stop()
         emitted = (spark.read.parquet(os.path.join(td, "out"))
                    .withColumn("e", jvm_hll_estimate_col(F.col("state")))
@@ -766,7 +771,7 @@ def q_hll_windowed(spark, sf_dir):
                      ["window_start", "event_type"], spec)
                  .withColumn("e", jvm_hll_estimate_col(F.col("state")))
                  .collect()}
-    stream_ok = int(bool(emitted) and all(
+    stream_ok = int(drained and bool(emitted) and all(
         jvm_cells.get((r["window_start"], r["event_type"])) == r["e"]
         for r in emitted))
 

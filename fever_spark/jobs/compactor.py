@@ -87,20 +87,38 @@ def _write_roll(root: str, lo: int, hi: int, kind: str,
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        tables = [pq.read_table(f) for f in part_files]
-        # Spark writes INT96 timestamps which pyarrow surfaces as nanos;
-        # re-emitting nanos produces TIMESTAMP(NANOS) columns Spark
-        # refuses to read back — coerce to the micros Spark understands
-        pq.write_table(pa.concat_tables(tables, promote_options="default"),
-                       inner, coerce_timestamps="us",
-                       allow_truncated_timestamps=True)
+        # STREAM row-group-at-a-time (round-9): the log-structured design
+        # means the biggest roll asymptotically holds the daemon's entire
+        # history, and the previous read_table-then-concat loaded every
+        # input whole — an all-history RAM spike per fanin merge on a
+        # months-long run. Memory is now bounded by one record batch.
+        # Schemas are unified up front from file FOOTERS (metadata only)
+        # and each batch cast to the union, preserving the old
+        # promote_options="default" semantics; Spark writes INT96
+        # timestamps which pyarrow surfaces as nanos — coerce to the
+        # micros Spark understands, exactly as before.
+        readers = [pq.ParquetFile(f) for f in part_files]
+        schema = pa.unify_schemas([r.schema_arrow for r in readers],
+                                  promote_options="default")
+        with pq.ParquetWriter(inner, schema, coerce_timestamps="us",
+                              allow_truncated_timestamps=True) as w:
+            for r in readers:
+                for batch in r.iter_batches():
+                    w.write_table(
+                        pa.Table.from_batches([batch]).cast(schema))
+        for r in readers:
+            r.close()
     else:
+        # stream text in bounded chunks; preserve the exactly-one-newline
+        # join between concatenated files
         with open(inner, "wb") as out:
             for f in part_files:
+                last = b""
                 with open(f, "rb") as src:
-                    data = src.read()
-                out.write(data)
-                if data and not data.endswith(b"\n"):
+                    while chunk := src.read(1 << 20):
+                        out.write(chunk)
+                        last = chunk[-1:]
+                if last and last != b"\n":
                     out.write(b"\n")
     shutil.rmtree(dest, ignore_errors=True)  # same-range crash artifact
     os.replace(tmp, dest)

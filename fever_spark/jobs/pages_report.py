@@ -136,27 +136,38 @@ def build_report(spark: SparkSession, input_path: str, checkpoint_dir: str,
         lstate = {r["lang"]: bytes(r["state"]) for r in lang_rows}
         lest = {r["lang"]: r["est"] for r in lang_rows}
         langs = sorted(lstate)
-        pair_rows = [(f"{a}|{b}", "u", bytearray(lstate[x]))
+        # pair group key = TWO columns, never a concatenated string: a
+        # lang value containing the separator would collide two distinct
+        # pairs into one union group and silently corrupt both pairs'
+        # shared_est/jaccard (the python path keys on tuples and was
+        # always immune)
+        pair_rows = [(a, b, "u", bytearray(lstate[x]))
                      for i, a in enumerate(langs) for b in langs[i + 1:]
                      for x in (a, b)]
         union_est = {}
         if pair_rows:
-            union_est = {r["pair"]: r["e"] for r in jvm_hll_union(
+            union_est = {(r["lang_a"], r["lang_b"]): r["e"]
+                         for r in jvm_hll_union(
                 spark.createDataFrame(
-                    pair_rows, "pair string, sketch string, state binary"),
-                ["pair"])
+                    pair_rows, "lang_a string, lang_b string, "
+                               "sketch string, state binary"),
+                ["lang_a", "lang_b"])
                 .withColumn("e", jvm_hll_estimate_col(F.col("state")))
                 .collect()}
         report["lang_url_overlap"] = []
         for i, a in enumerate(langs):
             for b in langs[i + 1:]:
-                eu = union_est[f"{a}|{b}"]
+                eu = union_est[(a, b)]
                 shared = lest[a] + lest[b] - eu
                 report["lang_url_overlap"].append(
                     {"lang_a": a, "lang_b": b,
                      "shared_est": round(shared, 1),
                      "jaccard": round(max(0.0, shared) / eu if eu else 0.0,
                                       4)})
+        # per_cell is cached only on this engine path; release it after
+        # its last use (the overlap algebra) instead of pinning the
+        # per-(lang, day) state rows for the rest of the Spark session
+        per_cell.unpersist()
     else:
         from fever_spark.ops import two_level_merge
         from fever_spark.ops.build import sketches_to_dict

@@ -196,6 +196,45 @@ def jvm_quantiles(df: DataFrame, keys: list[str], column: str,
     return df.agg(agg)
 
 
+_INTERVAL_UNIT_SECONDS = {
+    "week": 604800, "weeks": 604800,
+    "day": 86400, "days": 86400,
+    "hour": 3600, "hours": 3600,
+    "minute": 60, "minutes": 60, "min": 60, "mins": 60,
+    "second": 1, "seconds": 1, "sec": 1, "secs": 1,
+}
+
+
+def validate_resolution_ladder(resolutions: list[str]) -> None:
+    """Fail loudly on a ladder whose coarser rungs are NOT integer
+    multiples of the one below (e.g. ['1 day', '36 hours']): the
+    window-of-windows truncation both ladders use assumes aligned
+    buckets, and misuse silently yields wrong coarse buckets. Only
+    fixed-width units are accepted — F.window rejects calendar units
+    (months) anyway, so an unparseable resolution is itself an error."""
+    import re
+
+    def seconds(res: str) -> int:
+        m = re.fullmatch(r"\s*(\d+)\s+([a-zA-Z]+)\s*", res)
+        if not m or m.group(2).lower() not in _INTERVAL_UNIT_SECONDS:
+            raise ValueError(
+                f"unparseable rollup resolution {res!r}: expected "
+                f"'<n> <unit>' with unit one of "
+                f"{sorted(set(_INTERVAL_UNIT_SECONDS))}")
+        return int(m.group(1)) * _INTERVAL_UNIT_SECONDS[m.group(2).lower()]
+
+    secs = [seconds(r) for r in resolutions]
+    for prev, cur, pr, cr in zip(secs, secs[1:], resolutions,
+                                 resolutions[1:]):
+        if cur % prev != 0 or cur <= prev:
+            raise ValueError(
+                f"rollup resolutions must be ordered finest -> coarsest "
+                f"with each level an integer multiple of the previous: "
+                f"{cr!r} ({cur}s) is not a strict multiple of {pr!r} "
+                f"({prev}s) — the window-of-windows truncation would "
+                "produce misaligned coarse buckets")
+
+
 def jvm_rollup_sketches(df: DataFrame, ts_col: str, keys: list[str],
                         specs: list[SketchSpec],
                         resolutions: list[str]) -> dict[str, DataFrame]:
@@ -221,6 +260,7 @@ def jvm_rollup_sketches(df: DataFrame, ts_col: str, keys: list[str],
     construction paths are meaningless for this engine."""
     if not resolutions:
         raise ValueError("need at least one resolution")
+    validate_resolution_ladder(resolutions)
     bad = [s.name for s in specs if s.kind != "hll"]
     if bad:
         raise ValueError(

@@ -48,6 +48,11 @@ def rollup_sketches(df: DataFrame, ts_col: str, keys: list[str],
     finest level; every other level is a state-only two_level_merge."""
     if not resolutions:
         raise ValueError("need at least one resolution")
+    # same aligned-buckets contract as the JVM ladder, now VALIDATED
+    # (was documented-only): unaligned rungs silently mis-bucket
+    from fever_spark.ops.jvm_sketch import validate_resolution_ladder
+
+    validate_resolution_ladder(resolutions)
     finest = resolutions[0]
     fine = (df.withColumn(WINDOW_COL,
                           F.window(F.col(ts_col), finest)["start"]))

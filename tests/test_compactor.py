@@ -163,3 +163,66 @@ class TestCLI:
         rc = main([root, "--kind", "parquet", "--keep-last", "2"])
         out = json.loads(capsys.readouterr().out)
         assert rc == 0 and out["rolled_batches"] == 3
+
+
+class TestStreamingMerges:
+    """Round-9: fanin merges must stream (row-group / chunk at a time),
+    never load whole rolls into memory — the terminal roll asymptotically
+    holds the daemon's entire history."""
+
+    def test_parquet_roll_streams_row_groups(self, tmp_path):
+        # multi-row-group inputs: a streamed writer emits at least one
+        # output row group per input FILE (iter_batches may coalesce a
+        # file's small groups into one batch, but never merges across
+        # files) — the old concat_tables path collapsed everything into
+        # ONE table and wrote a single group
+        root = str(tmp_path)
+        for i in range(6):
+            d = os.path.join(root, f"batch={i}")
+            os.makedirs(d)
+            pq.write_table(pa.table({"v": list(range(i * 100, i * 100 + 50))}),
+                           os.path.join(d, "part-0.parquet"),
+                           row_group_size=10)  # 5 row groups per input
+            open(os.path.join(d, "_SUCCESS"), "w").close()
+        before = all_parquet_rows(root)
+        out = compact_sink_dir(root, "parquet", keep_last=2)
+        assert out["rolled_batches"] == 4
+        roll = os.path.join(root, "batch=0-3", "part-roll0.parquet")
+        assert pq.ParquetFile(roll).metadata.num_row_groups >= 4
+        assert all_parquet_rows(root) == before
+
+    def test_parquet_roll_unifies_schemas(self, tmp_path):
+        # the old concat used promote_options="default"; the streamed
+        # writer must keep that: an all-null column in one batch widens
+        # to the other batch's type instead of failing
+        root = str(tmp_path)
+        for i, col in enumerate([pa.array([1, 2], type=pa.int64()),
+                                 pa.array([None, None], type=pa.null())]):
+            d = os.path.join(root, f"batch={i}")
+            os.makedirs(d)
+            pq.write_table(pa.table({"v": col}),
+                           os.path.join(d, "part-0.parquet"))
+            open(os.path.join(d, "_SUCCESS"), "w").close()
+        out = compact_sink_dir(root, "parquet", keep_last=0)
+        assert out["rolled_batches"] == 2
+        roll = os.path.join(root, "batch=0-1", "part-roll0.parquet")
+        t = pq.read_table(roll)
+        assert t.column("v").to_pylist() == [1, 2, None, None]
+
+    def test_text_roll_streams_chunks_preserving_join(self, tmp_path):
+        # files larger than the 1 MiB streaming chunk, one missing its
+        # trailing newline: the chunked copy must join with exactly one
+        # newline between files and preserve every line
+        root = str(tmp_path)
+        big = ["x" * 200 + str(i) for i in range(12_000)]  # ~2.4 MB
+        d0 = mk_text_batch(root, 0, big)
+        d1 = os.path.join(root, "batch=1")
+        os.makedirs(d1)
+        with open(os.path.join(d1, "part-00000"), "w") as f:
+            f.write("tail-line-no-newline")  # no trailing \n
+        open(os.path.join(d1, "_SUCCESS"), "w").close()
+        mk_text_batch(root, 2, ["after"])
+        before = all_text_lines(root)
+        out = compact_sink_dir(root, "text", keep_last=0)
+        assert out["rolled_batches"] == 3
+        assert all_text_lines(root) == before

@@ -338,3 +338,17 @@ def test_recommend_engine_rule():
     assert recommend_engine([SketchSpec("q", "kll", "x")]) == "python"
     assert recommend_engine(
         [SketchSpec("w", "cms", "x", weight_column="n")]) == "python"
+
+
+class TestJvmRollupValidation:
+    def test_unaligned_ladder_raises(self, spark, events):
+        from fever_spark.ops.jvm_sketch import jvm_rollup_sketches
+
+        ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+        with pytest.raises(ValueError, match="integer multiple"):
+            jvm_rollup_sketches(ev, "ts", [], [
+                SketchSpec("u", "hll", "user_id")], ["1 day", "36 hours"])
+        # equal rungs are not a ladder either
+        with pytest.raises(ValueError, match="integer multiple"):
+            jvm_rollup_sketches(ev, "ts", [], [
+                SketchSpec("u", "hll", "user_id")], ["1 day", "24 hours"])

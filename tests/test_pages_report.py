@@ -113,3 +113,32 @@ def test_report_jvm_engine(spark, pages_dir, tmp_path):
 
     with pytest.raises(ValueError, match="engine"):
         build_report(spark, pages_dir, str(tmp_path / "ck2"), engine="rdd")
+
+
+def test_jvm_overlap_langs_with_pipe_do_not_collide(spark, tmp_path):
+    """Round-9 ADVICE fix: the jvm overlap path used to key pair union
+    groups on f"{a}|{b}" — langs ('a', 'b|c') and ('a|b', 'c') collided
+    into one group, merging FOUR states and corrupting both pairs'
+    shared_est/jaccard. Keys are two columns now; with URL-disjoint
+    langs every pair's shared estimate must sit near zero."""
+    pages = synth_pages_df(spark, 8_000, partitions=4)
+    remapped = pages.withColumn(
+        "lang",
+        F.when(F.col("lang") == "en", F.lit("a"))
+        .when(F.col("lang") == "de", F.lit("b|c"))
+        .when(F.col("lang") == "fr", F.lit("a|b"))
+        .otherwise(F.lit("c")))
+    d = str(tmp_path / "pages")
+    remapped.write.parquet(d)
+    rep = build_report(spark, d, str(tmp_path / "ck"), engine="jvm")
+    langs = sorted({c["lang"] for c in rep["per_lang_day"]})
+    assert {"a", "a|b", "b|c", "c"} <= set(langs)
+    n_urls = remapped.select("url").distinct().count()
+    bound = 4 * 3 * (1.04 / 2 ** 7) * n_urls
+    pairs = {(o["lang_a"], o["lang_b"]) for o in rep["lang_url_overlap"]}
+    assert ("a", "b|c") in pairs and ("a|b", "c") in pairs
+    for o in rep["lang_url_overlap"]:
+        # the collision drove shared_est to about -(half the corpus);
+        # disjoint langs must stay within the inclusion-exclusion bound
+        assert abs(o["shared_est"]) <= bound, o
+        assert 0.0 <= o["jaccard"] <= 1.0

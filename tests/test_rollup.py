@@ -88,3 +88,21 @@ class TestRollup:
                                  ["30 minutes", "1 hour"])
         kinds = ladder["1 hour"].select(WINDOW_COL).distinct().count()
         assert kinds == 6
+
+
+class TestResolutionValidation:
+    """Round-9: the aligned-buckets contract is now enforced, not just
+    documented — unaligned rungs silently mis-bucketed before."""
+
+    def test_unaligned_ladder_raises(self, spark, events):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="integer multiple"):
+            rollup_sketches(events, "ts", [], [SPECS[0]],
+                            ["1 day", "36 hours"])
+
+    def test_unparseable_resolution_raises(self, spark, events):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="unparseable"):
+            rollup_sketches(events, "ts", [], [SPECS[0]], ["1 fortnight"])

@@ -314,23 +314,19 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"]))
-    # semi-filter the signature table to candidate ids before re-attach
-    # (round-9): the unfiltered joins shuffle + sort the FULL ~1 KB/doc
-    # signature table twice (plans/r09/lsh_pairs_before.txt Exchanges
-    # (25)/(34)); candidate ids are O(pairs), so the filtered table is
-    # tiny and the semi-join itself is a broadcast probe over one
-    # signature scan. Measured (interleaved A/B, 1M docs): 19.05s →
-    # 18.36s end-to-end — small here because AQE broadcasts the pair
-    # side anyway at this scale, but the semi keeps the attach joins
-    # O(pairs) even when the pair frame outgrows the broadcast
-    # threshold, which is the 100-TB failure mode that matters.
-    ids = (cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
-           .distinct())
-    sigs_c = signatures.join(ids, id_col, "left_semi")
-    sig_a = sigs_c.select(F.col(id_col).alias("id_a"),
-                          F.col("minhash").alias("sig_a"))
-    sig_b = sigs_c.select(F.col(id_col).alias("id_b"),
-                          F.col("minhash").alias("sig_b"))
+    # Round-9 measured-and-rejected: semi-filtering the signature table
+    # to candidate ids before these re-attach joins (explode pair ids →
+    # distinct → left_semi). Interleaved A/B: 1M docs 19.05s → 18.36s
+    # (AQE broadcasts the pair side, so the full-signature shuffle the
+    # filter would avoid doesn't happen in practice), but 5k docs 0.80s
+    # → 1.04s — the extra explode/distinct/semi stages dominate exactly
+    # where this operator runs per-curation-batch. Net negative; if a
+    # corpus ever produces a pair frame too big for AQE to broadcast,
+    # reintroduce the semi-filter gated on that size.
+    sig_a = signatures.select(F.col(id_col).alias("id_a"),
+                              F.col("minhash").alias("sig_a"))
+    sig_b = signatures.select(F.col(id_col).alias("id_b"),
+                              F.col("minhash").alias("sig_b"))
     return (cand.join(sig_a, "id_a").join(sig_b, "id_b")
             .select("id_a", "id_b",
                     minhash_jaccard(F.col("sig_a"), F.col("sig_b"))

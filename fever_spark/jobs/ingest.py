@@ -220,10 +220,14 @@ def ingest(spark: SparkSession, batch_path: str, corpus_dir: str,
     # survivors becomes the batch's delta file; the merged fast-path
     # filter is the union of the screen state and the delta (on replay
     # the screen was rebuilt from the other deltas, so the union is
-    # exactly history-with-this-batch either way)
+    # exactly history-with-this-batch either way). Built from the
+    # CHECKPOINTED survivor frame — the same rows the corpus partition
+    # write just materialized — rather than re-reading that partition
+    # from parquet (round-9: the read-back re-scanned and re-planned the
+    # batch for no information gain; Bloom bitset OR is partitioning-
+    # independent, so the delta bytes are identical either way)
     delta = BloomFilter.from_bytes(corpus_fingerprint_bloom(
-        spark.read.parquet(_part(corpus_dir, batch_id)), text_col,
-        capacity=bloom_capacity, fpp=bloom_fpp))
+        kept, text_col, capacity=bloom_capacity, fpp=bloom_fpp))
     tmp = own_delta + ".tmp"
     delta.save(tmp)
     os.replace(tmp, own_delta)

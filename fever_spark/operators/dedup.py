@@ -584,13 +584,14 @@ def embedding_near_duplicates(df: DataFrame, vec_col: str = "embedding",
 # ---------------------------------------------------------------- clusters
 
 
-def _components_arrays(a: np.ndarray, b: np.ndarray) -> list[tuple]:
+def _components_roots(a: np.ndarray,
+                      b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized connected components over edge arrays: hook-and-jump
     (hook the larger root under the smaller, then pointer-jump until
     compressed) — O(E) numpy work per outer round, O(log n) rounds.
-    Returns [(id, min_reachable_id)] for every id in the edges; id order
-    (numeric or lexicographic) matches F.min exactly, so the output is
-    byte-identical to the distributed label-propagation path."""
+    Returns (ids, min_reachable_id) ARRAYS for every id in the edges;
+    id order (numeric or lexicographic) matches F.min exactly, so the
+    output is byte-identical to the distributed label-propagation path."""
     ids = np.unique(np.concatenate([a, b]))  # sorted: index order = id order
     ia, ib = np.searchsorted(ids, a), np.searchsorted(ids, b)
     parent = np.arange(len(ids), dtype=np.int64)
@@ -608,16 +609,13 @@ def _components_arrays(a: np.ndarray, b: np.ndarray) -> list[tuple]:
             parent, jumped = nxt, True
         if not moved.any() and not jumped:
             break
-    return list(zip(ids.tolist(), ids[parent].tolist()))
+    return ids, ids[parent]
 
 
-def _driver_components(pairs_ck: DataFrame) -> list[tuple]:
-    """Driver-side connected components over a SMALL pair frame
-    (see _components_arrays for the kernel and its output contract)."""
-    pdf = pairs_ck.toPandas()
-    if not len(pdf):
-        return []
-    return _components_arrays(pdf["id_a"].to_numpy(), pdf["id_b"].to_numpy())
+def _components_arrays(a: np.ndarray, b: np.ndarray) -> list[tuple]:
+    """(id, min_reachable_id) tuples — see _components_roots."""
+    ids, roots = _components_roots(a, b)
+    return list(zip(ids.tolist(), roots.tolist()))
 
 
 def near_dup_clusters(pairs: DataFrame, max_iterations: int = 20,
@@ -656,12 +654,21 @@ def near_dup_clusters(pairs: DataFrame, max_iterations: int = 20,
     pairs_ck = (pairs.select("id_a", "id_b")
                 .localCheckpoint(eager=True))
     if pairs_ck.count() <= driver_pairs_threshold:
-        labels = _driver_components(pairs_ck)
         near_dup_clusters.last_rounds = 0  # driver path: no Spark rounds
         id_type = pairs_ck.schema["id_a"].dataType
         schema = T.StructType([T.StructField("id", id_type),
                                T.StructField("cluster_id", id_type)])
-        return spark.createDataFrame(labels, schema)
+        pdf = pairs_ck.toPandas()
+        if not len(pdf):
+            return spark.createDataFrame([], schema)
+        ids, roots = _components_roots(pdf["id_a"].to_numpy(),
+                                       pdf["id_b"].to_numpy())
+        # ship the label table back through Arrow (one columnar batch)
+        # rather than a list of Python tuples: createDataFrame over rows
+        # pickles per element — measured as most of the clusters_driver
+        # wall at the 130k-pair bench scale (round-9)
+        return spark.createDataFrame(
+            pd.DataFrame({"id": ids, "cluster_id": roots}), schema)
     edges = (pairs_ck.select(F.col("id_a").alias("src"),
                              F.col("id_b").alias("dst"))
              .union(pairs_ck.select(F.col("id_b").alias("src"),

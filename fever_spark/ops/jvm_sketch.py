@@ -155,7 +155,14 @@ def jvm_cms_merge(spark: SparkSession, states: list[bytes]) -> bytes:
     """Union cms states (same eps/confidence/seed) driver-side —
     O(states × table_size), no Spark job; the cross-job counterpart of
     jvm_hll_union. Raises IllegalArgumentException through py4j on
-    parameter mismatch."""
+    parameter mismatch.
+
+    Measured rate (round-9, this host): ~39 states/s for eps=1e-4
+    states (1.6 MB tables) — fine for tens of states (a month of daily
+    rollups), not for thousands. Past that, or for mixed-kind ladders,
+    use the python engine's rollup (ops/rollup.rollup_sketches):
+    fever-envelope CMS states union DISTRIBUTED through two_level_merge
+    at O(groups x state) shuffle cost, no driver loop."""
     if not states:
         raise ValueError("jvm_cms_merge needs at least one state")
     acc = _jvm_cms(spark, states[0])
@@ -266,7 +273,11 @@ def jvm_rollup_sketches(df: DataFrame, ts_col: str, keys: list[str],
         raise ValueError(
             f"jvm_rollup_sketches is hll-only (hll_union_agg is the only "
             f"JVM-side state union); non-hll specs: {bad} — use "
-            "ops.rollup.rollup_sketches for mixed-kind ladders")
+            "ops.rollup.rollup_sketches for mixed-kind ladders "
+            "(distributed state unions for every kind; the JVM engine's "
+            "only CMS union is the driver-side jvm_cms_merge at a "
+            "measured ~39 eps=1e-4 states/s — viable for tens of "
+            "states, not a ladder)")
     win = "window_start"
     fine = df.withColumn(win, F.window(F.col(ts_col), resolutions[0])["start"])
     ladder: dict[str, DataFrame] = {}

@@ -106,8 +106,6 @@ def cmd_lsh_explain():
     sigs = dedup.minhash_signatures(docs).localCheckpoint(eager=True)
     pairs = (dedup.lsh_candidate_pairs(sigs, bands=32, num_hashes=128)
              .filter(F.col("est_jaccard") >= 0.7))
-    print(pairs._sc is None if False else "")  # noqa
-    print(pairs.sparkSession is not None and "")
     plan = pairs._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"))
